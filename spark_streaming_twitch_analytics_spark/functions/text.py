@@ -1,0 +1,307 @@
+"""Text-processing column expressions + DuckDB oracle twins.
+
+Replaces the reference's Spark-NLP pipeline (``pipelines.scala:42-67``:
+DocumentAssembler → Tokenizer → StopWordsCleaner → Finisher) and its
+string-cleaning UDFs (``ProcessingWorkSheet.sc:45-49,71-74``) with plain
+Catalyst expressions — no ML pipeline fit, no UDF serialization, full
+whole-stage codegen.
+
+Portability rules for the ``*_sql`` twins (DuckDB 1.x):
+- identical regexes, identical literal lists (from ``constants``),
+- DuckDB lists are 1-based (`l[1]`), Spark arrays 0-based (`getItem(0)`),
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all default,
+- hashes are md5 lowercase hex in both engines → string-compatible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..constants import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    MIN_WORD_LENGTH,
+    SENTIMENT_NEGATIVE,
+    SENTIMENT_POSITIVE,
+    STOPWORDS,
+    sql_str_array,
+    sql_str_list,
+)
+
+TOKEN_PATTERN = r"\s+"
+
+
+# ---------------------------------------------------------------------------
+# Tokenization + stopwords (SURVEY N2-N3)
+# ---------------------------------------------------------------------------
+
+
+def tokenize(col: Column) -> Column:
+    """lower → trim → whitespace split (reference Tokenizer, pipelines.scala:48-50)."""
+    return F.split(F.lower(F.trim(col)), TOKEN_PATTERN)
+
+
+def tokenize_sql(expr: str) -> str:
+    return f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
+
+
+def stopword_array(lang: str) -> Column:
+    return F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+
+
+def remove_stopwords(tokens: Column, lang: str) -> Column:
+    """Drop stopwords but KEEP duplicates (``F.array_except`` would dedupe,
+    changing downstream counts — reference StopWordsCleaner keeps dups)."""
+    sw = stopword_array(lang)
+    return F.filter(tokens, lambda t: ~F.array_contains(sw, t))
+
+
+def remove_stopwords_sql(tokens_expr: str, lang: str) -> str:
+    return (
+        f"list_filter({tokens_expr}, t -> t NOT IN ({sql_str_list(STOPWORDS[lang])}))"
+    )
+
+
+def countable_words(text: Column, lang: str, min_len: int = MIN_WORD_LENGTH) -> Column:
+    """The flagship token stream: tokenize → stopwords → length filter
+    (reference word filter ``SparkRunner.scala:125`` ``_.length > 3``)."""
+    toks = remove_stopwords(tokenize(text), lang)
+    return F.filter(toks, lambda t: F.length(t) > min_len)
+
+
+def countable_words_sql(expr: str, lang: str, min_len: int = MIN_WORD_LENGTH) -> str:
+    toks = remove_stopwords_sql(tokenize_sql(expr), lang)
+    return f"list_filter({toks}, t -> length(t) > {min_len})"
+
+
+# ---------------------------------------------------------------------------
+# Cleaning (SURVEY U1/U2 — UDFs in the reference, built-ins here)
+# ---------------------------------------------------------------------------
+
+
+def clean_disc(col: Column) -> Column:
+    """U1: strip literal '< br / >' markers and newlines
+    (reference UDF ``ProcessingWorkSheet.sc:45-49``)."""
+    return F.regexp_replace(F.regexp_replace(col, "< br / >", ""), "\n", "")
+
+
+def clean_disc_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({expr}, '< br / >', '', 'g'), "
+        f"chr(10), '', 'g')"
+    )
+
+
+def strip_listchars(col: Column) -> Column:
+    """U2: remove the characters ``[ ] " '`` (reference ``cast_categories``
+    UDF, ``ProcessingWorkSheet.sc:71-74``)."""
+    return F.regexp_replace(col, """[\\[\\]"']""", "")
+
+
+def strip_listchars_sql(expr: str) -> str:
+    return f"""regexp_replace({expr}, '[\\[\\]"'']', '', 'g')"""
+
+
+# ---------------------------------------------------------------------------
+# Shingles + portable hashing (dedup/fingerprint building blocks)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(tokens: Column, n: int) -> Column:
+    """All n-word shingles, space-joined; [] when fewer than n tokens."""
+    mk = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, mk).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_shingles_sql(tokens_expr: str, n: int) -> str:
+    # range() with start >= stop yields [] in DuckDB, no guard needed
+    return (
+        f"list_transform(range(0, len({tokens_expr}) - {n} + 1), "
+        f"i -> array_to_string({tokens_expr}[i + 1 : i + {n}], ' '))"
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash over md5-hex strings: ``min(md5(seed || '|' || shingle))``.
+
+    Lexicographic min of a uniform hex hash is a valid min-hash and is
+    bit-identical across Spark and DuckDB (both emit lowercase hex md5).
+    Returns array<string> of length ``num_hashes`` (nulls when no shingles).
+    """
+    def one_hash(j: int) -> Column:
+        # NB: a two-arg lambda would be interpreted by PySpark's HOFs as
+        # (element, index) — close over the seed instead.
+        prefix = F.lit(f"{j}|")
+        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(prefix, s))))
+
+    return F.array(*[one_hash(j) for j in range(num_hashes)])
+
+
+def minhash_signature_sql(shingles_expr: str, num_hashes: int) -> str:
+    parts = ", ".join(
+        f"list_min(list_transform({shingles_expr}, s -> md5('{j}|' || s)))"
+        for j in range(num_hashes)
+    )
+    return f"[{parts}]"
+
+
+def simhash16(tokens: Column) -> Column:
+    """16-bit SimHash: bit j is the sign of sum over tokens of ±1, where
+    the token votes +1 iff hex digit j of md5(token) >= '8' (its top bit).
+
+    Pure array ops — no shuffle, no UDF; ~constant work per row.
+    """
+    md5s = F.transform(tokens, lambda t: F.md5(t))
+    total = F.size(md5s)
+
+    def ups(j: int) -> Column:
+        # single-arg lambda: PySpark HOFs treat two-arg lambdas as
+        # (element, index) — keep j in an enclosing scope
+        return F.size(F.filter(md5s, lambda m: F.substring(m, j + 1, 1) >= "8"))
+
+    acc = F.lit(0)
+    for j in range(16):
+        acc = acc + F.when(ups(j) * 2 > total, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash16_sql(md5s_expr: str) -> str:
+    """SQL twin of :func:`simhash16`. ``md5s_expr`` must be a (CTE) column
+    already holding ``list_transform(tokens, t -> md5(t))`` so the big
+    16-term sum references it by name instead of recomputing it 32×."""
+    terms = " + ".join(
+        f"(CASE WHEN len(list_filter({md5s_expr}, x -> x[{j + 1}:{j + 1}] >= '8')) "
+        f"* 2 > len({md5s_expr}) THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"({terms})"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis extensions (langid / quality / token counts / fingerprint /
+# sentiment) — SURVEY §7 phase 4
+# ---------------------------------------------------------------------------
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    """Marker-hit counts per language (distinct markers present)."""
+    out = {}
+    for lang in LANG_ORDER:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        out[lang] = F.size(F.array_intersect(F.array_distinct(tokens), markers))
+    return out
+
+
+def lang_id(tokens: Column) -> Column:
+    """Argmax over marker scores, ties resolved by LANG_ORDER."""
+    scores = lang_scores(tokens)
+    best = scores[LANG_ORDER[0]]
+    for lang in LANG_ORDER[1:]:
+        best = F.greatest(best, scores[lang])
+    expr = F.lit(None).cast("string")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(tokens_expr: str) -> str:
+    score = {
+        lang: (
+            f"len(list_intersect(list_distinct({tokens_expr}), "
+            f"{sql_str_array(LANG_MARKERS[lang])}))"
+        )
+        for lang in LANG_ORDER
+    }
+    greatest = "greatest(" + ", ".join(score[lang] for lang in LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = {greatest} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"(CASE {whens} END)"
+
+
+def quality_score(text: Column, tokens: Column, lang: str) -> Column:
+    """Heuristic quality in [0,1]:
+    0.3·min(len/500,1) + 0.3·stopword-ratio + 0.4·distinct-token-ratio.
+    Rounded to 4 decimals for float-stable oracle comparison."""
+    n = F.size(tokens)
+    sw = stopword_array(lang)
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    stop_ratio = n_stop / n
+    uniq_ratio = F.size(F.array_distinct(tokens)) / n
+    return F.round(
+        F.lit(0.3) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.4) * uniq_ratio, 4
+    )
+
+
+def quality_score_sql(text_expr: str, tokens_expr: str, lang: str) -> str:
+    sw = sql_str_list(STOPWORDS[lang])
+    return (
+        "round(0.3 * least(length({t}) / 500.0, 1.0) "
+        "+ 0.3 * (len(list_filter({k}, t -> t IN ({sw}))) / len({k})) "
+        "+ 0.4 * (len(list_distinct({k})) / len({k})), 4)"
+    ).format(t=text_expr, k=tokens_expr, sw=sw)
+
+
+def token_count_estimate(text: Column) -> Column:
+    """BPE-ish token estimate: word pieces from a subword-flavored regex
+    plus ceil(chars/4) blended — deterministic, no tokenizer dependency."""
+    pieces = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(text)), r"[^a-z0-9]+"), lambda p: F.length(p) > 0
+        )
+    )
+    return pieces + F.ceil(F.length(text) / F.lit(16.0)).cast("long")
+
+
+def token_count_estimate_sql(expr: str) -> str:
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(trim({expr})), "
+        f"'[^a-z0-9]+'), p -> length(p) > 0)) "
+        f"+ CAST(ceil(length({expr}) / 16.0) AS BIGINT)"
+    )
+
+
+def fingerprint(tokens: Column, shingle_n: int = 3, keep: int = 4) -> Column:
+    """Winnowing-style doc fingerprint: the ``keep`` smallest md5 hex
+    hashes of the distinct n-word shingles, concatenated. Stable under
+    shingle reordering → robust near-dup key."""
+    sh = word_shingles(tokens, shingle_n)
+    hashed = F.array_sort(F.array_distinct(F.transform(sh, lambda s: F.md5(s))))
+    return F.array_join(F.slice(hashed, 1, keep), "")
+
+
+def fingerprint_sql(tokens_expr: str, shingle_n: int = 3, keep: int = 4) -> str:
+    sh = word_shingles_sql(tokens_expr, shingle_n)
+    return (
+        f"array_to_string(list_sort(list_distinct(list_transform({sh}, "
+        f"s -> md5(s))))[1:{keep}], '')"
+    )
+
+
+def sentiment_score(tokens: Column) -> Column:
+    """Lexicon sentiment in [-1,1]: (pos-hits − neg-hits)/token-count,
+    rounded to 4 decimals. Implements the reference's declared-but-unwired
+    sentiment surface (``pipelines.scala:10-40``) without Spark NLP."""
+    pos = F.array(*[F.lit(w) for w in SENTIMENT_POSITIVE])
+    neg = F.array(*[F.lit(w) for w in SENTIMENT_NEGATIVE])
+    n_pos = F.size(F.filter(tokens, lambda t: F.array_contains(pos, t)))
+    n_neg = F.size(F.filter(tokens, lambda t: F.array_contains(neg, t)))
+    return F.round((n_pos - n_neg) / F.greatest(F.size(tokens), F.lit(1)), 4)
+
+
+def sentiment_score_sql(tokens_expr: str) -> str:
+    pos = sql_str_list(SENTIMENT_POSITIVE)
+    neg = sql_str_list(SENTIMENT_NEGATIVE)
+    return (
+        "round((len(list_filter({k}, t -> t IN ({p}))) "
+        "- len(list_filter({k}, t -> t IN ({n})))) "
+        "/ greatest(len({k}), 1), 4)"
+    ).format(k=tokens_expr, p=pos, n=neg)

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Mirrors the reference's session knobs (``SparkRunner.scala:30-42``: local
+master, large driver memory, kryo buffer) minus hardware-specific values,
+and adds the scale-oriented defaults the reference lacks: AQE (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow for any
+pandas exchange, and a UTC session timezone so results compare bit-for-bit
+against the DuckDB oracle.
+
+On a real cluster the same factory applies -- only ``master`` and the
+shuffle-partition count change (rule of thumb: 2-3x total executor cores,
+and AQE coalesces the excess at runtime).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark_streaming_twitch_analytics_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    Env overrides: ``SPARK_GRAFT_CPUS`` sets local parallelism,
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` the shuffle width.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus or "32")
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # sized for local mode; on a cluster this becomes executor memory
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing + skew-join handling (the scale
+        # story for the skewed keys a 100 TB corpus will have)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Arrow for pandas_udf / mapInPandas exchange
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bit-compatible with the DuckDB oracle (UTC-naive timestamps)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
