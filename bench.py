@@ -1,0 +1,76 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion via a count()-style action (collect
+for small results) after a shared session warm-up, so the number reflects
+plan execution, not JVM start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_streaming_twitch_analytics_spark import registry
+from spark_streaming_twitch_analytics_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_wordcount",
+    "wordcount",
+    "update_table_merge",
+    "threshold_decode",
+    "training_prep",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "events_hourly",
+    "sessionize",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    # warm the JVM/codegen path once so per-query times measure execution
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name).fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

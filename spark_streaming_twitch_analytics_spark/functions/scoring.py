@@ -1,0 +1,153 @@
+"""Pluggable text-classifier surface (reference N7/U4,
+``TFInterface.scala:18-92``).
+
+The reference POSTs to TF-Serving *per row* inside a Scala UDF
+(``SparkRunner.scala:101-105``, with a "Not working with multiple texts"
+quirk at ``TFInterface.scala:89``) and re-reads the label map from the
+classpath per row (``TFInterface.scala:70-71``). The rebuild:
+
+- ``Scorer`` protocol: whole Arrow batch in → ``(n, 50)`` scores out.
+  A real model server gets ONE request per batch, not per row.
+- ``HashScorer``: deterministic stand-in (md5-derived scores) so tests
+  and oracles are stable with no external process.
+- The SAME scores are expressible as a native column expression
+  (:func:`hash_scores`), so threshold+decode (U4b/U4c) is DuckDB-oracle
+  checkable end-to-end.
+- Threshold filter + label decode are pure array expressions — and they
+  fix the reference's ``indexOf`` duplicate-score bug
+  (``TFInterface.scala:63-66``) by carrying positional indices.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Protocol
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import ENCODER_CLASSES, SCORE_THRESHOLD
+
+NUM_CLASSES = len(ENCODER_CLASSES)
+
+
+# ---------------------------------------------------------------------------
+# Scorer protocol + deterministic implementation
+# ---------------------------------------------------------------------------
+
+
+class Scorer(Protocol):
+    """Batch scorer: len(texts) rows in → (len(texts), NUM_CLASSES) out."""
+
+    def score_batch(self, texts: pd.Series) -> np.ndarray: ...
+
+
+class HashScorer:
+    """Deterministic scorer: score_i = hexdigit_i(md5(t) ++ md5('s'+t)) / 15.
+
+    Matches :func:`hash_scores` bit-for-bit (values are k/15 for k in
+    0..15, exactly representable comparisons against the 0.5 threshold).
+    """
+
+    def score_batch(self, texts: pd.Series) -> np.ndarray:
+        out = np.empty((len(texts), NUM_CLASSES), dtype=np.float64)
+        for r, t in enumerate(texts):
+            t = t or ""
+            h = (
+                hashlib.md5(t.encode()).hexdigest()
+                + hashlib.md5(("s" + t).encode()).hexdigest()
+            )
+            out[r] = [int(h[i], 16) / 15.0 for i in range(NUM_CLASSES)]
+        return out
+
+
+def score_udf(scorer: Scorer):
+    """Arrow-batched pandas UDF wrapping any Scorer — the slow-path escape
+    hatch for a real model; one scorer call per Arrow batch."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _score(texts: pd.Series) -> pd.Series:
+        scores = scorer.score_batch(texts)
+        return pd.Series(list(scores))
+
+    return _score
+
+
+# ---------------------------------------------------------------------------
+# Native (JVM-side, oracle-checkable) equivalent of HashScorer
+# ---------------------------------------------------------------------------
+
+
+def _hexval(c: Column) -> Column:
+    # '0'-'9' → 48-57, 'a'-'f' → 97-102; arithmetic keeps the Catalyst
+    # expression tree small (a 16-way CASE × 50 digits stalls codegen)
+    a = F.ascii(c)
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+def _hexval_sql(c_expr: str) -> str:
+    return (
+        f"(CASE WHEN ascii({c_expr}) <= 57 THEN ascii({c_expr}) - 48 "
+        f"ELSE ascii({c_expr}) - 87 END)"
+    )
+
+
+def hash_scores(text: Column) -> Column:
+    """array<double> of NUM_CLASSES deterministic scores in [0, 1]."""
+    h = F.concat(F.md5(text), F.md5(F.concat(F.lit("s"), text)))
+    return F.array(
+        *[
+            (_hexval(F.substring(h, i + 1, 1)) / F.lit(15.0))
+            for i in range(NUM_CLASSES)
+        ]
+    )
+
+
+def hash_scores_sql(hex_expr: str) -> str:
+    """SQL twin; ``hex_expr`` must be a (CTE) column holding
+    ``md5(text) || md5('s' || text)``."""
+    parts = ", ".join(
+        f"{_hexval_sql(f'{hex_expr}[{i + 1}:{i + 1}]')} / 15.0"
+        for i in range(NUM_CLASSES)
+    )
+    return f"[{parts}]"
+
+
+# ---------------------------------------------------------------------------
+# Threshold + decode (U4b/U4c) — positional semantics, bug-fixed
+# ---------------------------------------------------------------------------
+
+
+def label_array() -> Column:
+    return F.array(*[F.lit(c) for c in ENCODER_CLASSES])
+
+
+def decode_categories(scores: Column, threshold: float = SCORE_THRESHOLD) -> Column:
+    """Indices whose score exceeds ``threshold`` → label names (sorted
+    array for deterministic comparison). Positional — duplicate score
+    values decode to their own index, unlike the reference's
+    ``preds.indexOf`` (first-match) bug."""
+    # zip_with references the (potentially huge) scores expression ONCE;
+    # an element_at-per-index formulation would inline it per access and
+    # blow up the Catalyst tree (~50× the nodes → minutes of codegen)
+    pairs = F.zip_with(
+        scores,
+        label_array(),
+        lambda s, lbl: F.struct(s.alias("s"), lbl.alias("l")),
+    )
+    kept = F.filter(pairs, lambda p: p["s"] > threshold)
+    return F.transform(kept, lambda p: p["l"])
+
+
+def decode_categories_sql(scores_expr: str, threshold: float = SCORE_THRESHOLD) -> str:
+    from ..constants import sql_str_array
+
+    labels = sql_str_array(ENCODER_CLASSES)
+    return (
+        f"list_transform(list_filter(range(0, {NUM_CLASSES}), "
+        f"i -> {scores_expr}[i + 1] > {threshold}), "
+        f"i -> {labels}[i + 1])"
+    )

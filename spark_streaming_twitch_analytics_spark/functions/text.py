@@ -110,14 +110,19 @@ def strip_listchars_sql(expr: str) -> str:
 
 
 def word_shingles(tokens: Column, n: int) -> Column:
-    """All n-word shingles, space-joined; [] when fewer than n tokens."""
-    mk = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
-    )
-    return F.when(F.size(tokens) >= n, mk).otherwise(
-        F.array().cast("array<string>")
-    )
+    """All n-word shingles, space-joined; [] when fewer than n tokens.
+
+    Built by zipping the token array with its own shifted tails — O(n)
+    array work per row. (A transform-over-positions with a slice per
+    position is O(n²) element copies; at 5k docs × 80 tokens that was
+    measured 3-4× slower.)"""
+    acc = tokens
+    for k in range(1, n):
+        tail = F.slice(tokens, k + 1, F.greatest(F.size(tokens) - k, F.lit(0)))
+        acc = F.zip_with(acc, tail, lambda a, b: F.concat(a, F.lit(" "), b))
+    # zip_with PADS the shorter side with nulls (concat → null); drop them
+    # so sizes/sets are exact
+    return F.filter(acc, lambda s: s.isNotNull())
 
 
 def word_shingles_sql(tokens_expr: str, n: int) -> str:

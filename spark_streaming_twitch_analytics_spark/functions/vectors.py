@@ -1,0 +1,83 @@
+"""Vector math over ``array<float>`` embedding columns — built-ins only.
+
+Dot products use an explicit LEFT FOLD (``F.aggregate`` in Spark,
+``list_reduce`` in DuckDB) so both engines add terms in the same order —
+IEEE doubles then agree bit-for-bit and the oracle value-hash holds
+without tolerance tricks. Everything is whole-stage-codegen'd JVM work;
+no UDF, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product: ((0 + a1·b1) + a2·b2) + …"""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_sql(a_expr: str, b_expr: str, dim: int) -> str:
+    # list_reduce folds left without an init; 0.0 + x == x for finite x,
+    # so prepending 0.0 reproduces Spark's F.aggregate fold exactly.
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim} + 1), "
+        f"i -> {a_expr}[i] * {b_expr}[i])), (acc, x) -> acc + x)"
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def norm_sql(a_expr: str, dim: int) -> str:
+    return f"sqrt({dot_sql(a_expr, a_expr, dim)})"
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Cosine similarity, rounded to keep ordering/thresholds stable."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def cosine_sql(a_expr: str, b_expr: str, dim: int, decimals: int = 6) -> str:
+    return (
+        f"round({dot_sql(a_expr, b_expr, dim)} / "
+        f"({norm_sql(a_expr, dim)} * {norm_sql(b_expr, dim)}), {decimals})"
+    )
+
+
+def hyperplane_weights(h: int, dim: int) -> list[int]:
+    """Deterministic integer LSH hyperplane: weight(h, i) is derived from
+    md5 so both engines can hold it as a plain literal list. Range [-8, 7].
+    """
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{h}_{i}".encode()).hexdigest()[0], 16) - 8
+        for i in range(dim)
+    ]
+
+
+def lsh_bucket(vec: Column, n_bits: int, dim: int) -> Column:
+    """Sign-of-dot-product LSH bucket id in [0, 2^n_bits)."""
+    acc = F.lit(0)
+    for h in range(n_bits):
+        w = F.array(*[F.lit(float(x)) for x in hyperplane_weights(h, dim)])
+        acc = acc + F.when(dot(vec, w) > 0, F.lit(1 << h)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_bucket_sql(vec_expr: str, n_bits: int, dim: int) -> str:
+    terms = []
+    for h in range(n_bits):
+        w = "[" + ", ".join(f"{float(x)!r}" for x in hyperplane_weights(h, dim)) + "]"
+        terms.append(
+            f"(CASE WHEN {dot_sql(vec_expr, w, dim)} > 0 THEN {1 << h} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,857 @@
+"""Query registry — backs ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY §2 (plus the scale extensions) is
+registered as a named query: a PySpark callable ``(spark, sf_dir) → DataFrame``
+and, when SQL-expressible, a DuckDB oracle SQL string over the same parquet
+tables. Column names are aligned on both sides (the driver hashes values
+column-name-sorted).
+
+Determinism rules applied throughout:
+- every top-K carries a total tie-break order;
+- every float produced by cross-row accumulation is rounded (2-6 dp);
+- every float produced row-locally uses identical fold order on both
+  engines (see ``functions.vectors``) so no tolerance is needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constants import (
+    DEFAULT_LANG,
+    OUTLIER_LABELS,
+    SCORE_THRESHOLD,
+    STOPWORDS,
+    sql_str_array,
+    sql_str_list,
+)
+from .functions import scoring
+from .functions import text as X
+from .functions import vectors as V
+from .operators import dedup, merge, messages, multimodal, similarity, topk, training
+from .tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: QueryFn
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    survey: str = ""  # SURVEY §2 row ids this query evidences
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: list[QueryDef] = []
+
+
+def register(name: str, sql: str | None, survey: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY.append(QueryDef(name, fn, sql, survey, tags))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in _REGISTRY}
+
+
+def all_oracles() -> dict[str, str]:
+    return {q.name: q.sql for q in _REGISTRY if q.sql is not None}
+
+
+def get(name: str) -> QueryDef:
+    return next(q for q in _REGISTRY if q.name == name)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ===========================================================================
+# 1. Reference flagship: IRC parse → tokenize → count → top-K (SURVEY §7 P0)
+# ===========================================================================
+
+_FLAGSHIP_SQL = f"""
+WITH raw AS ({messages.synth_raw_lines_sql()}),
+fmt AS ({messages.format_raw_messages_sql("SELECT * FROM raw")}),
+wc AS ({messages.word_counts_sql("text", "fmt")})
+SELECT word, cnt FROM wc ORDER BY cnt DESC, word ASC LIMIT 100"""
+
+
+@register(
+    "flagship_wordcount",
+    _FLAGSHIP_SQL,
+    survey="S1-shape,P1-P4,N2-N3,P13,P8,A1-A3,O1-O2",
+)
+def flagship_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature computation end-to-end in batch:
+    receiver-shaped lines → formatRawDataFrame → wordcount → top-100."""
+    raw = messages.synth_raw_lines(_docs(spark, sf_dir))
+    fmt = messages.format_raw_messages(raw)
+    wc = messages.word_counts(F.col("text"), fmt)
+    return topk.top_k(wc, "cnt", 100, ["word"])
+
+
+@register(
+    "format_messages",
+    f"""WITH raw AS ({messages.synth_raw_lines_sql()})
+{messages.format_raw_messages_sql("SELECT * FROM raw")}""",
+    survey="P1,P2,P3,P4,P5,P6",
+)
+def format_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return messages.format_raw_messages(
+        messages.synth_raw_lines(_docs(spark, sf_dir))
+    )
+
+
+@register(
+    "wordcount",
+    messages.word_counts_sql("text", "documents"),
+    survey="A1,A2,A3,P8,P13,N2,N3",
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return messages.word_counts(F.col("text"), _docs(spark, sf_dir))
+
+
+@register(
+    "wordcount_by_channel",
+    messages.word_counts_sql("text", "documents", extra_keys=["source"]),
+    survey="A1 keyed",
+)
+def wordcount_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return messages.word_counts(
+        F.col("text"), _docs(spark, sf_dir), extra_keys=["source"]
+    )
+
+
+@register(
+    "category_count",
+    "SELECT category, cnt FROM (SELECT lang AS category, CAST(count(*) AS BIGINT)"
+    " AS cnt FROM documents GROUP BY lang) WHERE cnt > 1",
+    survey="A1,P8 (worksheet count>1 filter, DStreamTests.sc:248)",
+)
+def category_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(category).count() + the worksheet's count>1 filter."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.col("lang").alias("category"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+# ===========================================================================
+# 2. Projections / scalar functions (P4, P7, P10, P14, U1, U2)
+# ===========================================================================
+
+
+@register(
+    "scalar_projection",
+    """SELECT doc_id, lower(text) AS text_lower,
+CAST(length(text) AS INT) AS text_len,
+CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT) AS n_tokens,
+trim(source) AS source_trim, CAST(n_chars AS INT) AS n_chars_int
+FROM documents""",
+    survey="P4,P5,P7,P10,P14",
+)
+def scalar_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.lower("text").alias("text_lower"),
+        F.length("text").alias("text_len"),
+        F.size(X.tokenize(F.col("text"))).alias("n_tokens"),
+        F.trim("source").alias("source_trim"),
+        F.col("n_chars").cast("int").alias("n_chars_int"),
+    )
+
+
+@register(
+    "clean_text",
+    f"""SELECT doc_id,
+{X.clean_disc_sql("'< br / >' || text || chr(10) || ' tail'")} AS cleaned
+FROM documents""",
+    survey="U1",
+)
+def clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 ``clean_disc`` over text with injected markers (the corpus has
+    none, so we add them to actually exercise the replacement)."""
+    d = _docs(spark, sf_dir)
+    noisy = F.concat(F.lit("< br / >"), F.col("text"), F.lit("\n tail"))
+    return d.select("doc_id", X.clean_disc(noisy).alias("cleaned"))
+
+
+@register(
+    "strip_listchars",
+    f"SELECT event_id, {X.strip_listchars_sql('props')} AS cleaned FROM events",
+    survey="U2",
+)
+def strip_listchars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", X.strip_listchars(F.col("props")).alias("cleaned"))
+
+
+@register(
+    "tokens_nostop",
+    f"""SELECT doc_id, array_to_string(
+{X.remove_stopwords_sql(X.tokenize_sql("text"), DEFAULT_LANG)}, ' ') AS toks
+FROM documents""",
+    survey="N2,N3",
+)
+def tokens_nostop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = X.remove_stopwords(X.tokenize(F.col("text")), DEFAULT_LANG)
+    return d.select("doc_id", F.array_join(toks, " ").alias("toks"))
+
+
+@register(
+    "explode_tokens",
+    f"""SELECT doc_id, unnest({X.countable_words_sql("text", DEFAULT_LANG)}) AS word
+FROM documents""",
+    survey="P13,P8",
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.explode(X.countable_words(F.col("text"), DEFAULT_LANG)).alias("word"),
+    )
+
+
+@register(
+    "array_ops",
+    f"""SELECT doc_id,
+array_to_string(list_sort(list_filter(list_distinct({X.tokenize_sql("text")}),
+  x -> x NOT IN ({sql_str_list(OUTLIER_LABELS)}))), ' ') AS except_outliers,
+COALESCE(array_to_string(list_sort(list_intersect(list_distinct({X.tokenize_sql("text")}),
+  {sql_str_array(STOPWORDS[DEFAULT_LANG])})), ' '), '') AS stop_hits,
+CAST(len({X.tokenize_sql("text")}) AS INT) AS n_tok
+FROM documents""",
+    survey="P11,P12,P14,U3",
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 literal array + P12 array_except + U3 array_intersect + P14 size.
+
+    Spark's array_except/array_intersect dedupe; we feed distinct token
+    sets so both engines agree, and sort the intersect (Spark preserves
+    left order, DuckDB doesn't guarantee one)."""
+    d = _docs(spark, sf_dir)
+    toks = F.array_distinct(X.tokenize(F.col("text")))
+    outliers = F.array(*[F.lit(x) for x in OUTLIER_LABELS])
+    stops = X.stopword_array(DEFAULT_LANG)
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_except(toks, outliers)), " ").alias(
+            "except_outliers"
+        ),
+        F.array_join(F.array_sort(F.array_intersect(toks, stops)), " ").alias(
+            "stop_hits"
+        ),
+        F.size(X.tokenize(F.col("text"))).alias("n_tok"),
+    )
+
+
+# ===========================================================================
+# 3. Merge / top-K (J1, A4 batch form, O1-O3)
+# ===========================================================================
+
+_WC_EVEN = messages.word_counts_sql("text", "documents WHERE doc_id % 2 = 0")
+_WC_ODD = messages.word_counts_sql("text", "documents WHERE doc_id % 2 = 1")
+
+
+@register(
+    "update_table_merge",
+    merge.update_table_sql(_WC_EVEN, _WC_ODD, "word", "cnt"),
+    survey="J1,A4,P9",
+)
+def update_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 ``update_table``: stored (even docs) + incoming (odd docs)
+    wordcounts merged by full-outer join — the reference's cross-batch
+    running-count maintenance in batch form (A4 ≡ J1∘A1)."""
+    d = _docs(spark, sf_dir)
+    stored = messages.word_counts(F.col("text"), d.filter(F.col("doc_id") % 2 == 0))
+    incoming = messages.word_counts(F.col("text"), d.filter(F.col("doc_id") % 2 == 1))
+    return merge.update_table(stored, incoming, "word", "cnt")
+
+
+@register(
+    "topk_words_per_lang",
+    topk.top_k_per_group_sql(
+        messages.word_counts_sql("text", "documents", extra_keys=["lang"]),
+        ["lang"],
+        "cnt",
+        5,
+        ["word"],
+    ),
+    survey="O1,O2 scalable form (window)",
+)
+def topk_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = messages.word_counts(F.col("text"), _docs(spark, sf_dir), extra_keys=["lang"])
+    return topk.top_k_per_group(wc, ["lang"], "cnt", 5, ["word"])
+
+
+_TOP20 = f"""SELECT word FROM ({messages.word_counts_sql("text", "documents")})
+ORDER BY cnt DESC, word ASC LIMIT 20"""
+
+
+@register(
+    "semi_join_top_words",
+    f"""WITH wc AS ({messages.word_counts_sql("text", "documents")}),
+top20 AS ({_TOP20})
+SELECT word, cnt FROM wc WHERE word IN (SELECT word FROM top20)""",
+    survey="O3 as broadcast semi-join",
+)
+def semi_join_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference collects the top-label whitelist to the driver
+    (``ProcessingWorkSheet.sc:113-114``); here the whitelist stays
+    distributed via broadcast LEFT SEMI."""
+    wc = messages.word_counts(F.col("text"), _docs(spark, sf_dir))
+    top20 = topk.top_k(wc, "cnt", 20, ["word"]).select("word")
+    return topk.top_k_semi_join(wc, top20, "word")
+
+
+# ===========================================================================
+# 4. Classifier surface (U4b/U4c, N7)
+# ===========================================================================
+
+_SCORED_CTE = (
+    "SELECT doc_id, md5(text) || md5('s' || text) AS h FROM documents"
+)
+
+
+@register(
+    "threshold_decode",
+    f"""WITH scored AS ({_SCORED_CTE}),
+s AS (SELECT doc_id, {scoring.hash_scores_sql("h")} AS scores FROM scored)
+SELECT doc_id, unnest({scoring.decode_categories_sql("scores")}) AS category
+FROM s""",
+    survey="U4b,U4c,N7",
+)
+def threshold_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic scorer → threshold (>0.5) → label decode → explode.
+    Fixes the reference's ``indexOf`` duplicate-score bug by carrying
+    positional indices (``TFInterface.scala:63-66``)."""
+    d = _docs(spark, sf_dir)
+    cats = scoring.decode_categories(scoring.hash_scores(F.col("text")))
+    return d.select("doc_id", F.explode(cats).alias("category"))
+
+
+@register(
+    "category_doc_counts",
+    f"""WITH scored AS ({_SCORED_CTE}),
+s AS (SELECT doc_id, {scoring.hash_scores_sql("h")} AS scores FROM scored),
+x AS (SELECT doc_id, unnest({scoring.decode_categories_sql("scores")}) AS category FROM s)
+SELECT category, CAST(count(*) AS BIGINT) AS n_docs FROM x GROUP BY category""",
+    survey="N7+A1 (category counting over classifier output)",
+)
+def category_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cats = scoring.decode_categories(scoring.hash_scores(F.col("text")))
+    return (
+        d.select(F.explode(cats).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "training_prep",
+    training.prepare_training_data_sql(),
+    survey="§3.3 full pipeline: P9-P14,U1-U3,O1-O3,A1",
+)
+def training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training.prepare_training_data(_docs(spark, sf_dir))
+
+
+# ===========================================================================
+# 5. Relational breadth (joins / aggs / windows on the TPC-H-ish tables)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 2) AS avg_qty,
+  round(avg(l_extendedprice), 2) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    survey="A1 multi-agg (extension breadth)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    survey="joins+agg+topK (Q3 shape)",
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name""",
+    survey="multi-join + broadcast dims (Q5 shape)",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "orders_monthly",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+CAST(count(*) AS BIGINT) AS n_orders,
+round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1""",
+    survey="date bucketing + agg",
+)
+def orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "window_running_total",
+    """SELECT o_orderkey, o_custkey,
+round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+  ORDER BY o_orderdate ASC, o_orderkey ASC
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+FROM orders""",
+    survey="window functions (extension; SURVEY §2.8 notes reference has none)",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("run_total"),
+    )
+
+
+@register(
+    "events_hourly",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2""",
+    survey="ST7 extension batch shape: tumbling event-time window",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "sessionize",
+    """WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 OR
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+    THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id""",
+    survey="sessionization (lag + gap; streaming twin = session_window)",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    micros = F.unix_micros(F.col("ts"))
+    prev = F.lag(micros).over(w)
+    new_sess = F.when(
+        prev.isNull() | (micros - prev > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ===========================================================================
+# 6. Dedup suite (extensions, SURVEY §7 phase 4)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    dedup.exact_dup_groups_sql(),
+    survey="ext: exact dedup (hash groupBy)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def _sh_cte(shingle_n: int = dedup.SHINGLE_N) -> str:
+    return (
+        f"SELECT doc_id, {X.word_shingles_sql(X.tokenize_sql('text'), shingle_n)} "
+        f"AS sh FROM documents"
+    )
+
+
+_BANDS_SQL = f"""
+WITH shx AS ({_sh_cte()}),
+sig AS (SELECT doc_id, {X.minhash_signature_sql("sh", dedup.MINHASH_HASHES)} AS sig FROM shx)
+SELECT doc_id, CAST(b.band AS INT) AS band,
+array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|') AS key
+FROM sig, (SELECT unnest(range(0, {dedup.MINHASH_BANDS})) AS band) b"""
+
+
+@register("dedup_minhash_bands", _BANDS_SQL, survey="ext: MinHash-LSH banding")
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_bands(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_pairs",
+    f"""
+WITH shx AS ({_sh_cte()}),
+sig AS (SELECT doc_id, {X.minhash_signature_sql("sh", dedup.MINHASH_HASHES)} AS sig FROM shx),
+bands AS (
+  SELECT doc_id, b.band,
+  array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|') AS key
+  FROM sig, (SELECT unnest(range(0, {dedup.MINHASH_BANDS})) AS band) b),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  AND l.doc_id < r.doc_id),
+shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shx)
+SELECT a, b,
+round(len(list_intersect(x.sh, y.sh)) /
+  greatest(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1), 6) AS jaccard
+FROM cand JOIN shd x ON x.doc_id = a JOIN shd y ON y.doc_id = b""",
+    survey="ext: MinHash-LSH candidates + Jaccard verify",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH t AS (SELECT doc_id,
+list_transform({X.tokenize_sql("text")}, t -> md5(t)) AS md5s FROM documents)
+SELECT doc_id, {X.simhash16_sql("md5s")} AS simhash FROM t""",
+    survey="ext: SimHash signatures",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_docs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""WITH t AS (SELECT doc_id,
+list_transform({X.tokenize_sql("text")}, t -> md5(t)) AS md5s FROM documents),
+s AS (SELECT doc_id, {X.simhash16_sql("md5s")} AS simhash FROM t)
+SELECT l.doc_id AS a, r.doc_id AS b, l.simhash
+FROM s l JOIN s r ON l.simhash = r.simhash AND l.doc_id < r.doc_id""",
+    survey="ext: SimHash equal-signature blocking",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_dup_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_topk",
+    f"""
+WITH shx AS ({_sh_cte(2)}),
+e AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shx),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM e GROUP BY doc_id),
+common AS (SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS common
+  FROM e l JOIN e r ON l.s = r.s AND l.doc_id < r.doc_id GROUP BY 1, 2)
+SELECT a, b, round(common / (x.n_sh + y.n_sh - common), 6) AS jaccard
+FROM common JOIN sizes x ON x.doc_id = a JOIN sizes y ON y.doc_id = b
+ORDER BY jaccard DESC, a ASC, b ASC LIMIT 50""",
+    survey="ext: n-gram Jaccard (inverted index)",
+)
+def dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=2)
+    return topk.top_k(pairs, "jaccard", 50, ["a", "b"])
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH e AS (SELECT vec_id, label,
+list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+SELECT l.vec_id AS a, r.vec_id AS b, {V.cosine_sql("l.v", "r.v", 64)} AS cos
+FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE {V.cosine_sql("l.v", "r.v", 64)} >= 0.99""",
+    survey="ext: embedding-cosine near-dup (label blocking)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, F.col("label"), 0.99)
+
+
+# ===========================================================================
+# 7. Similarity search (extensions)
+# ===========================================================================
+
+_EMB_CTE = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings"
+)
+
+
+@register(
+    "ann_brute_topk",
+    f"""WITH e AS ({_EMB_CTE}),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, q WHERE c.vec_id <> q_id)
+{topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", 5, ["c_id"])}""",
+    survey="ext: exact cosine top-k (baseline ANN ground truth)",
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.brute_force_topk(queries, emb, 5)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+{V.lsh_bucket_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))", 4, 64)} AS bucket
+FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id % 10 = 0),
+scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c JOIN q USING (bucket) WHERE c.vec_id <> q_id)
+{topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", 5, ["c_id"])}""",
+    survey="ext: LSH-bucketed ANN (sign random projection)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.lsh_topk(queries, emb, 5)
+
+
+# ===========================================================================
+# 8. Text analysis (extensions)
+# ===========================================================================
+
+_TOKS_CTE = f"SELECT doc_id, text, {X.tokenize_sql('text')} AS toks FROM documents"
+
+
+@register(
+    "text_langid",
+    f"""WITH t AS ({_TOKS_CTE})
+SELECT doc_id, {X.lang_id_sql("toks")} AS pred_lang FROM t""",
+    survey="ext: language-ID heuristic",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", X.lang_id(X.tokenize(F.col("text"))).alias("pred_lang")
+    )
+
+
+@register(
+    "text_quality",
+    f"""WITH t AS ({_TOKS_CTE})
+SELECT doc_id, {X.quality_score_sql("text", "toks", DEFAULT_LANG)} AS quality FROM t""",
+    survey="ext: quality scoring",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = X.tokenize(F.col("text"))
+    return d.select(
+        "doc_id", X.quality_score(F.col("text"), toks, DEFAULT_LANG).alias("quality")
+    )
+
+
+@register(
+    "text_token_count",
+    f"""WITH t AS ({_TOKS_CTE})
+SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+{X.token_count_estimate_sql("text")} AS n_tokens_est FROM t""",
+    survey="ext: token counting (whitespace + BPE-ish estimate)",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(X.tokenize(F.col("text"))).alias("n_words"),
+        X.token_count_estimate(F.col("text")).alias("n_tokens_est"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""WITH t AS ({_TOKS_CTE})
+SELECT doc_id, {X.fingerprint_sql("toks")} AS fp FROM t""",
+    survey="ext: document fingerprinting",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", X.fingerprint(X.tokenize(F.col("text"))).alias("fp")
+    )
+
+
+@register(
+    "text_sentiment",
+    f"""WITH t AS ({_TOKS_CTE})
+SELECT doc_id, {X.sentiment_score_sql("toks")} AS sentiment,
+CASE WHEN {X.sentiment_score_sql("toks")} > 0 THEN 'pos'
+     WHEN {X.sentiment_score_sql("toks")} < 0 THEN 'neg'
+     ELSE 'neutral' END AS sentiment_label
+FROM t""",
+    survey="N6 extension: lexicon sentiment (reference declared, unwired)",
+)
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    s = X.sentiment_score(X.tokenize(F.col("text")))
+    return d.select(
+        "doc_id",
+        s.alias("sentiment"),
+        F.when(s > 0, "pos").when(s < 0, "neg").otherwise("neutral").alias(
+            "sentiment_label"
+        ),
+    )
+
+
+# ===========================================================================
+# 9. Multimodal plumbing (extension)
+# ===========================================================================
+
+
+@register(
+    "multimodal_meta",
+    """SELECT doc_id,
+CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+  ELSE 'video' END AS modality,
+octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
+CASE WHEN text[1:1] = 'j' THEN 'jpeg_like' WHEN text[1:1] = 'p' THEN 'png_like'
+     WHEN text[1:1] = 'w' THEN 'wav_like' ELSE 'unknown' END AS sniffed_format
+FROM documents""",
+    survey="ext: multimodal binary columns (metadata path)",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.binary_metadata(
+        multimodal.attach_payload(_docs(spark, sf_dir))
+    )
+
+
+@register(
+    "multimodal_decode",
+    None,  # mapInPandas fake-decoder: not SQL-expressible → rows-only check
+    survey="ext: multimodal decode plumbing (mapInPandas, Arrow batches)",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal.decode_features(
+        multimodal.attach_payload(_docs(spark, sf_dir))
+    )
+    return feats.select(
+        "doc_id",
+        "modality",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feat_sum"
+        ),
+    )

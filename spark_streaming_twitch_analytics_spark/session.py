@@ -54,6 +54,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bit-compatible with the DuckDB oracle (UTC-naive timestamps)
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); read as long then convert
+        # (tables.load_table) — Spark's TimestampType is microseconds
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():
