@@ -818,7 +818,79 @@ def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# 9. Multimodal plumbing (extension)
+# 9. Streaming (S1/S2, ST1-ST5, A4) — REAL Structured Streaming execution;
+# oracle = the equivalent batch query (running state over the whole stream
+# ≡ batch aggregate over the same rows, SURVEY §5)
+# ===========================================================================
+
+
+def _run_stream_over_docs(spark: SparkSession, sf_dir: str, build_counts, n_batches: int = 4) -> DataFrame:
+    """Materialize the documents table as IRC-shaped raw lines split into
+    micro-batch files, run a streaming query over them to completion, and
+    return the final state table.
+
+    The driver-side collect here is the *test-harness feeder* (a real
+    deployment points the same ``build_counts`` plan at a socket/Kafka/
+    DataSource stream); the streaming plan itself is fully distributed."""
+    import tempfile
+    import uuid
+
+    from .sources.irc import file_line_source, write_batch_file
+    from .streaming.wordcount import memory_sink_query
+
+    d = _docs(spark, sf_dir)
+    lines = (
+        messages.synth_raw_lines(d)
+        .withColumn("batch", F.spark_partition_id() % n_batches)
+        .collect()
+    )
+    src = tempfile.mkdtemp(prefix="irc_stream_")
+    for b in range(n_batches):
+        batch_lines = [r["value"] for r in lines if r["batch"] == b]
+        if batch_lines:
+            write_batch_file(src, batch_lines, b)
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    q = memory_sink_query(build_counts(file_line_source(spark, src)), name)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "streaming_wordcount",
+    messages.word_counts_sql("text", "documents"),
+    survey="S1,S2,ST1-ST5,A4: running word counts, update-mode state",
+)
+def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wordcount import streaming_word_counts
+
+    return _run_stream_over_docs(spark, sf_dir, streaming_word_counts)
+
+
+@register(
+    "streaming_category_count",
+    f"""WITH scored AS ({_SCORED_CTE}),
+s AS (SELECT doc_id, {scoring.hash_scores_sql("h")} AS scores FROM scored),
+x AS (SELECT doc_id, unnest({scoring.decode_categories_sql("scores")}) AS category FROM s)
+SELECT category, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY category""",
+    survey="N7+ST4: running category counts off the classifier branch",
+)
+def streaming_category_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.wordcount import streaming_category_counts
+
+    return _run_stream_over_docs(
+        spark,
+        sf_dir,
+        lambda raw: streaming_category_counts(
+            raw, lambda text: scoring.decode_categories(scoring.hash_scores(text))
+        ),
+    )
+
+
+# ===========================================================================
+# 10. Multimodal plumbing (extension)
 # ===========================================================================
 
 

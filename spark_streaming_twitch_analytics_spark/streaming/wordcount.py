@@ -1,0 +1,169 @@
+"""Running word/category counts as Structured Streaming queries — the
+reference's core loop (``SparkRunner.scala:115-160``) rebuilt:
+
+| reference (DStream)                      | rebuild                      |
+|------------------------------------------|------------------------------|
+| ``transform(rdd→DF→rdd)`` per batch ST1  | one continuous DataFrame plan|
+| ``reduceByKey`` + ``updateStateByKey``   | streaming groupBy().count()  |
+|   (A2/A4, hand-rolled state)             |   (state store, update mode) |
+| ``foreachRDD`` → Redis Overwrite ST5     | foreachBatch → KVTableStore  |
+| restore on start: none (state lost)      | seed from store (S4 fallback)|
+| checkpoint ``file:///tmp``               | checkpointLocation option    |
+
+Two sink flavors, matching the reference's two modes:
+- **complete + overwrite**: whole state snapshot per batch
+  (``SaveMode.Overwrite``, ``SparkRunner.scala:143``).
+- **update + merge**: only changed keys flow; the store merges via the
+  J1 ``update_table`` operator. This is the 100 TB shape — state stays
+  in the state store, the sink moves deltas, no per-batch full rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..constants import DEFAULT_LANG, MIN_WORD_LENGTH
+from ..functions.text import countable_words
+from ..operators.merge import update_table
+from ..operators.messages import format_raw_messages
+from ..sources.kv_store import KVTableStore
+
+COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("word", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def streaming_word_counts(
+    raw: DataFrame, lang: str = DEFAULT_LANG, min_len: int = MIN_WORD_LENGTH
+) -> DataFrame:
+    """raw ``value`` stream → formatted → exploded words → running count.
+    One declarative plan; Spark's incremental planner maintains the
+    per-word state the reference hand-rolled in ``updateFunction``
+    (``SparkRunner.scala:171-188``)."""
+    fmt = format_raw_messages(raw)
+    words = fmt.select(
+        F.explode(countable_words(F.col("text"), lang, min_len)).alias("word")
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def streaming_category_counts(raw: DataFrame, scores_to_cats) -> DataFrame:
+    """Category branch (``SparkRunner.scala:82-118``): classify each
+    message, explode labels, running count. ``scores_to_cats`` maps a
+    text Column to an array<string> of categories (the pluggable scorer
+    surface)."""
+    fmt = format_raw_messages(raw)
+    return (
+        fmt.select(F.explode(scores_to_cats(F.col("text"))).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def run_snapshot_query(
+    counts: DataFrame,
+    store: KVTableStore,
+    table: str,
+    checkpoint_dir: str,
+    ttl: int = 0,
+) -> StreamingQuery:
+    """Complete-mode + overwrite sink: each micro-batch writes the FULL
+    running state (reference ST5 snapshot semantics)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        store.write(batch_df, table, mode="overwrite", ttl=ttl)
+
+    return (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def run_merge_query(
+    counts: DataFrame,
+    store: KVTableStore,
+    table: str,
+    checkpoint_dir: str,
+    ttl: int = 0,
+) -> StreamingQuery:
+    """Update-mode + J1 merge sink: only keys whose count changed flow to
+    the sink; the store row is replaced with the new running value.
+
+    Scale note: update mode emits the NEW TOTAL per changed key (not a
+    delta), so the merge is replace-on-key, done here with the same
+    full-outer shape as J1 via anti-join + union — bounded by changed
+    keys per batch, not state size."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        stored = store.get_table(table, COUNT_SCHEMA)
+        unchanged = stored.join(batch_df, "word", "left_anti")
+        store.write(unchanged.unionByName(batch_df), table, mode="overwrite", ttl=ttl)
+
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def run_restore_snapshot_query(
+    counts: DataFrame,
+    store: KVTableStore,
+    table: str,
+    checkpoint_dir: str,
+    ttl: int = 0,
+) -> StreamingQuery:
+    """Restore-on-start (S4) + snapshot sink: the stored table is read
+    ONCE at query start (empty-DF fallback if missing/expired) and merged
+    into every complete-mode snapshot via the J1 ``update_table``
+    operator — a job restarted with a fresh checkpoint continues from the
+    stored totals instead of zero. (Joins after a streaming aggregation
+    aren't allowed in the plan itself, so the merge lives in the sink.)"""
+    baseline = store.get_table(table, COUNT_SCHEMA).persist()
+    baseline.count()  # snapshot now — re-reading per batch would double-count
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merged = update_table(baseline, batch_df, "word", "cnt")
+        store.write(merged, table, mode="overwrite", ttl=ttl)
+
+    return (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def memory_sink_query(
+    counts: DataFrame, name: str, mode: str = "complete"
+) -> StreamingQuery:
+    """Test-friendly sink: results land in an in-memory table ``name``."""
+    return (
+        counts.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+
+
+def batch_oracle_word_counts(
+    spark: SparkSession, raw_lines: list[str], lang: str = DEFAULT_LANG
+) -> DataFrame:
+    """The streaming-correctness oracle: running count after processing a
+    prefix ≡ batch count over that prefix (SURVEY §5)."""
+    raw = spark.createDataFrame([(x,) for x in raw_lines], "value string")
+    fmt = format_raw_messages(raw)
+    return (
+        fmt.select(F.explode(countable_words(F.col("text"), lang)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

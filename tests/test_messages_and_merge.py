@@ -1,0 +1,83 @@
+"""Message parsing (P1-P4, incl. the ':' truncation quirk), the J1
+``update_table`` merge (FIXTURES A6 shapes), and top-K determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_twitch_analytics_spark.operators import merge, messages, topk
+from spark_streaming_twitch_analytics_spark.sources.irc import format_privmsg
+
+
+def parse_one(spark, line):
+    raw = spark.createDataFrame([(line,)], "value string")
+    return messages.format_raw_messages(raw).head().asDict()
+
+
+def test_parse_privmsg_fields(spark):
+    line = format_privmsg(1700000000123, "alice", "general", "Hello World")
+    row = parse_one(spark, line)
+    assert row["timestamp"] == "1700000000123"
+    assert row["user"] == "alice"
+    assert row["channel"] == "#general"
+    assert row["text"] == "hello world"  # lowercased (P4)
+    assert row["message"] == line
+
+
+def test_parse_truncation_quirk_preserved(spark):
+    # reference keeps only split-item 2: text after a ':' is TRUNCATED
+    # (SparkRunner.scala:193-198; documented SURVEY §7 hard-point 2)
+    line = format_privmsg(1, "bob", "chan", "see http://x.y for more")
+    row = parse_one(spark, line)
+    assert row["text"] == "see http"
+
+
+def test_update_table_merge_shapes(spark):
+    stored = spark.createDataFrame(
+        [("both", 2), ("left_only", 5)], "word string, cnt int"
+    )
+    incoming = spark.createDataFrame(
+        [("both", 3), ("right_only", 7)], "word string, cnt int"
+    )
+    got = {
+        r["word"]: r["cnt"]
+        for r in merge.update_table(stored, incoming, "word", "cnt").collect()
+    }
+    # full-outer + na.fill(0) + sum (RedisInterface.scala:61-73)
+    assert got == {"both": 5, "left_only": 5, "right_only": 7}
+
+
+def test_update_table_idempotent_empty(spark):
+    stored = spark.createDataFrame([("w", 1)], "word string, cnt int")
+    empty = spark.createDataFrame([], "word string, cnt int")
+    got = merge.update_table(stored, empty, "word", "cnt").collect()
+    assert [(r["word"], r["cnt"]) for r in got] == [("w", 1)]
+
+
+def test_top_k_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [("b", 2), ("a", 2), ("c", 2), ("d", 1)], "word string, cnt int"
+    )
+    got = [r["word"] for r in topk.top_k(df, "cnt", 2, ["word"]).collect()]
+    assert got == ["a", "b"]
+
+
+def test_top_k_per_group_matches_sorted_truth(spark):
+    df = spark.createDataFrame(
+        [("g1", "x", 3), ("g1", "y", 5), ("g1", "z", 5), ("g2", "q", 1)],
+        "g string, word string, cnt int",
+    )
+    got = {
+        (r["g"], r["word"], r["rn"])
+        for r in topk.top_k_per_group(df, ["g"], "cnt", 1, ["word"]).collect()
+    }
+    assert got == {("g1", "y", 1), ("g2", "q", 1)}
+
+
+def test_semi_join_equals_collect_whitelist(spark, docs):
+    wc = messages.word_counts(F.col("text"), docs)
+    top5 = topk.top_k(wc, "cnt", 5, ["word"])
+    semi = topk.top_k_semi_join(wc, top5.select("word"), "word")
+    whitelist = {r["word"] for r in top5.collect()}  # the reference's O3 way
+    got = {r["word"] for r in semi.collect()}
+    assert got == whitelist

@@ -1,0 +1,168 @@
+"""Structured Streaming behavior (SURVEY ST1-ST8, FIXTURES §A7):
+scripted micro-batches through a real file-stream source, asserting
+
+- running count state ≡ batch count over the prefix (ST4/A4),
+- snapshot-overwrite sink per epoch (ST5),
+- update-mode merge sink equivalence,
+- restore-on-start via the KV store's empty-fallback read (S4),
+- KV store TTL expiry + fallback (S3/S4).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from spark_streaming_twitch_analytics_spark.sources.irc import (
+    file_line_source,
+    format_privmsg,
+    write_batch_file,
+)
+from spark_streaming_twitch_analytics_spark.sources.kv_store import KVTableStore
+from spark_streaming_twitch_analytics_spark.streaming import wordcount as SW
+
+B1 = [
+    format_privmsg(1000, "u1", "chan", "alpha bravo alpha"),
+    format_privmsg(1001, "u2", "chan", "bravo charlie"),
+]
+B2 = [
+    format_privmsg(2000, "u1", "chan", "alpha delta"),
+    format_privmsg(2001, "u3", "chan", "the charlie charlie"),
+]
+B3 = [format_privmsg(3000, "u2", "chan", "echoes alpha")]
+
+
+def counts_of(df):
+    return {r["word"]: r["cnt"] for r in df.collect()}
+
+
+def test_running_counts_match_batch_prefix(spark, tmp_path):
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    write_batch_file(src, B1, 1)
+    counts = SW.streaming_word_counts(file_line_source(spark, src))
+    q = SW.memory_sink_query(counts, "running_wc", mode="complete")
+    try:
+        q.processAllAvailable()
+        got1 = counts_of(spark.table("running_wc"))
+        want1 = counts_of(SW.batch_oracle_word_counts(spark, B1))
+        assert got1 == want1
+
+        write_batch_file(src, B2, 2)
+        q.processAllAvailable()
+        got2 = counts_of(spark.table("running_wc"))
+        want2 = counts_of(SW.batch_oracle_word_counts(spark, B1 + B2))
+        assert got2 == want2
+        assert got2["alpha"] == 3 and got2["charlie"] == 3
+        assert "the" not in got2  # stopword dropped (N3)
+    finally:
+        q.stop()
+    del chk
+
+
+def test_snapshot_sink_overwrites_full_state(spark, tmp_path):
+    src, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    write_batch_file(src, B1, 1)
+    counts = SW.streaming_word_counts(file_line_source(spark, src))
+    q = SW.run_snapshot_query(counts, store, "wc", chk)
+    try:
+        q.processAllAvailable()
+        snap1 = counts_of(store.get_table("wc", SW.COUNT_SCHEMA))
+        assert snap1 == counts_of(SW.batch_oracle_word_counts(spark, B1))
+        write_batch_file(src, B2, 2)
+        q.processAllAvailable()
+        snap2 = counts_of(store.get_table("wc", SW.COUNT_SCHEMA))
+        # Overwrite semantics: the table IS the full running state
+        assert snap2 == counts_of(SW.batch_oracle_word_counts(spark, B1 + B2))
+    finally:
+        q.stop()
+
+
+def test_update_merge_sink_equals_snapshot(spark, tmp_path):
+    src, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    write_batch_file(src, B1, 1)
+    counts = SW.streaming_word_counts(file_line_source(spark, src))
+    q = SW.run_merge_query(counts, store, "wc", chk)
+    try:
+        q.processAllAvailable()
+        write_batch_file(src, B2, 2)
+        q.processAllAvailable()
+        write_batch_file(src, B3, 3)
+        q.processAllAvailable()
+        got = counts_of(store.get_table("wc", SW.COUNT_SCHEMA))
+        assert got == counts_of(SW.batch_oracle_word_counts(spark, B1 + B2 + B3))
+    finally:
+        q.stop()
+
+
+def test_restore_on_start_continues_from_store(spark, tmp_path):
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    # phase 1: a previous "run" left totals in the store
+    prev = SW.batch_oracle_word_counts(spark, B1)
+    store.write(prev, "wc", mode="overwrite")
+    # phase 2: new job, FRESH checkpoint, new data only
+    src, chk = str(tmp_path / "in2"), str(tmp_path / "chk2")
+    write_batch_file(src, B2, 1)
+    counts = SW.streaming_word_counts(file_line_source(spark, src))
+    q = SW.run_restore_snapshot_query(counts, store, "wc", chk)
+    try:
+        q.processAllAvailable()
+        got = counts_of(store.get_table("wc", SW.COUNT_SCHEMA))
+        assert got == counts_of(SW.batch_oracle_word_counts(spark, B1 + B2))
+    finally:
+        q.stop()
+
+
+def test_checkpoint_resume_no_double_count(spark, tmp_path):
+    src, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    write_batch_file(src, B1, 1)
+    counts = SW.streaming_word_counts(file_line_source(spark, src))
+    q = SW.run_snapshot_query(counts, store, "wc", chk)
+    q.processAllAvailable()
+    q.stop()
+    # restart with the SAME checkpoint; add one more batch
+    write_batch_file(src, B2, 2)
+    counts2 = SW.streaming_word_counts(file_line_source(spark, src))
+    q2 = SW.run_snapshot_query(counts2, store, "wc", chk)
+    try:
+        q2.processAllAvailable()
+        got = counts_of(store.get_table("wc", SW.COUNT_SCHEMA))
+        # state store survives restart: still exactly prefix counts
+        assert got == counts_of(SW.batch_oracle_word_counts(spark, B1 + B2))
+    finally:
+        q2.stop()
+
+
+def test_kv_store_fallback_and_ttl(spark, tmp_path):
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    # missing table → empty DF of the requested schema (S4)
+    empty = store.get_table("nope", SW.COUNT_SCHEMA)
+    assert empty.count() == 0 and empty.schema == SW.COUNT_SCHEMA
+    # ttl expiry → fallback too (reference raw/clean tables had ttl=1s)
+    df = spark.createDataFrame([("w", 1)], SW.COUNT_SCHEMA)
+    store.write(df, "t", ttl=1)
+    assert store.get_table("t", SW.COUNT_SCHEMA).count() == 1
+    time.sleep(1.2)
+    assert store.get_table("t", SW.COUNT_SCHEMA).count() == 0
+
+
+def test_streaming_category_counts(spark, tmp_path):
+    from spark_streaming_twitch_analytics_spark.functions import scoring
+
+    src = str(tmp_path / "in")
+    write_batch_file(src, B1, 1)
+    cats = SW.streaming_category_counts(
+        file_line_source(spark, src),
+        lambda text: scoring.decode_categories(scoring.hash_scores(text)),
+    )
+    q = SW.memory_sink_query(cats, "cat_wc", mode="complete")
+    try:
+        q.processAllAvailable()
+        rows = spark.table("cat_wc").collect()
+        assert rows and all(r["category"].startswith("cat_") for r in rows)
+    finally:
+        q.stop()

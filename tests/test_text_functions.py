@@ -1,0 +1,111 @@
+"""Unit coverage for the text function library (SURVEY N2-N3, U1-U2,
+P8, dedup/fingerprint primitives, text-analysis extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_twitch_analytics_spark.functions import text as X
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).head()[0]
+
+
+def from_text(spark, s, fn):
+    df = spark.createDataFrame([(s,)], "text string")
+    return df.select(fn(F.col("text")).alias("v")).head()[0]
+
+
+def test_tokenize_lower_trim(spark):
+    assert from_text(spark, "  The Fast  fox ", X.tokenize) == ["the", "fast", "fox"]
+
+
+def test_remove_stopwords_keeps_duplicates(spark):
+    toks = from_text(
+        spark, "the fox the fox a", lambda c: X.remove_stopwords(X.tokenize(c), "en")
+    )
+    assert toks == ["fox", "fox"]  # dups preserved, stopwords gone
+
+
+def test_countable_words_length_filter(spark):
+    # reference keeps words strictly longer than 3 (SparkRunner.scala:125)
+    toks = from_text(spark, "ab abc abcd abcde", lambda c: X.countable_words(c, "en"))
+    assert toks == ["abcd", "abcde"]
+
+
+def test_clean_disc(spark):
+    got = from_text(spark, "x< br / >y\nz", X.clean_disc)
+    assert got == "xyz"
+
+
+def test_strip_listchars(spark):
+    got = from_text(spark, """['a', "b"]""", X.strip_listchars)
+    assert got == "a, b"
+
+
+def test_word_shingles_basic_and_short(spark):
+    sh = from_text(spark, "a b c d", lambda c: X.word_shingles(X.tokenize(c), 3))
+    assert sh == ["a b c", "b c d"]
+    assert from_text(spark, "a b", lambda c: X.word_shingles(X.tokenize(c), 3)) == []
+    assert from_text(spark, "a b c", lambda c: X.word_shingles(X.tokenize(c), 3)) == [
+        "a b c"
+    ]
+
+
+def test_minhash_seeds_differ_and_stable(spark):
+    sig1 = from_text(
+        spark, "a b c d e", lambda c: X.minhash_signature(X.word_shingles(X.tokenize(c), 2), 4)
+    )
+    sig2 = from_text(
+        spark, "a b c d e", lambda c: X.minhash_signature(X.word_shingles(X.tokenize(c), 2), 4)
+    )
+    assert sig1 == sig2  # deterministic
+    assert len(set(sig1)) > 1  # different seeds → different minima
+
+
+def test_minhash_similar_docs_share_signature_entries(spark):
+    mk = lambda c: X.minhash_signature(X.word_shingles(X.tokenize(c), 2), 8)
+    a = from_text(spark, "a b c d e f g h", mk)
+    b = from_text(spark, "a b c d e f g zz", mk)  # one shingle changed
+    assert sum(x == y for x, y in zip(a, b)) >= 4  # most minima survive
+
+
+def test_simhash_close_for_near_dup_far_for_disjoint(spark):
+    mk = lambda c: X.simhash16(X.tokenize(c))
+    a = from_text(spark, "a b c d e f g h i j", mk)
+    b = from_text(spark, "a b c d e f g h i k", mk)
+    c = from_text(spark, "q r s t u v w x y z", mk)
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(a, b) <= ham(a, c)
+    assert 0 <= a < 2**16
+
+
+def test_lang_id_prefers_marker_hits(spark):
+    assert from_text(spark, "the a value order fast", lambda c: X.lang_id(X.tokenize(c))) == "en"
+    # tie on zero markers resolves to first of LANG_ORDER
+    assert from_text(spark, "xxxx yyyy", lambda c: X.lang_id(X.tokenize(c))) == "en"
+
+
+def test_quality_score_bounds(spark, docs):
+    toks = X.tokenize(F.col("text"))
+    row = docs.select(X.quality_score(F.col("text"), toks, "en").alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).head()
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+
+
+def test_sentiment_sign(spark):
+    s = from_text(spark, "fast fast slow", lambda c: X.sentiment_score(X.tokenize(c)))
+    assert s > 0
+    s2 = from_text(spark, "slow big broken", lambda c: X.sentiment_score(X.tokenize(c)))
+    assert s2 < 0
+
+
+def test_fingerprint_stable_under_shingle_reorder(spark):
+    fp1 = from_text(spark, "a b c d e f", lambda c: X.fingerprint(X.tokenize(c)))
+    fp2 = from_text(spark, "d e f a b c", lambda c: X.fingerprint(X.tokenize(c)))
+    # shared shingles dominate the 4 minima for this overlap
+    assert fp1 and len(fp1) == 4 * 32
+    assert fp1 != from_text(spark, "q r s t u v", lambda c: X.fingerprint(X.tokenize(c)))
+    del fp2
