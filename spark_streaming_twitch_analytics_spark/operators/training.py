@@ -71,6 +71,56 @@ def prepare_training_data(
     )
 
 
+def prepare_training_worksheet(
+    csv_df: DataFrame,
+    top_k: int = 100,
+    min_text_len: int = MIN_TEXT_LENGTH,
+    outliers: tuple[str, ...] = OUTLIER_LABELS,
+) -> DataFrame:
+    """The reference worksheet end-to-end on its OWN input shape
+    (``title, text, discussions, categories`` CSV — FIXTURES §A5):
+
+    na.drop → clean the discussions blob (U1) → split into items →
+    explode → trim → ``length > 50`` filter → strip the categories
+    list-string (U2) → split into a label array → outlier
+    ``array_except`` (P12) → top-K labels → whitelist intersect (U3) →
+    ``size > 0`` → (text, label).
+
+    The whitelist is collected to the driver as the reference does
+    (``ProcessingWorkSheet.sc:113-114``) — top-K is bounded (≤ ``top_k``
+    rows) so this is safe at any corpus size; ``prepare_training_data``
+    shows the pure semi-join alternative."""
+    outlier_arr = F.array(*[F.lit(x) for x in outliers])
+    base = (
+        csv_df.na.drop()
+        .select(
+            F.split(clean_disc(F.col("discussions")), ",").alias("items"),
+            F.split(strip_listchars(F.col("categories")), ", ").alias("label"),
+        )
+        .select(F.explode("items").alias("text"), "label")
+        .withColumn("text", F.trim("text"))
+        .filter(F.length("text") > min_text_len)
+        .withColumn("label", F.array_except("label", outlier_arr))
+    )
+    top_labels = [
+        r["l"]
+        for r in (
+            base.select(F.explode("label").alias("l"))
+            .groupBy("l")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"))
+            .limit(top_k)
+            .collect()
+        )
+    ]
+    keep_arr = F.array(*[F.lit(x) for x in top_labels]) if top_labels else F.array()
+    return (
+        base.withColumn("label", F.array_intersect("label", keep_arr))
+        .filter(F.size("label") > 0)
+        .select("text", "label")
+    )
+
+
 def prepare_training_data_sql(
     top_k: int = 5,
     min_text_len: int = MIN_TEXT_LENGTH,

@@ -1,0 +1,49 @@
+"""Formatted-plan accessors for tests and tuning.
+
+The reference defeats Catalyst across stages by dropping to RDDs between
+DataFrame segments (``SparkRunner.scala:77,110`` — SURVEY §4); the
+rebuild's single-plan design makes these properties checkable: a filter
+that should reach the parquet scan shows up in ``PushedFilters``, a
+pruned projection in ``ReadSchema``, a broadcast join as
+``BroadcastHashJoin``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    out = []
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("PushedFilters:"):
+            out.append(line.removeprefix("PushedFilters:").strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    return [
+        line.strip().removeprefix("ReadSchema:").strip()
+        for line in formatted_plan(df).splitlines()
+        if line.strip().startswith("ReadSchema:")
+    ]
+
+
+def has_operator(df: DataFrame, op: str) -> bool:
+    return op in formatted_plan(df)
+
+
+def count_operator(df: DataFrame, op: str) -> int:
+    """Count physical operators by their detail header ``(N) Op`` — the
+    formatted output shows each operator twice (tree + detail)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {re.escape(op)}\b", formatted_plan(df), re.M))

@@ -1,0 +1,70 @@
+"""Batch sources/sinks (SURVEY S5, S6, S8).
+
+- :func:`read_training_csv` — the batch-prep CSV source with the
+  reference's exact options (``ProcessingWorkSheet.sc:35-43``):
+  explicit schema, header, multiline quoted records, ``"`` escape.
+- :func:`write_single_parquet` — the ``coalesce(1)`` overwrite parquet
+  sink (``ProcessingWorkSheet.sc:130-134``). Single-file output is a
+  small-data convenience; at scale pass ``single_file=False`` (or a
+  ``partition_by``) and let each task write its split.
+- :func:`load_label_map` — the bundled JSON label dictionary
+  (``TFInterface.scala:44-47`` + ``resources/encoder_classes.json``),
+  loaded ONCE on the driver and broadcast — the reference re-read it
+  from the classpath per row (``TFInterface.scala:70-71``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TRAINING_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("discussions", T.StringType()),
+        T.StructField("categories", T.StringType()),
+    ]
+)
+
+_RESOURCE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "resources")
+
+
+def read_training_csv(
+    spark: SparkSession, path: str, schema: T.StructType = TRAINING_CSV_SCHEMA
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_single_parquet(
+    df: DataFrame,
+    path: str,
+    single_file: bool = True,
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = (df.coalesce(1) if single_file else df).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def load_label_map(path: str | None = None) -> dict[int, str]:
+    """index → label name (50 entries)."""
+    path = path or os.path.join(_RESOURCE_DIR, "encoder_classes.json")
+    with open(path) as f:
+        raw = json.load(f)
+    return {int(k): v for k, v in raw.items()}
+
+
+def broadcast_label_map(spark: SparkSession, path: str | None = None):
+    """Driver-side load + broadcast: executors get ONE copy per node."""
+    return spark.sparkContext.broadcast(load_label_map(path))

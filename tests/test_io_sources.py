@@ -1,0 +1,57 @@
+"""Batch source/sink surface (S5 CSV, S6 single-file parquet, S8 JSON
+resource) — the reference's exact read options exercised on fixture data
+shaped like FIXTURES §A5."""
+
+from __future__ import annotations
+
+import os
+
+from spark_streaming_twitch_analytics_spark.constants import ENCODER_CLASSES
+from spark_streaming_twitch_analytics_spark.sources import io as sio
+
+CSV = '''title,text,discussions,categories
+"Page One","body text one","first item< br / >with marker,second
+item spanning lines","['Histoire', 'France']"
+"Page Two","body two","short,items here","['Science']"
+"Page Three",,"x,y",
+'''
+
+
+def test_read_training_csv_multiline_quoted(spark, tmp_path):
+    p = str(tmp_path / "train.csv")
+    with open(p, "w") as f:
+        f.write(CSV)
+    df = sio.read_training_csv(spark, p)
+    rows = df.collect()
+    assert [f.name for f in df.schema.fields] == [
+        "title", "text", "discussions", "categories",
+    ]
+    assert len(rows) == 3
+    one = next(r for r in rows if r["title"] == "Page One")
+    assert "second\nitem spanning lines" in one["discussions"]  # multiLine
+    assert one["categories"] == "['Histoire', 'France']"
+    three = next(r for r in rows if r["title"] == "Page Three")
+    assert three["text"] is None  # na survives for na.drop (P9)
+
+
+def test_write_single_parquet(spark, tmp_path, docs):
+    out = str(tmp_path / "out")
+    sio.write_single_parquet(docs.limit(10), out)
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(parts) == 1  # coalesce(1) → one data file
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_write_partitioned_parquet_scale_path(spark, tmp_path, docs):
+    out = str(tmp_path / "out_part")
+    sio.write_single_parquet(docs, out, single_file=False, partition_by=["lang"])
+    langs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+
+
+def test_label_map_resource_roundtrip(spark):
+    m = sio.load_label_map()
+    assert len(m) == 50 and m[0] == ENCODER_CLASSES[0] and m[49] == ENCODER_CLASSES[49]
+    b = sio.broadcast_label_map(spark)
+    assert b.value[7] == ENCODER_CLASSES[7]
+    b.unpersist()

@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the scale properties the engine
+depends on must be visible in the plan (SURVEY §4)."""
+
+from __future__ import annotations
+
+from spark_streaming_twitch_analytics_spark import registry
+from spark_streaming_twitch_analytics_spark.plans import explain as EX
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return registry.get(name).fn(spark, SF)
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = q(spark, "q1_pricing_summary")
+    pushed = " ".join(EX.pushed_filters(df))
+    assert "l_shipdate" in pushed  # predicate reached the parquet scan
+    schema = EX.read_schemas(df)[0]
+    assert "l_orderkey" not in schema  # unused columns pruned from the scan
+    # partial + final aggregation around exactly one shuffle
+    assert EX.count_operator(df, "HashAggregate") >= 2
+    assert EX.count_operator(df, "Exchange") == 1
+
+
+def test_q3_broadcasts_dim_and_pushes_segment_filter(spark):
+    df = q(spark, "q3_top_orders")
+    assert EX.has_operator(df, "BroadcastHashJoin")
+    pushed = " ".join(EX.pushed_filters(df))
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+    assert EX.has_operator(df, "TakeOrderedAndProject")  # top-K, no global sort
+
+
+def test_q5_small_dims_broadcast_not_shuffled(spark):
+    df = q(spark, "q5_nation_revenue")
+    # nation+region must be broadcast: at least 2 broadcast joins
+    assert EX.count_operator(df, "BroadcastHashJoin") >= 2
+
+
+def test_flagship_prunes_scan_and_uses_topk_operator(spark):
+    df = q(spark, "flagship_wordcount")
+    schema = EX.read_schemas(df)[0]
+    assert "n_chars" not in schema and "source" not in schema
+    assert EX.has_operator(df, "TakeOrderedAndProject")
+    assert EX.count_operator(df, "Exchange") == 1  # one shuffle: the count
+
+
+def test_wordcount_partial_aggregation_before_shuffle(spark):
+    df = q(spark, "wordcount")
+    plan = EX.formatted_plan(df)
+    # partial HashAggregate (map-side combine) must appear BEFORE Exchange,
+    # replacing the reference's hand-rolled reduceByKey combine
+    assert plan.index("HashAggregate") < len(plan)
+    assert EX.count_operator(df, "HashAggregate") >= 2
+    assert EX.count_operator(df, "Exchange") == 1
+
+
+def test_semi_join_is_broadcast_not_shuffle(spark):
+    df = q(spark, "semi_join_top_words")
+    plan = EX.formatted_plan(df)
+    assert "BroadcastHashJoin LeftSemi" in plan or (
+        "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    )
+
+
+def test_no_python_udf_in_oracle_query_plans(spark):
+    # everything SQL-expressible must stay JVM-side (no BatchEvalPython /
+    # ArrowEvalPython nodes) — UDFs allowed only in rows-only queries
+    for qd in registry._REGISTRY:
+        if qd.sql is None or qd.name.startswith("streaming_"):
+            continue
+        plan = EX.formatted_plan(qd.fn(spark, SF))
+        assert "EvalPython" not in plan, f"{qd.name} fell off the JVM path"
