@@ -682,12 +682,15 @@ def dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
 SELECT l.vec_id AS a, r.vec_id AS b, {V.cosine_sql("l.v", "r.v", 64)} AS cos
 FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
-WHERE {V.cosine_sql("l.v", "r.v", 64)} >= 0.99""",
+WHERE {V.cosine_sql("l.v", "r.v", 64)} >= 0.4""",
     survey="ext: embedding-cosine near-dup (label blocking)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_dup_pairs(emb, F.col("label"), 0.99)
+    # the synthetic embeddings have no planted near-dups (global max cosine
+    # ~0.51); 0.4 surfaces the closest within-block pairs so the operator's
+    # output is non-trivially exercised. Production near-dup would use ~0.95.
+    return dedup.embedding_dup_pairs(emb, F.col("label"), 0.4)
 
 
 # ===========================================================================
@@ -890,7 +893,177 @@ def streaming_category_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# 10. Multimodal plumbing (extension)
+# 10. Relational breadth extensions: set ops, distinct, rollup, pivot,
+# as-of / range joins, percentiles — capabilities a user of any analytics
+# engine expects; none have reference lineage (SURVEY §2.7/§2.8 record the
+# reference has no set ops and no window functions)
+# ===========================================================================
+
+
+@register(
+    "set_ops",
+    """WITH a AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT lang FROM documents WHERE doc_id % 3 = 0)
+SELECT 'union' AS op, lang FROM (SELECT lang FROM a UNION SELECT lang FROM b)
+UNION ALL
+SELECT 'intersect' AS op, lang FROM (SELECT lang FROM a INTERSECT SELECT lang FROM b)
+UNION ALL
+SELECT 'except' AS op, lang FROM (SELECT lang FROM a EXCEPT SELECT lang FROM b)""",
+    survey="ext: union/intersect/except (SURVEY §2.7: absent from reference)",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") % 2 == 0).select("lang")
+    b = d.filter(F.col("doc_id") % 3 == 0).select("lang")
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "lang")
+        .unionByName(
+            a.intersect(b).select(F.lit("intersect").alias("op"), "lang")
+        )
+        .unionByName(a.subtract(b).select(F.lit("except").alias("op"), "lang"))
+    )
+
+
+@register(
+    "drop_duplicates",
+    "SELECT DISTINCT lang, source FROM documents",
+    survey="ext: dropDuplicates (A5 row in SURVEY: dedup built-ins)",
+)
+def drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).dropDuplicates(["lang", "source"]).select(
+        "lang", "source"
+    )
+
+
+@register(
+    "rollup_orders",
+    """SELECT strftime(o_orderdate, '%Y') AS year, o_orderstatus,
+round(sum(o_totalprice), 2) AS total, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP(strftime(o_orderdate, '%Y'), o_orderstatus)""",
+    survey="ext: rollup / grouping sets",
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("year", F.date_format("o_orderdate", "yyyy"))
+        .rollup("year", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "pivot_events",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+    survey="ext: pivot (conditional aggregation)",
+)
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+@register(
+    "asof_join_events",
+    """WITH p AS (
+  SELECT user_id, ts, round(max(value), 2) AS pv FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT e.event_id, e.user_id, p.pv AS asof_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts""",
+    survey="ext: as-of join (union+window rebuild vs DuckDB native ASOF)",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("pv"))
+    )
+    return as_of_join(
+        ev, purchases, "user_id", "ts", "ts", "pv", out_col="asof_value"
+    ).select("event_id", "user_id", "asof_value")
+
+
+@register(
+    "range_join_buckets",
+    """WITH buckets AS (
+  SELECT * FROM (VALUES ('q0_10', 0, 10), ('q10_20', 10, 20),
+                        ('q20_35', 20, 35), ('q35_plus', 35, 1000)) b(name, lo, hi))
+SELECT name, CAST(count(*) AS BIGINT) AS n,
+round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
+GROUP BY name""",
+    survey="ext: range (non-equi) join against broadcast band table",
+)
+def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = F.broadcast(
+        li.sparkSession.createDataFrame(
+            [("q0_10", 0, 10), ("q10_20", 10, 20), ("q20_35", 20, 35), ("q35_plus", 35, 1000)],
+            "name string, lo int, hi int",
+        )
+    )
+    return (
+        li.join(
+            buckets,
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "quantiles_exact",
+    """SELECT l_returnflag,
+round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag""",
+    survey="ext: exact percentiles (approx_percentile available as the sketch path)",
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "approx_sketches",
+    None,  # HLL/KLL sketch values are engine-specific → rows-only check
+    survey="ext: approx_count_distinct + approx_percentile (sketch path)",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+    )
+
+
+# ===========================================================================
+# 11. Multimodal plumbing (extension)
 # ===========================================================================
 
 
