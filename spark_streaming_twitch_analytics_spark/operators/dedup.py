@@ -292,6 +292,6 @@ def embedding_dup_pairs(
     return (
         a.join(b, "blk")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb"), dim=dim).alias("cos"))
         .filter(F.col("cos") >= min_cos)
     )

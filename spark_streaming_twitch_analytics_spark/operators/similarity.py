@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, dot, lsh_bucket, norm
 
+DIM = 64  # embeddings table dimensionality (static → unrolled codegen dots)
+
 
 def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | None) -> DataFrame:
     """Each side carries its vector AND its precomputed norm — computing
@@ -31,13 +33,13 @@ def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | Non
     q = queries.select(
         F.col("vec_id").alias("q_id"),
         as_double(F.col("embedding")).alias("qv"),
-        norm(as_double(F.col("embedding"))).alias("qn"),
+        norm(as_double(F.col("embedding")), DIM).alias("qn"),
         *[F.col(c) for c in (join_cols or [])],
     )
     c = candidates.select(
         F.col("vec_id").alias("c_id"),
         as_double(F.col("embedding")).alias("cv"),
-        norm(as_double(F.col("embedding"))).alias("cn"),
+        norm(as_double(F.col("embedding")), DIM).alias("cn"),
         *[F.col(c_) for c_ in (join_cols or [])],
     )
     if join_cols:
@@ -49,7 +51,7 @@ def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | Non
 
 def _scored(pairs: DataFrame) -> DataFrame:
     cos = F.round(
-        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        dot(F.col("qv"), F.col("cv"), DIM) / (F.col("qn") * F.col("cn")), 6
     )
     return pairs.select("q_id", "c_id", cos.alias("cos"))
 
