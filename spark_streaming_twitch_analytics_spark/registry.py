@@ -269,7 +269,7 @@ _WC_ODD = messages.word_counts_sql("text", "documents WHERE doc_id % 2 = 1")
 @register(
     "update_table_merge",
     merge.update_table_sql(_WC_EVEN, _WC_ODD, "word", "cnt"),
-    survey="J1,A4,P9",
+    survey="J1,A4,P9,P15,P1",
 )
 def update_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 ``update_table``: stored (even docs) + incoming (odd docs)
@@ -820,6 +820,29 @@ def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sentiment_count",
+    f"""WITH t AS ({_TOKS_CTE}),
+s AS (SELECT doc_id,
+CASE WHEN {X.sentiment_score_sql("toks")} > 0 THEN 'pos'
+     WHEN {X.sentiment_score_sql("toks")} < 0 THEN 'neg'
+     ELSE 'neutral' END AS sentiment_label FROM t)
+SELECT sentiment_label, CAST(count(*) AS BIGINT) AS cnt
+FROM s GROUP BY sentiment_label""",
+    survey="N6: sentiment feeding the reference's count-aggregate shape "
+    "(declared-but-unwired pipeline, pipelines.scala:10-40 + sentimentCountTtl)",
+)
+def sentiment_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    s = X.sentiment_score(X.tokenize(F.col("text")))
+    label = F.when(s > 0, "pos").when(s < 0, "neg").otherwise("neutral")
+    return (
+        d.select(label.alias("sentiment_label"))
+        .groupBy("sentiment_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # ===========================================================================
 # 9. Streaming (S1/S2, ST1-ST5, A4) — REAL Structured Streaming execution;
 # oracle = the equivalent batch query (running state over the whole stream
@@ -864,7 +887,7 @@ def _run_stream_over_docs(spark: SparkSession, sf_dir: str, build_counts, n_batc
 @register(
     "streaming_wordcount",
     messages.word_counts_sql("text", "documents"),
-    survey="S1,S2,ST1-ST5,A4: running word counts, update-mode state",
+    survey="S1,S2,S3,S4,S7,ST1-ST5,ST8,U5,A4: running word counts, update-mode state",
 )
 def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.wordcount import streaming_word_counts

@@ -72,19 +72,25 @@ def run_snapshot_query(
     table: str,
     checkpoint_dir: str,
     ttl: int = 0,
+    batch_interval: str | None = None,
 ) -> StreamingQuery:
     """Complete-mode + overwrite sink: each micro-batch writes the FULL
-    running state (reference ST5 snapshot semantics)."""
+    running state (reference ST5 snapshot semantics). ``batch_interval``
+    maps the reference's CLI micro-batch clock (S2,
+    ``Seconds(BatchDuration)``) to a processingTime trigger; None = fire
+    as fast as data arrives."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         store.write(batch_df, table, mode="overwrite", ttl=ttl)
 
-    return (
+    writer = (
         counts.writeStream.outputMode("complete")
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
-        .start()
     )
+    if batch_interval is not None:
+        writer = writer.trigger(processingTime=batch_interval)
+    return writer.start()
 
 
 def run_merge_query(

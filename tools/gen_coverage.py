@@ -1,0 +1,144 @@
+"""Generate COVERAGE.md: SURVEY §2 operator inventory ↔ implementation
+evidence (registry query names + module paths + tests). Run after adding
+queries; commit the regenerated file."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_streaming_twitch_analytics_spark import registry
+
+# SURVEY §2 row id → (description, module evidence beyond the registry)
+SURVEY_ROWS: dict[str, tuple[str, str]] = {
+    "S1": ("custom IRC receiver", "sources/irc.py (file replay, rate map, live Python DataSource)"),
+    "S2": ("micro-batch clock", "streaming/wordcount.py run_snapshot_query(batch_interval=...)"),
+    "S3": ("Redis table sink (TTL, overwrite/append)", "sources/kv_store.py write()"),
+    "S4": ("Redis source w/ empty-table fallback", "sources/kv_store.py get_table(); tests/test_streaming.py"),
+    "S5": ("CSV source (multiline/quoted/header/schema)", "sources/io.py read_training_csv; tests/test_io_sources.py"),
+    "S6": ("coalesce(1) parquet sink", "sources/io.py write_single_parquet"),
+    "S7": ("console/debug sink", "df.show available; streaming memory sink in streaming/wordcount.py"),
+    "S8": ("JSON label resource", "sources/io.py load_label_map + resources/encoder_classes.json"),
+    "P1": ("rename column", "operators/messages.py format_raw_messages"),
+    "P2": ("split ':' + positional getItem (truncation quirk preserved)", "operators/messages.py; tests/test_messages_and_merge.py"),
+    "P3": ("user/channel extraction", "operators/messages.py"),
+    "P4": ("lower(text)", "operators/messages.py; functions/text.py tokenize"),
+    "P5": ("projection with aliases", "registry.py throughout"),
+    "P6": ("withColumn derived columns", "operators/messages.py"),
+    "P7": ("type cast", "registry.py scalar_projection"),
+    "P8": ("row-predicate filters (len>3, count>1, length>50, size>0)", "functions/text.py countable_words; operators/training.py"),
+    "P9": ("na.drop / na.fill", "operators/training.py; operators/merge.py"),
+    "P10": ("trim/ltrim/rtrim", "registry.py scalar_projection; operators/training.py"),
+    "P11": ("array literal column", "registry.py array_ops (outlier literal)"),
+    "P12": ("array_except", "registry.py array_ops; operators/training.py"),
+    "P13": ("explode", "registry.py explode_tokens + throughout"),
+    "P14": ("length / size", "registry.py scalar_projection"),
+    "P15": ("column drop", "operators/merge.py update_table"),
+    "U1": ("clean_disc → regexp_replace chain", "functions/text.py clean_disc"),
+    "U2": ("strip [ ] \" ' chars", "functions/text.py strip_listchars"),
+    "U3": ("label-whitelist intersect", "operators/training.py (array_intersect + semi-join form)"),
+    "U4": ("model scoring UDF", "functions/scoring.py score_udf (Arrow-batched) + HashScorer"),
+    "U4b": ("threshold filter (>0.5, positional — indexOf bug fixed)", "functions/scoring.py decode_categories; tests/test_scoring.py"),
+    "U4c": ("label decode via 50-class map", "functions/scoring.py label_array; sources/io.py broadcast_label_map"),
+    "U5": ("updateFunction running-count state", "streaming/wordcount.py (state store); streaming/stateful.py (arbitrary state)"),
+    "J1": ("full-outer merge update_table", "operators/merge.py"),
+    "A1": ("groupBy.count", "operators/messages.py word_counts"),
+    "A2": ("reduceByKey ≡ partial agg", "plan-tested: tests/test_plans.py partial HashAggregate"),
+    "A3": ("word-pair expansion", "explode + groupBy (no manual 1-tagging)"),
+    "A4": ("running count across batches", "streaming/wordcount.py; batch form = update_table_merge"),
+    "A5": ("dedup built-ins (extension)", "drop_duplicates query; operators/dedup.py"),
+    "O1": ("sort desc", "operators/topk.py"),
+    "O2": ("limit top-K", "operators/topk.py top_k (TakeOrderedAndProject)"),
+    "O3": ("collect whitelist → semi-join", "operators/topk.py top_k_semi_join"),
+    "N1": ("DocumentAssembler", "not needed — plain string columns"),
+    "N2": ("Tokenizer", "functions/text.py tokenize"),
+    "N3": ("StopWordsCleaner (language-keyed, FR-hardcode bug fixed)", "functions/text.py remove_stopwords"),
+    "N4": ("Finisher", "not needed — columns already plain"),
+    "N5": ("Pipeline fit/transform per batch", "not needed — stateless column exprs, no fit"),
+    "N6": ("sentiment (declared, unwired in reference)", "functions/text.py sentiment_score"),
+    "N7": ("text classification surface", "functions/scoring.py"),
+    "ST1": ("per-batch RDD↔DF hops", "eliminated — one continuous plan"),
+    "ST2": ("DStream.cache branch reuse", "persist() in operators/dedup.py minhash_dedup_pairs"),
+    "ST3": ("map/flatMap/filter on stream", "select/explode/filter on streaming DF"),
+    "ST4": ("updateStateByKey", "streaming groupBy.count (state store) + applyInPandasWithState w/ idle expiry"),
+    "ST5": ("foreachRDD overwrite sink", "streaming/wordcount.py run_snapshot_query (foreachBatch)"),
+    "ST6": ("broadcast vars (TTL-typo bug fixed by construction)", "sources/io.py broadcast_label_map; TTL is a plain argument"),
+    "ST7": ("watermark/windows (absent in reference)", "streaming/windows.py (flagged extension)"),
+    "ST8": ("graceful shutdown", "query.stop() in every sink helper/test"),
+    "ext-dedup": ("exact/MinHash-LSH/SimHash/n-gram/embedding dedup", "operators/dedup.py"),
+    "ext-ann": ("similarity search (brute + LSH)", "operators/similarity.py"),
+    "ext-multimodal": ("binary columns + Arrow decode plumbing", "operators/multimodal.py"),
+    "ext-text": ("langid/quality/token-count/fingerprint", "functions/text.py"),
+    "ext-relational": ("set ops/rollup/pivot/as-of/range/percentiles/windows", "registry.py §10; operators/asof.py"),
+}
+
+
+def main() -> None:
+    # invert: survey id → query names (from the registry's survey field)
+    by_id: dict[str, list[str]] = {k: [] for k in SURVEY_ROWS}
+    for q in registry._REGISTRY:
+        blob = q.survey
+        for key in SURVEY_ROWS:
+            if key.startswith("ext-"):
+                continue
+            tokens = blob.replace(":", " ").replace(",", " ").replace("(", " ").split()
+            expanded = set(tokens)
+            for t in tokens:
+                if "-" in t and not t.startswith("ext"):
+                    parts = t.split("-")
+                    if len(parts) == 2 and parts[0][:1] == parts[1][:1]:
+                        prefix = "".join(c for c in parts[0] if not c.isdigit())
+                        try:
+                            lo = int("".join(c for c in parts[0] if c.isdigit()))
+                            hi = int("".join(c for c in parts[1] if c.isdigit()))
+                            expanded |= {f"{prefix}{i}" for i in range(lo, hi + 1)}
+                        except ValueError:
+                            pass
+            if key in expanded:
+                by_id[key].append(q.name)
+    ext_map = {
+        "ext-dedup": "dedup_",
+        "ext-ann": "ann_",
+        "ext-multimodal": "multimodal_",
+        "ext-text": "text_",
+    }
+    for key, prefix in ext_map.items():
+        by_id[key] = [q.name for q in registry._REGISTRY if q.name.startswith(prefix)]
+    by_id["ext-relational"] = [
+        "set_ops", "drop_duplicates", "rollup_orders", "pivot_events",
+        "asof_join_events", "range_join_buckets", "quantiles_exact",
+        "approx_sketches", "window_running_total", "events_hourly", "sessionize",
+    ]
+
+    oracled = {q.name for q in registry._REGISTRY if q.sql is not None}
+    lines = [
+        "# COVERAGE — SURVEY §2 inventory ↔ implementation evidence",
+        "",
+        "Generated by `tools/gen_coverage.py` from the query registry.",
+        f"{len(registry._REGISTRY)} registered queries "
+        f"({len(oracled)} DuckDB-oracled, {len(registry._REGISTRY) - len(oracled)} rows-only).",
+        "",
+        "| SURVEY id | reference capability | oracle-checked queries | implementation |",
+        "|---|---|---|---|",
+    ]
+    for key, (desc, module) in SURVEY_ROWS.items():
+        qnames = ", ".join(
+            f"`{n}`" + ("" if n in oracled else " (rows-only)") for n in by_id[key]
+        ) or "—"
+        lines.append(f"| {key} | {desc} | {qnames} | {module} |")
+    lines += [
+        "",
+        "Rows marked — with 'not needed' implementations are reference "
+        "internals made obsolete by the DataFrame-native design (annotation "
+        "structs, pipeline fit) — SURVEY §2.9 records the mapping.",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote COVERAGE.md: {len(SURVEY_ROWS)} survey rows")
+
+
+if __name__ == "__main__":
+    main()
