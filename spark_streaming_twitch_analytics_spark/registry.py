@@ -663,16 +663,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH shx AS ({_sh_cte(2)}),
 e AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shx),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM e GROUP BY doc_id),
-common AS (SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS common
-  FROM e l JOIN e r ON l.s = r.s AND l.doc_id < r.doc_id GROUP BY 1, 2)
-SELECT a, b, round(common / (x.n_sh + y.n_sh - common), 6) AS jaccard
-FROM common JOIN sizes x ON x.doc_id = a JOIN sizes y ON y.doc_id = b
+rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM e GROUP BY s)
+  WHERE df <= (SELECT ceil(count(*) * 0.05) FROM documents)),
+je AS (SELECT doc_id, s FROM e WHERE s IN (SELECT s FROM rare)),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM je l JOIN je r ON l.s = r.s AND l.doc_id < r.doc_id),
+shd AS (SELECT doc_id, list_distinct(sh) AS shs FROM shx),
+sizes AS (SELECT doc_id, CAST(len(list_distinct(sh)) AS INT) AS n_sh FROM shx)
+SELECT a, b,
+round(len(list_intersect(x.shs, y.shs)) /
+  (sx.n_sh + sy.n_sh - len(list_intersect(x.shs, y.shs))), 6) AS jaccard
+FROM cand JOIN shd x ON x.doc_id = a JOIN shd y ON y.doc_id = b
+JOIN sizes sx ON sx.doc_id = a JOIN sizes sy ON sy.doc_id = b
 ORDER BY jaccard DESC, a ASC, b ASC LIMIT 50""",
-    survey="ext: n-gram Jaccard (inverted index)",
+    survey="ext: n-gram Jaccard (inverted index + df-cut prefix filter)",
 )
 def dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=2)
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), shingle_n=2, max_df_fraction=0.05
+    )
     return topk.top_k(pairs, "jaccard", 50, ["a", "b"])
 
 
