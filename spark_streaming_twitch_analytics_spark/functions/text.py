@@ -164,17 +164,24 @@ def simhash16(tokens: Column) -> Column:
     Pure array ops — no shuffle, no UDF; ~constant work per row.
     """
     md5s = F.transform(tokens, lambda t: F.md5(t))
-    total = F.size(md5s)
 
-    def ups(j: int) -> Column:
-        # single-arg lambda: PySpark HOFs treat two-arg lambdas as
-        # (element, index) — keep j in an enclosing scope
-        return F.size(F.filter(md5s, lambda m: F.substring(m, j + 1, 1) >= "8"))
+    def simhash_of(ms: Column) -> Column:
+        # ms is a lambda variable → the md5 array is computed ONCE per
+        # row; referencing `md5s` directly in all 16 passes would
+        # re-evaluate the md5 transform per pass (no CSE across HOFs)
+        total = F.size(ms)
 
-    acc = F.lit(0)
-    for j in range(16):
-        acc = acc + F.when(ups(j) * 2 > total, F.lit(1 << j)).otherwise(F.lit(0))
-    return acc
+        def ups(j: int) -> Column:
+            # single-arg lambda: PySpark HOFs treat two-arg lambdas as
+            # (element, index) — keep j in an enclosing scope
+            return F.size(F.filter(ms, lambda m: F.substring(m, j + 1, 1) >= "8"))
+
+        acc = F.lit(0)
+        for j in range(16):
+            acc = acc + F.when(ups(j) * 2 > total, F.lit(1 << j)).otherwise(F.lit(0))
+        return acc
+
+    return F.element_at(F.transform(F.array(md5s), simhash_of), 1)
 
 
 def simhash16_sql(md5s_expr: str) -> str:
