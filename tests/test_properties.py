@@ -1,0 +1,72 @@
+"""Property-based checks (hypothesis) for the operators whose semantics
+have sharp edges: the J1 merge and the IRC line parser. Examples are
+bounded and the Spark work is batched per test case list (one job per
+property, not per example) to keep runtime sane."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_streaming_twitch_analytics_spark.operators import merge, messages
+
+words = st.text(alphabet="abcdef", min_size=1, max_size=4)
+counts = st.integers(min_value=0, max_value=1000)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    stored=st.dictionaries(words, counts, max_size=8),
+    incoming=st.dictionaries(words, counts, max_size=8),
+)
+def test_update_table_is_dict_merge_with_addition(spark, stored, incoming):
+    sdf = spark.createDataFrame(
+        list(stored.items()) or [("__none__", 0)], "word string, cnt int"
+    )
+    idf = spark.createDataFrame(
+        list(incoming.items()) or [("__none__", 0)], "word string, cnt int"
+    )
+    got = {
+        r["word"]: r["cnt"]
+        for r in merge.update_table(sdf, idf, "word", "cnt").collect()
+    }
+    want: dict[str, int] = dict(stored or {"__none__": 0})
+    for k, v in (incoming or {"__none__": 0}).items():
+        want[k] = want.get(k, 0) + v
+    assert got == want
+
+
+line_text = st.text(
+    alphabet=st.characters(blacklist_characters="\r\n", min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(user=st.text(alphabet="abcxyz", min_size=1, max_size=6), text=line_text)
+def test_parser_fields_match_python_split_semantics(spark, user, text):
+    # the parser is defined as split-on-':' positional extraction — the
+    # truncation quirk included. Property: Spark result == python split.
+    line = f"1700000000000:{user}!{user}@tmi PRIVMSG #chan :{text}"
+    raw = spark.createDataFrame([(line,)], "value string")
+    row = messages.format_raw_messages(raw).head()
+    parts = line.split(":")
+    assert row["timestamp"] == parts[0]
+    assert row["metadata"] == parts[1]
+    assert row["text"] == (parts[2].lower() if len(parts) > 2 else None)
+    assert row["user"] == parts[1].split("!")[0]
+    assert row["channel"] == parts[1].split(" ")[2]
+
+
+def test_wordcount_permutation_invariance(spark):
+    # counting is order-insensitive: shuffling input rows changes nothing
+    rows = [("w1 w2 w3 wide words",), ("wide words w1 w1",), ("zzzz wide",)]
+    a = messages.word_counts(
+        F.col("text"), spark.createDataFrame(rows, "text string")
+    )
+    b = messages.word_counts(
+        F.col("text"), spark.createDataFrame(list(reversed(rows)), "text string")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

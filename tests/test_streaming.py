@@ -166,3 +166,56 @@ def test_streaming_category_counts(spark, tmp_path):
         assert rows and all(r["category"].startswith("cat_") for r in rows)
     finally:
         q.stop()
+
+
+def test_dual_branch_fanout_shares_one_scan(spark, tmp_path):
+    from spark_streaming_twitch_analytics_spark.functions import scoring
+
+    src, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    write_batch_file(src, B1, 1)
+    q = SW.run_dual_branch_query(
+        file_line_source(spark, src),
+        store,
+        lambda text: scoring.decode_categories(scoring.hash_scores(text)),
+        chk,
+    )
+    try:
+        q.processAllAvailable()
+        write_batch_file(src, B2, 2)
+        q.processAllAvailable()
+        words = counts_of(store.get_table("wordcount", SW.COUNT_SCHEMA))
+        assert words == counts_of(SW.batch_oracle_word_counts(spark, B1 + B2))
+        from pyspark.sql import types as T
+
+        cat_schema = T.StructType(
+            [
+                T.StructField("category", T.StringType()),
+                T.StructField("cnt", T.LongType()),
+            ]
+        )
+        cats = store.get_table("categoryCount", cat_schema).collect()
+        assert cats and all(r["category"].startswith("cat_") for r in cats)
+        # category totals across both batches == number of scored messages
+        # times their per-message label count: cross-check via batch compute
+        from spark_streaming_twitch_analytics_spark.operators.messages import (
+            format_raw_messages,
+        )
+        from pyspark.sql import functions as F
+
+        raw = spark.createDataFrame([(x,) for x in B1 + B2], "value string")
+        want = {
+            r["category"]: r["cnt"]
+            for r in format_raw_messages(raw)
+            .select(
+                F.explode(
+                    scoring.decode_categories(scoring.hash_scores(F.col("text")))
+                ).alias("category")
+            )
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert {r["category"]: r["cnt"] for r in cats} == want
+    finally:
+        q.stop()
