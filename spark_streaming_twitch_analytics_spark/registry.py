@@ -1082,6 +1082,25 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_api_revenue",
+    """SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag""",
+    survey="ext: spark.sql API surface (same Catalyst plan as DataFrame)",
+)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: temp views + ``spark.sql`` — Catalyst produces
+    the same plan as the DataFrame API; users can pick either."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                  count(*) AS n
+           FROM lineitem_v WHERE l_quantity > 10 GROUP BY l_returnflag"""
+    )
+
+
+@register(
     "approx_sketches",
     None,  # HLL/KLL sketch values are engine-specific → rows-only check
     survey="ext: approx_count_distinct + approx_percentile (sketch path)",
