@@ -27,9 +27,32 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Session confs the queries depend on, applied defensively — the
+    driver may hand us a session built without our factory. All three are
+    runtime-settable SQL confs (not static):
+
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), unreadable by
+      Spark 4 otherwise;
+    - UTC timezone: timestamp formatting must match the (UTC-naive)
+      DuckDB oracle;
+    - AQE on: the scale posture assumes runtime re-planning.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # locked-down session: proceed with its settings
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read via nanosAsLong; truncate to the
