@@ -1,0 +1,61 @@
+"""Measure wall-time scaling of headline queries across sf0.001 → sf0.01
+→ sf0.1 (100× data). Warm-run methodology (same as bench.py). Prints a
+markdown table for SCALING.md."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_streaming_twitch_analytics_spark import registry
+from spark_streaming_twitch_analytics_spark.session import get_spark
+
+QUERIES = [
+    "flagship_wordcount",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "update_table_merge",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "ann_brute_topk",
+    "threshold_decode",
+    "sessionize",
+]
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    rows = []
+    for name in QUERIES:
+        fn = registry.get(name).fn
+        ts = []
+        for sf in SFS:
+            sf_dir = f"/root/testdata/sf{sf}"
+
+            def run():
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+            run()
+            t0 = time.time()
+            run()
+            ts.append(time.time() - t0)
+        rows.append((name, ts))
+        print(f"# {name}: {['%.2f' % t for t in ts]}", file=sys.stderr)
+
+    print("| query | sf0.001 | sf0.01 | sf0.1 | t(100×)/t(1×) |")
+    print("|---|---|---|---|---|")
+    for name, ts in rows:
+        ratio = ts[2] / max(ts[0], 1e-9)
+        print(
+            f"| {name} | {ts[0]:.2f}s | {ts[1]:.2f}s | {ts[2]:.2f}s | {ratio:.1f}× |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
