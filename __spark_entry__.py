@@ -12,11 +12,19 @@ named query + DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_streaming_twitch_analytics_spark import registry
+# the driver may import this module by file path with any cwd — make the
+# package resolvable regardless
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from spark_streaming_twitch_analytics_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

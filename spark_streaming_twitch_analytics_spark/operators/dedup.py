@@ -249,12 +249,13 @@ def ngram_jaccard_pairs(
     corpus). Near-dup pairs share rare shingles, so recall for
     high-jaccard pairs is preserved; Jaccard itself is still computed
     over the FULL shingle sets of each candidate pair."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_n))
-        ).alias("sh"),
-    )
+    # one materialization of the shingle plan feeds everything below
+    # (exploded index, df counts, sizes, and the per-pair verify arrays)
+    shd = shingle_sets(docs, text_col, shingle_n).withColumnRenamed(
+        "sh", "shs"
+    ).persist()
+    shd.count()
+    sh = shd.select("doc_id", F.explode("shs").alias("sh"))
     join_sh = sh
     if max_df_fraction is not None:
         max_df = int(-(-docs.count() * max_df_fraction // 1))  # ceil, driver scalar
@@ -265,16 +266,10 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         join_sh = sh.join(rare, "sh", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = shd.select("doc_id", F.size("shs").alias("n_sh"))
     a = join_sh.select(F.col("doc_id").alias("a"), "sh")
     b = join_sh.select(F.col("doc_id").alias("b"), "sh")
     pairs = a.join(b, "sh").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
-    shd = docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_n)).alias(
-            "shs"
-        ),
-    )
     common = (
         pairs.join(shd.select(F.col("doc_id").alias("a"), F.col("shs").alias("sh_a")), "a")
         .join(shd.select(F.col("doc_id").alias("b"), F.col("shs").alias("sh_b")), "b")
