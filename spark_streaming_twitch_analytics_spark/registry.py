@@ -1222,6 +1222,44 @@ def q16_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_extract_props",
+    """SELECT event_id, CAST(props->>'$.k' AS INT) AS k,
+CASE WHEN CAST(props->>'$.k' AS INT) >= 50 THEN 'high' ELSE 'low' END AS k_band
+FROM events""",
+    survey="ext: JSON column extraction (semi-structured props)",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "unpivot_lineitem",
+    """SELECT l_returnflag, name, val FROM (
+  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_tax), 2) AS sum_tax
+  FROM lineitem GROUP BY l_returnflag)
+UNPIVOT (val FOR name IN (sum_qty, sum_tax))""",
+    survey="ext: unpivot/melt (stack)",
+)
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'sum_qty', sum_qty, 'sum_tax', sum_tax) AS (name, val)",
+    )
+
+
+@register(
     "sql_api_revenue",
     """SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
 CAST(count(*) AS BIGINT) AS n

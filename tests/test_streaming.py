@@ -219,3 +219,32 @@ def test_dual_branch_fanout_shares_one_scan(spark, tmp_path):
         assert {r["category"]: r["cnt"] for r in cats} == want
     finally:
         q.stop()
+
+
+def test_rate_source_lines_parse_shape(spark):
+    # the rate→IRC mapping must produce lines the parser round-trips;
+    # validated on a rate-shaped STATIC frame (same expressions) to stay
+    # deterministic — the live rate source is unbounded by design
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.operators.messages import (
+        format_raw_messages,
+    )
+
+    base = spark.range(5).select(
+        F.col("id").alias("value"),
+        F.timestamp_millis(F.lit(1700000000000) + F.col("id") * 100).alias(
+            "timestamp"
+        ),
+    )
+    user = F.concat(F.lit("u"), (F.col("value") % 7).cast("string"))
+    line = F.concat(
+        F.unix_millis(F.col("timestamp")).cast("string"),
+        F.lit(":"), user, F.lit("!"), user,
+        F.lit("@tmi PRIVMSG #"), F.lit("chan"), F.lit(" :msg "),
+        (F.col("value") % 31).cast("string"),
+    )
+    parsed = format_raw_messages(base.select(line.alias("value"))).collect()
+    assert [r["text"] for r in parsed] == [f"msg {i}" for i in range(5)]
+    assert all(r["channel"] == "#chan" for r in parsed)
+    assert parsed[0]["timestamp"] == "1700000000000"
