@@ -44,9 +44,18 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(shuffle_partitions=8)
+    args = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if bare:
+        # simulate the driver: a session with NONE of our factory configs
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("bare").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
