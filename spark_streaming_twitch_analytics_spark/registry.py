@@ -702,6 +702,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(emb, F.col("label"), 0.4)
 
 
+_CLUSTER_EDGES_SQL = f"""
+WITH RECURSIVE shx AS ({_sh_cte()}),
+sig AS (SELECT doc_id, {X.minhash_signature_sql("sh", dedup.MINHASH_HASHES)} AS sig FROM shx),
+bands AS (
+  SELECT doc_id, b.band,
+  array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|') AS key
+  FROM sig, (SELECT unnest(range(0, {dedup.MINHASH_BANDS})) AS band) b),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  AND l.doc_id < r.doc_id),
+shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shx),
+edges AS (
+  SELECT a, b FROM cand JOIN shd x ON x.doc_id = a JOIN shd y ON y.doc_id = b
+  WHERE len(list_intersect(x.sh, y.sh)) /
+    greatest(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1) >= 0.5)"""
+
+
+@register(
+    "dedup_clusters",
+    _CLUSTER_EDGES_SQL
+    + """,
+undirected AS (SELECT a AS src, b AS dst FROM edges
+               UNION SELECT b AS src, a AS dst FROM edges),
+reach AS (
+  SELECT src, dst FROM undirected
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS canonical_id
+FROM reach GROUP BY src""",
+    survey="ext: connected-components dedup clustering (iterative label "
+    "propagation vs recursive-CTE oracle)",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup: minhash-LSH pairs with jaccard ≥ 0.5 become
+    edges; connected components assign one canonical doc per cluster."""
+    from .operators.clusters import connected_components
+
+    pairs = dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
+    edges = pairs.filter(F.col("jaccard") >= 0.5).select("a", "b")
+    return connected_components(edges)
+
+
 # ===========================================================================
 # 7. Similarity search (extensions)
 # ===========================================================================

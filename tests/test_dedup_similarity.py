@@ -107,3 +107,19 @@ def test_brute_vs_lsh_recall_on_real_embeddings(spark):
     # structurally low here; assert it finds SOME of them (real corpora
     # with cluster structure are where LSH recall is meaningful)
     assert recall > 0.0
+
+
+def test_connected_components_transitive(spark):
+    from spark_streaming_twitch_analytics_spark.operators.clusters import (
+        connected_components,
+    )
+
+    # chain 1-2-3 plus isolated pair 7-9: labels propagate transitively
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 9)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
