@@ -902,7 +902,7 @@ def sentiment_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _run_stream_over_docs(spark: SparkSession, sf_dir: str, build_counts, n_batches: int = 4) -> DataFrame:
+def _run_stream_over_docs(spark: SparkSession, sf_dir: str, build_counts, n_batches: int = 4, mode: str = "complete") -> DataFrame:
     """Materialize the documents table as IRC-shaped raw lines split into
     micro-batch files, run a streaming query over them to completion, and
     return the final state table.
@@ -928,7 +928,7 @@ def _run_stream_over_docs(spark: SparkSession, sf_dir: str, build_counts, n_batc
         if batch_lines:
             write_batch_file(src, batch_lines, b)
     name = f"stream_{uuid.uuid4().hex[:8]}"
-    q = memory_sink_query(build_counts(file_line_source(spark, src)), name)
+    q = memory_sink_query(build_counts(file_line_source(spark, src)), name, mode=mode)
     try:
         q.processAllAvailable()
     finally:
@@ -965,6 +965,29 @@ def streaming_category_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw, lambda text: scoring.decode_categories(scoring.hash_scores(text))
         ),
     )
+
+
+@register(
+    "streaming_stateful_wordcount",
+    messages.word_counts_sql("text", "documents"),
+    survey="ST4 arbitrary-state path (applyInPandasWithState): running "
+    "counts via custom per-key state; final state ≡ batch counts",
+)
+def streaming_stateful_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import countable_words
+    from .operators.messages import format_raw_messages
+    from .streaming.stateful import running_count_with_expiry
+
+    def build(raw: DataFrame) -> DataFrame:
+        words = format_raw_messages(raw).select(
+            F.explode(countable_words(F.col("text"), DEFAULT_LANG)).alias("word")
+        )
+        return running_count_with_expiry(words, idle_timeout_ms=None)
+
+    updates = _run_stream_over_docs(spark, sf_dir, build, mode="update")
+    # update-mode sink logs every per-batch revision; the final state per
+    # key is the max running count
+    return updates.groupBy("word").agg(F.max("cnt").alias("cnt"))
 
 
 # ===========================================================================
