@@ -116,20 +116,43 @@ def minhash_bands_sql(
     raise NotImplementedError("composed directly in registry oracle SQL")
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
+def candidate_pairs(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Distinct (a, b) doc pairs sharing at least one LSH band bucket.
 
     groupBy (band, key) → sorted id list → per-bucket pair expansion with
     array ops. ONE scan of the signature plan and ONE shuffle — a
     self-equi-join would scan it twice and shuffle twice (measured 2-3×
     slower at sf0.1). Pair count is Σ bucket² — bounded by bucket sizes,
-    never n². At 100 TB, a pathological mega-bucket (boilerplate dups)
-    would warrant a bucket-size cap; kept exact here."""
+    never n². ``max_bucket`` caps pathological mega-buckets (boilerplate
+    families at 100 TB): an oversized bucket degrades to pairing every
+    member with the bucket's min doc only (a star, |bucket|−1 pairs
+    instead of |bucket|²/2) — members still land in one cluster through
+    the connected-components step, without the quadratic blowup."""
     buckets = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        star = F.transform(
+            F.slice(F.col("ids"), 2, F.size(F.col("ids")) - 1),
+            lambda x: F.struct(
+                F.element_at(F.col("ids"), 1).alias("a"), x.alias("b")
+            ),
+        )
+        return (
+            buckets.filter(F.size("ids") > max_bucket)
+            .select(F.explode(star).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .unionByName(
+                candidate_pairs(
+                    buckets.filter(F.size("ids") <= max_bucket)
+                    .select("band", "key", F.explode("ids").alias("doc_id")),
+                    None,
+                )
+            )
+            .distinct()
+        )
     ids = F.col("ids")
     n = F.size(ids)
     pair_structs = F.flatten(

@@ -123,3 +123,21 @@ def test_connected_components_transitive(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_candidate_pairs_bucket_cap_stars_big_buckets(spark):
+    from spark_streaming_twitch_analytics_spark.operators.dedup import candidate_pairs
+
+    # one big bucket (5 docs) + one small (2 docs)
+    rows = [(d, 0, "big") for d in [10, 11, 12, 13, 14]] + [
+        (20, 0, "small"),
+        (21, 0, "small"),
+    ]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, key string")
+    full = {(r["a"], r["b"]) for r in candidate_pairs(bands).collect()}
+    capped = {
+        (r["a"], r["b"]) for r in candidate_pairs(bands, max_bucket=3).collect()
+    }
+    assert len(full) == 10 + 1  # 5C2 + 1
+    # star: big bucket pairs only against its min member; small unchanged
+    assert capped == {(10, 11), (10, 12), (10, 13), (10, 14), (20, 21)}

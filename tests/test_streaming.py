@@ -248,3 +248,33 @@ def test_rate_source_lines_parse_shape(spark):
     assert [r["text"] for r in parsed] == [f"msg {i}" for i in range(5)]
     assert all(r["channel"] == "#chan" for r in parsed)
     assert parsed[0]["timestamp"] == "1700000000000"
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    # the production state backend at scale: running counts must behave
+    # identically on RocksDB-backed state
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "in")
+        write_batch_file(src, B1, 1)
+        counts = SW.streaming_word_counts(file_line_source(spark, src))
+        q = SW.memory_sink_query(counts, "rocks_wc", mode="complete")
+        try:
+            q.processAllAvailable()
+            write_batch_file(src, B2, 2)
+            q.processAllAvailable()
+            got = counts_of(spark.table("rocks_wc"))
+            assert got == counts_of(SW.batch_oracle_word_counts(spark, B1 + B2))
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
