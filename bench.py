@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_topk",
     "ann_brute_topk",
+    "ann_brute_topk_np",
     "ann_lsh_topk",
     "text_quality",
     "text_fingerprint",

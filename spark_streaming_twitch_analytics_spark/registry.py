@@ -771,6 +771,22 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_brute_topk_np",
+    f"""WITH e AS ({_EMB_CTE}),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, q WHERE c.vec_id <> q_id)
+{topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", 5, ["c_id"])}""",
+    survey="ext: exact cosine top-k, numpy matmul scale path (mapInPandas, "
+    "per-batch top-k reduction — same oracle as ann_brute_topk)",
+)
+def ann_brute_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.brute_force_topk_np(queries, emb, 5)
+
+
+@register(
     "ann_lsh_topk",
     f"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
 {V.lsh_bucket_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))", 4, 64)} AS bucket

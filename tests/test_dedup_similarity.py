@@ -91,6 +91,16 @@ def test_lsh_topk_same_bucket_twins(planted_vecs):
     assert 1 in ids  # near-identical vector lands in the same bucket
 
 
+def test_numpy_matmul_path_matches_fold_path(spark):
+    """The mapInPandas matmul scale path must reproduce the HOF-fold exact
+    path bit-for-bit at 6dp — same rows, same scores, same tie-breaks."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    fold = sorted(map(tuple, similarity.brute_force_topk(q, emb, 5).collect()))
+    mat = sorted(map(tuple, similarity.brute_force_topk_np(q, emb, 5).collect()))
+    assert fold == mat and len(fold) > 0
+
+
 def test_brute_vs_lsh_recall_on_real_embeddings(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0)
