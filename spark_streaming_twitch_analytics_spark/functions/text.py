@@ -196,6 +196,62 @@ def simhash16_sql(md5s_expr: str) -> str:
     return f"({terms})"
 
 
+def simhash64_bands(tokens: Column) -> Column:
+    """64-bit SimHash as ``array<int>`` of four 16-bit bands.
+
+    Bits 0-31 take the top bit of each hex digit of ``md5(token)``;
+    bits 32-63 of ``md5('~' || token)``. Banding IS the blocking scheme:
+    by pigeonhole, two docs within Hamming distance 3 differ in at most
+    3 bands, so they agree on at least one — an equi-join on
+    (band_index, band_value) finds every Hamming-≤3 pair without an
+    all-pairs comparison. Pure array ops, no shuffle, no UDF.
+    """
+    md5a = F.transform(tokens, lambda t: F.md5(t))
+    md5b = F.transform(tokens, lambda t: F.md5(F.concat(F.lit("~"), t)))
+
+    def bands_of(s: Column) -> Column:
+        # s binds BOTH md5 arrays once per row (no CSE across HOFs —
+        # referencing md5a/md5b directly would recompute them per pass)
+        def one_band(ms: Column, digit_lo: int) -> Column:
+            total = F.size(ms)
+            acc = F.lit(0)
+            for j in range(16):
+                d = digit_lo + j + 1
+                ups = F.size(F.filter(ms, lambda m: F.substring(m, d, 1) >= "8"))
+                acc = acc + F.when(ups * 2 > total, F.lit(1 << j)).otherwise(F.lit(0))
+            return acc
+
+        return F.array(
+            one_band(s["m1"], 0),
+            one_band(s["m1"], 16),
+            one_band(s["m2"], 0),
+            one_band(s["m2"], 16),
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.struct(md5a.alias("m1"), md5b.alias("m2"))), bands_of), 1
+    )
+
+
+def simhash64_bands_sql(md5a_expr: str, md5b_expr: str) -> str:
+    """SQL twin of :func:`simhash64_bands`; both exprs must be CTE columns
+    holding the two md5 lists (see :func:`simhash16_sql` note)."""
+
+    def one_band(ms: str, digit_lo: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN len(list_filter({ms}, "
+            f"x -> x[{digit_lo + j + 1}:{digit_lo + j + 1}] >= '8')) "
+            f"* 2 > len({ms}) THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        return f"({terms})"
+
+    return (
+        f"[{one_band(md5a_expr, 0)}, {one_band(md5a_expr, 16)}, "
+        f"{one_band(md5b_expr, 0)}, {one_band(md5b_expr, 16)}]"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis extensions (langid / quality / token counts / fingerprint /
 # sentiment) — SURVEY §7 phase 4

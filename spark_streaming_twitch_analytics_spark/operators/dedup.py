@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     minhash_signature,
     simhash16,
+    simhash64_bands,
     tokenize,
     word_shingles,
 )
@@ -247,6 +248,46 @@ def simhash_dup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     a = s.select(F.col("doc_id").alias("a"), F.col("simhash"))
     b = s.select(F.col("doc_id").alias("b"), F.col("simhash"))
     return a.join(b, "simhash").filter(F.col("a") < F.col("b")).select("a", "b", "simhash")
+
+
+def simhash64_dup_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` of a 64-bit
+    SimHash, via 4×16-bit band blocking (pigeonhole: Hamming ≤ 3 ⇒ at
+    least one identical band — see :func:`simhash64_bands`).
+
+    Candidate generation is an equi-join on (band, value): the shuffle is
+    keyed by 16-bit band values, so pair space is Σ bucket², never n².
+    Verification is exact: XOR + popcount over the four bands, all
+    JVM-side (``bit_count``). Bands are persisted once and reused by the
+    blocking join and both verify lookups."""
+    s = docs.select(
+        "doc_id", simhash64_bands(tokenize(F.col(text_col))).alias("bands")
+    ).persist()
+    s.count()  # eager: one digest computation feeds three consumers
+    e = s.select("doc_id", F.posexplode("bands").alias("band", "val"))
+    a = e.select(F.col("doc_id").alias("a"), "band", "val")
+    b = e.select(F.col("doc_id").alias("b"), "band", "val")
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ba = s.select(F.col("doc_id").alias("a"), F.col("bands").alias("ba"))
+    bb = s.select(F.col("doc_id").alias("b"), F.col("bands").alias("bb"))
+    ham = F.aggregate(
+        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        pairs.join(ba, "a")
+        .join(bb, "b")
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -659,6 +659,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash64_hamming",
+    f"""WITH t AS (SELECT doc_id,
+list_transform({X.tokenize_sql("text")}, t -> md5(t)) AS m1,
+list_transform({X.tokenize_sql("text")}, t -> md5('~' || t)) AS m2 FROM documents),
+s AS (SELECT doc_id, {X.simhash64_bands_sql("m1", "m2")} AS bands FROM t),
+e AS (SELECT doc_id, b.band, bands[b.band + 1] AS val
+  FROM s, (SELECT unnest(range(0, 4)) AS band) b),
+p AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM e l JOIN e r ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id)
+SELECT a, b, hamming FROM (
+  SELECT a, b, CAST(bit_count(xor(x.bands[1], y.bands[1])) + bit_count(xor(x.bands[2], y.bands[2]))
+    + bit_count(xor(x.bands[3], y.bands[3])) + bit_count(xor(x.bands[4], y.bands[4])) AS INT) AS hamming
+  FROM p JOIN s x ON x.doc_id = a JOIN s y ON y.doc_id = b)
+WHERE hamming <= 3""",
+    survey="ext: 64-bit SimHash near-dup, Hamming-distance-3 band blocking "
+    "(4x16-bit bands; pigeonhole guarantees candidate coverage)",
+)
+def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64_dup_pairs(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_ngram_topk",
     f"""
 WITH shx AS ({_sh_cte(2)}),
