@@ -74,3 +74,63 @@ def running_count_with_expiry(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def running_count_tws(
+    words: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    :func:`running_count_with_expiry` — the Spark 4 successor API
+    (SPARK-49564 ``StatefulProcessor``): named state variables instead of
+    one state tuple, explicit per-key timers instead of a single timeout
+    conf, and RocksDB-only state backend (the production state store for
+    100 TB key domains — the test pins
+    ``spark.sql.streaming.stateStore.providerClass`` accordingly).
+
+    Same output contract: update-mode running counts, plus a terminal
+    ``expired=true`` row when a key's idle timer fires and state drops.
+
+    Runtime dependency: the TWS state-server protocol needs the
+    ``protobuf`` package on driver and executors (absent in the test
+    container, so the pytest for this operator self-skips there;
+    ``applyInPandasWithState`` above is the dependency-free fallback
+    with identical semantics).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    idle = idle_timeout_ms
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._cnt = handle.getValueState("cnt", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            new = sum(len(pdf) for pdf in rows)
+            cnt = (self._cnt.get()[0] if self._cnt.exists() else 0) + new
+            self._cnt.update((cnt,))
+            if idle is not None:
+                for ts in list(self._handle.listTimers()):  # re-arm
+                    self._handle.deleteTimer(ts)
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + idle
+                )
+            yield pd.DataFrame({"word": [key[0]], "cnt": [cnt], "expired": [False]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            cnt = self._cnt.get()[0] if self._cnt.exists() else 0
+            self._cnt.clear()
+            yield pd.DataFrame({"word": [key[0]], "cnt": [cnt], "expired": [True]})
+
+        def close(self) -> None:
+            pass
+
+    return words.groupBy("word").transformWithStateInPandas(
+        RunningCount(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none" if idle is None else "processingTime",
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_streaming_twitch_analytics_spark.functions.text import countable_words
@@ -19,6 +20,7 @@ from spark_streaming_twitch_analytics_spark.sources.irc import (
     write_batch_file,
 )
 from spark_streaming_twitch_analytics_spark.streaming.stateful import (
+    running_count_tws,
     running_count_with_expiry,
 )
 
@@ -54,6 +56,59 @@ def test_stateful_running_count_accumulates(spark, tmp_path):
         assert not any(r["expired"] for r in spark.table("stateful_wc").collect())
     finally:
         q.stop()
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas's state-server protocol needs "
+    "protobuf (not in this container; no installs allowed) — the "
+    "operator itself is real, see streaming/stateful.py",
+)
+def test_tws_running_count_accumulates(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) must match
+    the applyInPandasWithState semantics batch-for-batch. RocksDB is the
+    only supported backend for this API."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "in")
+    write_batch_file(src, [format_privmsg(1, "u", "c", "apple apple banana")], 1)
+    out = running_count_tws(word_stream(spark, src), idle_timeout_ms=None)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_wc")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch_file(src, [format_privmsg(2, "u", "c", "apple cherry")], 2)
+        q.processAllAvailable()
+        got = {
+            r["word"]: r["cnt"]
+            for r in spark.sql(
+                "SELECT word, max(cnt) AS cnt FROM tws_wc GROUP BY word"
+            ).collect()
+        }
+        assert got == {"apple": 3, "banana": 1, "cherry": 1}
+        assert not any(r["expired"] for r in spark.table("tws_wc").collect())
+    finally:
+        q.stop()
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 def test_stateful_idle_keys_expire(spark, tmp_path):
