@@ -60,6 +60,8 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).selectExpr("count(*)").collect()
 
+    from spark_streaming_twitch_analytics_spark.cache import release_all
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.get(name).fn
@@ -70,9 +72,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
         run()  # warm: codegen + shuffle-file cache for THIS plan
+        release_all()  # timed run rebuilds its own caches from cold
         t0 = time.time()
-        run()  # timed: steady-state execution
+        run()
         times[name] = round(time.time() - t0, 3)
+        release_all()
         print(f"# {name}: {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)

@@ -196,59 +196,89 @@ def simhash16_sql(md5s_expr: str) -> str:
     return f"({terms})"
 
 
+def simhash64_token_ints(tokens: Column) -> Column:
+    """Per-token 64-bit hash as ``array<struct<h1,h2>>``: the first 16 hex
+    digits of md5(token) parsed as two 32-bit ints. ONE md5 + ONE parse
+    per token; every simhash bit then costs an integer shift+mask instead
+    of a per-digit substring (measured ~3× faster at sf0.1)."""
+    md5s = F.transform(tokens, lambda t: F.md5(t))
+    return F.transform(
+        md5s,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        ),
+    )
+
+
 def simhash64_bands(tokens: Column) -> Column:
     """64-bit SimHash as ``array<int>`` of four 16-bit bands.
 
-    Bits 0-31 take the top bit of each hex digit of ``md5(token)``;
-    bits 32-63 of ``md5('~' || token)``. Banding IS the blocking scheme:
-    by pigeonhole, two docs within Hamming distance 3 differ in at most
-    3 bands, so they agree on at least one — an equi-join on
-    (band_index, band_value) finds every Hamming-≤3 pair without an
-    all-pairs comparison. Pure array ops, no shuffle, no UDF.
+    Bit j of the signature is the majority vote over tokens of bit j of
+    the token's 64-bit md5-derived hash (:func:`simhash64_token_ints`).
+    Banding IS the blocking scheme: by pigeonhole, two docs within
+    Hamming distance 3 differ in at most 3 bands, so they agree on at
+    least one — an equi-join on (band_index, band_value) finds every
+    Hamming-≤3 pair without an all-pairs comparison. Pure array ops, no
+    shuffle, no UDF.
     """
-    md5a = F.transform(tokens, lambda t: F.md5(t))
-    md5b = F.transform(tokens, lambda t: F.md5(F.concat(F.lit("~"), t)))
 
-    def bands_of(s: Column) -> Column:
-        # s binds BOTH md5 arrays once per row (no CSE across HOFs —
-        # referencing md5a/md5b directly would recompute them per pass)
-        def one_band(ms: Column, digit_lo: int) -> Column:
-            total = F.size(ms)
+    def bands_of(hs: Column) -> Column:
+        # hs binds the parsed-int array once per row (no CSE across HOFs
+        # — referencing it directly in all 64 passes would re-md5+parse
+        # the tokens per pass)
+        total = F.size(hs)
+
+        def one_band(field: str, bit_lo: int) -> Column:
             acc = F.lit(0)
             for j in range(16):
-                d = digit_lo + j + 1
-                ups = F.size(F.filter(ms, lambda m: F.substring(m, d, 1) >= "8"))
+                bit = bit_lo + j
+                ups = F.size(
+                    F.filter(
+                        hs,
+                        lambda x: F.shiftright(x[field], bit).bitwiseAND(F.lit(1))
+                        == 1,
+                    )
+                )
                 acc = acc + F.when(ups * 2 > total, F.lit(1 << j)).otherwise(F.lit(0))
             return acc
 
         return F.array(
-            one_band(s["m1"], 0),
-            one_band(s["m1"], 16),
-            one_band(s["m2"], 0),
-            one_band(s["m2"], 16),
+            one_band("h1", 0),
+            one_band("h1", 16),
+            one_band("h2", 0),
+            one_band("h2", 16),
         )
 
-    return F.element_at(
-        F.transform(F.array(F.struct(md5a.alias("m1"), md5b.alias("m2"))), bands_of), 1
+    return F.element_at(F.transform(F.array(simhash64_token_ints(tokens)), bands_of), 1)
+
+
+def simhash64_token_ints_sql(tokens_expr: str) -> str:
+    """SQL twin of :func:`simhash64_token_ints` (DuckDB's 0x-prefix cast
+    parses hex; slices are 1-based inclusive)."""
+    return (
+        f"list_transform({tokens_expr}, t -> "
+        "{'h1': CAST('0x' || md5(t)[1:8] AS BIGINT), "
+        "'h2': CAST('0x' || md5(t)[9:16] AS BIGINT)})"
     )
 
 
-def simhash64_bands_sql(md5a_expr: str, md5b_expr: str) -> str:
-    """SQL twin of :func:`simhash64_bands`; both exprs must be CTE columns
-    holding the two md5 lists (see :func:`simhash16_sql` note)."""
+def simhash64_bands_sql(ints_expr: str) -> str:
+    """SQL twin of :func:`simhash64_bands`; ``ints_expr`` must be a CTE
+    column holding the parsed-int list (see :func:`simhash16_sql` note)."""
 
-    def one_band(ms: str, digit_lo: int) -> str:
+    def one_band(field: str, bit_lo: int) -> str:
         terms = " + ".join(
-            f"(CASE WHEN len(list_filter({ms}, "
-            f"x -> x[{digit_lo + j + 1}:{digit_lo + j + 1}] >= '8')) "
-            f"* 2 > len({ms}) THEN {1 << j} ELSE 0 END)"
+            f"(CASE WHEN len(list_filter({ints_expr}, "
+            f"x -> ((x.{field} >> {bit_lo + j}) & 1) = 1)) "
+            f"* 2 > len({ints_expr}) THEN {1 << j} ELSE 0 END)"
             for j in range(16)
         )
         return f"({terms})"
 
     return (
-        f"[{one_band(md5a_expr, 0)}, {one_band(md5a_expr, 16)}, "
-        f"{one_band(md5b_expr, 0)}, {one_band(md5b_expr, 16)}]"
+        f"[{one_band('h1', 0)}, {one_band('h1', 16)}, "
+        f"{one_band('h2', 0)}, {one_band('h2', 16)}]"
     )
 
 

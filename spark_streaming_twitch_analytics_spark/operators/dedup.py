@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import eager_persist
+from .skew import fan_out
 from ..functions.text import (
     minhash_signature,
     simhash16,
@@ -63,7 +65,7 @@ SHINGLE_N = 3
 def shingle_sets(docs: DataFrame, text_col: str = "text", shingle_n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, sh): distinct word-shingle set per doc. MinHash over the
     distinct set equals minhash over the multiset (min ignores dups)."""
-    return docs.select(
+    return fan_out(docs).select(
         "doc_id",
         F.array_distinct(
             word_shingles(tokenize(F.col(text_col)), shingle_n)
@@ -215,9 +217,7 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     cluster the same pattern applies: materialize signatures once, reuse
     (mirrors the two-branch ``DStream.cache()`` the reference needed,
     ``SparkRunner.scala:79,112``)."""
-    sh = shingle_sets(docs, text_col).persist()
-    sh.count()  # eager: a lazy persist would still be computed once per
-    # downstream branch when they run inside the same job
+    sh = eager_persist(shingle_sets(docs, text_col))
     pairs = candidate_pairs(minhash_bands(docs, text_col, shingles=sh))
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
@@ -262,10 +262,11 @@ def simhash64_dup_pairs(
     Verification is exact: XOR + popcount over the four bands, all
     JVM-side (``bit_count``). Bands are persisted once and reused by the
     blocking join and both verify lookups."""
-    s = docs.select(
-        "doc_id", simhash64_bands(tokenize(F.col(text_col))).alias("bands")
-    ).persist()
-    s.count()  # eager: one digest computation feeds three consumers
+    s = eager_persist(  # one digest computation feeds three consumers
+        fan_out(docs).select(
+            "doc_id", simhash64_bands(tokenize(F.col(text_col))).alias("bands")
+        )
+    )
     e = s.select("doc_id", F.posexplode("bands").alias("band", "val"))
     a = e.select(F.col("doc_id").alias("a"), "band", "val")
     b = e.select(F.col("doc_id").alias("b"), "band", "val")
@@ -315,10 +316,9 @@ def ngram_jaccard_pairs(
     over the FULL shingle sets of each candidate pair."""
     # one materialization of the shingle plan feeds everything below
     # (exploded index, df counts, sizes, and the per-pair verify arrays)
-    shd = shingle_sets(docs, text_col, shingle_n).withColumnRenamed(
-        "sh", "shs"
-    ).persist()
-    shd.count()
+    shd = eager_persist(
+        shingle_sets(docs, text_col, shingle_n).withColumnRenamed("sh", "shs")
+    )
     sh = shd.select("doc_id", F.explode("shs").alias("sh"))
     join_sh = sh
     if max_df_fraction is not None:

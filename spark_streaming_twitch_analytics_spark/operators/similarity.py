@@ -30,12 +30,16 @@ def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | Non
     """Each side carries its vector AND its precomputed norm — computing
     the norm per-pair would triple the per-pair FLOPs (dot + 2 norms).
     Bitwise identical: norm sees the same values either way."""
+    from .skew import fan_out
+
     q = queries.select(
         F.col("vec_id").alias("q_id"),
         as_double(F.col("embedding")).alias("qv"),
         norm(as_double(F.col("embedding")), DIM).alias("qn"),
         *[F.col(c) for c in (join_cols or [])],
     )
+    candidates = fan_out(candidates)  # the per-pair dot-product stage
+    # inherits this partitioning (broadcast join adds no shuffle)
     c = candidates.select(
         F.col("vec_id").alias("c_id"),
         as_double(F.col("embedding")).alias("cv"),
@@ -146,7 +150,9 @@ def brute_force_topk_np(
                 }
             )
 
-    reduced = candidates.select("vec_id", "embedding").mapInPandas(
+    from .skew import fan_out
+
+    reduced = fan_out(candidates.select("vec_id", "embedding")).mapInPandas(
         score, "q_id long, c_id long, cos double"
     )
     return _topk(reduced, k)

@@ -661,9 +661,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash64_hamming",
     f"""WITH t AS (SELECT doc_id,
-list_transform({X.tokenize_sql("text")}, t -> md5(t)) AS m1,
-list_transform({X.tokenize_sql("text")}, t -> md5('~' || t)) AS m2 FROM documents),
-s AS (SELECT doc_id, {X.simhash64_bands_sql("m1", "m2")} AS bands FROM t),
+{X.simhash64_token_ints_sql(X.tokenize_sql("text"))} AS hs FROM documents),
+s AS (SELECT doc_id, {X.simhash64_bands_sql("hs")} AS bands FROM t),
 e AS (SELECT doc_id, b.band, bands[b.band + 1] AS val
   FROM s, (SELECT unnest(range(0, 4)) AS band) b),
 p AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

@@ -61,10 +61,13 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    from spark_streaming_twitch_analytics_spark.cache import release_all
+
     failures = []
     for q in registry._REGISTRY:
         if only and q.name not in only:
             continue
+        release_all()  # drop cached intermediates from the previous query
         t0 = time.time()
         sdf = q.fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
