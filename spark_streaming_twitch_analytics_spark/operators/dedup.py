@@ -156,6 +156,12 @@ def candidate_pairs(bands: DataFrame, max_bucket: int | None = None) -> DataFram
             )
             .distinct()
         )
+    return _pairs_from_buckets(buckets)
+
+
+def _pairs_from_buckets(buckets: DataFrame) -> DataFrame:
+    """All (a, b), a < b, within each bucket's sorted ``ids`` array,
+    deduped across buckets. Array-op pair expansion — no self-join."""
     ids = F.col("ids")
     n = F.size(ids)
     pair_structs = F.flatten(
@@ -315,11 +321,17 @@ def ngram_jaccard_pairs(
     high-jaccard pairs is preserved; Jaccard itself is still computed
     over the FULL shingle sets of each candidate pair."""
     # one materialization of the shingle plan feeds everything below
-    # (exploded index, df counts, sizes, and the per-pair verify arrays)
+    # (inverted-index buckets, sizes, and the per-pair verify arrays)
     shd = eager_persist(
         shingle_sets(docs, text_col, shingle_n).withColumnRenamed("sh", "shs")
     )
     sh = shd.select("doc_id", F.explode("shs").alias("sh"))
+    # NB: the bucket-expansion pattern (_pairs_from_buckets) was MEASURED
+    # 3× slower here — rare-shingle buckets hold up to max_df≈5%·N docs,
+    # so expansion builds ~(max_df²/2)-struct arrays on single rows
+    # (skew + allocation); the streaming hash self-join handles big
+    # buckets gracefully. Bucket expansion wins only for small buckets
+    # (minhash bands). Keep the join shape.
     join_sh = sh
     if max_df_fraction is not None:
         max_df = int(-(-docs.count() * max_df_fraction // 1))  # ceil, driver scalar
