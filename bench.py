@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",
+    "dedup_simhash64_hamming",
     "dedup_ngram_topk",
     "ann_brute_topk",
     "ann_brute_topk_np",
