@@ -43,6 +43,7 @@ HEADLINE = [
     "ann_brute_topk",
     "ann_brute_topk_np",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality",
     "text_fingerprint",
     "multimodal_meta",

@@ -70,6 +70,41 @@ def hyperplane_weights(h: int, dim: int) -> list[int]:
     ]
 
 
+def centroid_weights(c: int, dim: int) -> list[int]:
+    """Deterministic integer IVF pseudo-centroid (same md5 construction
+    as :func:`hyperplane_weights`, different salt). Range [-8, 7]."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"ivf{c}_{i}".encode()).hexdigest()[0], 16) - 8
+        for i in range(dim)
+    ]
+
+
+def cell_scores(vec: Column, n_cells: int, dim: int) -> Column:
+    """Array of dot(vec, centroid_c) for c in [0, n_cells) — the IVF
+    assignment scores. Identical fold order to :func:`dot` so both
+    engines agree bit-for-bit."""
+    return F.array(
+        *[
+            dot(
+                vec,
+                F.array(*[F.lit(float(x)) for x in centroid_weights(c, dim)]),
+                dim,
+            )
+            for c in range(n_cells)
+        ]
+    )
+
+
+def cell_scores_sql(vec_expr: str, n_cells: int, dim: int) -> str:
+    parts = []
+    for c in range(n_cells):
+        w = "[" + ", ".join(f"{float(x)!r}" for x in centroid_weights(c, dim)) + "]"
+        parts.append(dot_sql(vec_expr, w, dim))
+    return "[" + ", ".join(parts) + "]"
+
+
 def lsh_bucket(vec: Column, n_bits: int, dim: int) -> Column:
     """Sign-of-dot-product LSH bucket id in [0, 2^n_bits)."""
     acc = F.lit(0)

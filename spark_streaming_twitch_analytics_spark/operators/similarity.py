@@ -84,6 +84,59 @@ def lsh_topk(
     return _topk(_scored(_pairs(q, c, ["bucket"])), k)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-style ANN: candidates are assigned to their argmax-cosine cell
+    among ``n_cells`` deterministic pseudo-centroids; each query probes
+    its top-``n_probe`` cells. Candidates meet queries only within a
+    probed cell — an integer equi-join, like :func:`lsh_topk` but with
+    data-adaptive regions instead of fixed hyperplane signs, and a
+    recall knob (``n_probe``) that costs probes, not an index rebuild.
+
+    At 100 TB the shape is: assign + write candidates partitioned by
+    cell once (`partitionBy("cell")`), then every query batch prunes to
+    ``n_probe`` partitions — scan IO drops by n_cells/n_probe. Centroids
+    are md5-derived literals (no trained state to ship); a k-means
+    refinement would only change the literals.
+    """
+    from ..functions.vectors import cell_scores
+
+    from .skew import fan_out
+
+    def assigned(df: DataFrame) -> DataFrame:
+        s = cell_scores(as_double(F.col("embedding")), n_cells, dim)
+        return df.withColumn("_cs", s).withColumn(
+            "cell", F.array_position(F.col("_cs"), F.array_max(F.col("_cs"))).cast("int")
+        )
+
+    c = assigned(fan_out(candidates)).select("vec_id", "embedding", "cell")
+    # query probes: repeated argmax, masking each taken cell's score by
+    # VALUE (not position) — mirrors cleanly into SQL; under exact-double
+    # ties both tied slots mask together, deterministically on both engines
+    def masked(prev):
+        # NB single-arg lambda: a two-arg lambda would be read by the HOF
+        # as (element, index)
+        return F.transform(
+            prev, lambda x: F.when(x == F.array_max(prev), F.lit(-1e18)).otherwise(x)
+        )
+
+    probe_cols = []
+    cur = F.col("_cs")
+    for _ in range(n_probe):
+        probe_cols.append(F.array_position(cur, F.array_max(cur)).cast("int"))
+        cur = masked(cur)
+    q = assigned(queries).select(
+        "vec_id", "embedding", F.explode(F.array(*probe_cols)).alias("cell")
+    )
+    return _topk(_scored(_pairs(q, c, ["cell"])), k)
+
+
 def brute_force_topk_np(
     queries: DataFrame, candidates: DataFrame, k: int, dim: int = DIM
 ) -> DataFrame:

@@ -824,6 +824,35 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(queries, emb, 5)
 
 
+_IVF_CELLS = 8
+_IVF_SQL_ASSIGN = f"""sc AS (SELECT vec_id, v,
+  {V.cell_scores_sql("v", _IVF_CELLS, 64)} AS cs FROM e),
+ac AS (SELECT vec_id, v, CAST(list_position(cs, list_max(cs)) AS INT) AS cell, cs FROM sc)"""
+
+
+@register(
+    "ann_ivf_topk",
+    f"""WITH e AS ({_EMB_CTE}),
+{_IVF_SQL_ASSIGN},
+qm AS (SELECT vec_id, v, cs, cell,
+  list_transform(cs, x -> CASE WHEN x = list_max(cs) THEN -1e18 ELSE x END) AS cs2
+  FROM ac WHERE vec_id % 10 = 0),
+qp AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM qm
+  UNION ALL
+  SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM qm),
+scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM ac c JOIN qp ON c.cell = qp.cell WHERE c.vec_id <> q_id)
+{topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", 5, ["c_id"])}""",
+    survey="ext: IVF-style ANN (deterministic pseudo-centroids, argmax-cell "
+    "assignment, 2-probe queries)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.ivf_topk(queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2)
+
+
 # ===========================================================================
 # 8. Text analysis (extensions)
 # ===========================================================================

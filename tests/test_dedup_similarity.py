@@ -138,6 +138,21 @@ def test_lsh_topk_same_bucket_twins(planted_vecs):
     assert 1 in ids  # near-identical vector lands in the same bucket
 
 
+def test_ivf_topk_probes_find_neighbors(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in similarity.brute_force_topk(q, emb, 5).collect()
+    }
+    got = similarity.ivf_topk(q, emb, 5, n_cells=8, n_probe=2).collect()
+    approx = {(r["q_id"], r["c_id"]) for r in got}
+    # every query must produce k results (cells are data-adaptive, so no
+    # query lands in an empty region), and recall must be non-trivial
+    assert len(got) == 5 * q.count()
+    assert len(truth & approx) / len(truth) > 0.0
+
+
 def test_numpy_matmul_path_matches_fold_path(spark):
     """The mapInPandas matmul scale path must reproduce the HOF-fold exact
     path bit-for-bit at 6dp — same rows, same scores, same tie-breaks."""
