@@ -1461,3 +1461,64 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feat_sum"
         ),
     )
+
+
+# ===========================================================================
+# 12. Training-pipeline corpus ops (extensions): reproducible sampling,
+# dedup keep-list materialization, corpus shape statistics
+# ===========================================================================
+
+
+@register(
+    "corpus_sample_10pct",
+    "SELECT doc_id, text FROM documents "
+    "WHERE CAST('0x' || md5(CAST(doc_id AS VARCHAR))[1:8] AS BIGINT) % 100 < 10",
+    survey="ext: deterministic hash sampling — reproducible corpus subsets "
+    "(same rows on every engine/run/partitioning, unlike rand()-based "
+    "TABLESAMPLE); the filter is a pure row predicate so it pushes to the "
+    "scan and composes with any downstream op",
+)
+def corpus_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return d.select("doc_id", "text").filter(bucket < 10)
+
+
+@register(
+    "dedup_keep_canonical",
+    f"""WITH g AS ({dedup.exact_dup_groups_sql()})
+SELECT d.doc_id, d.text FROM documents d
+JOIN g ON g.canonical_id = d.doc_id""",
+    survey="ext: dedup keep-list materialization — the corpus AFTER exact "
+    "dedup (one canonical doc per distinct text), as a semi-joinable frame",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    keep = dedup.exact_dup_groups(d).select(F.col("canonical_id").alias("doc_id"))
+    return d.join(keep, "doc_id", "left_semi").select("doc_id", "text")
+
+
+@register(
+    "corpus_token_histogram",
+    f"""WITH t AS (SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents)
+SELECT CAST(floor(len(toks) / 10) AS INT) AS bucket,
+CAST(count(*) AS BIGINT) AS n_docs,
+CAST(min(len(toks)) AS INT) AS min_toks, CAST(max(len(toks)) AS INT) AS max_toks
+FROM t GROUP BY 1""",
+    survey="ext: corpus shape statistics — token-count histogram (10-token "
+    "buckets); the distribution check before a training run",
+)
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n = F.size(X.tokenize(F.col("text")))
+    return (
+        d.select(F.floor(n / 10).cast("int").alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").cast("int").alias("min_toks"),
+            F.max("n").cast("int").alias("max_toks"),
+        )
+    )

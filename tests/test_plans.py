@@ -64,6 +64,33 @@ def test_semi_join_is_broadcast_not_shuffle(spark):
     )
 
 
+def test_ivf_partitioned_layout_prunes_cells(spark, tmp_path):
+    """The 100 TB IVF serving shape: candidates written partitionBy(cell)
+    → a probe of one cell must scan ONE partition (partition pruning
+    visible in the plan), not the whole index."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.functions.vectors import (
+        as_double,
+        cell_scores,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    s = cell_scores(as_double(F.col("embedding")), 8, 64)
+    assigned = emb.withColumn("_cs", s).withColumn(
+        "cell", F.array_position(F.col("_cs"), F.array_max(F.col("_cs"))).cast("int")
+    )
+    path = str(tmp_path / "ivf_index")
+    assigned.select("vec_id", "embedding", "cell").write.partitionBy(
+        "cell"
+    ).parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("cell") == 3)
+    plan = EX.formatted_plan(probe)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+    # pruned scan reads strictly fewer files than the full index
+    assert probe.count() < spark.read.parquet(path).count()
+
+
 def test_no_python_udf_in_oracle_query_plans(spark):
     # everything SQL-expressible must stay JVM-side (no BatchEvalPython /
     # ArrowEvalPython nodes) — UDFs allowed only in rows-only queries
