@@ -1,0 +1,82 @@
+"""Stream-static enrichment and watermarked streaming dedup — the two
+streaming relational extensions (streaming/ops.py). Oracle style follows
+SURVEY §5: the streaming result must equal the equivalent batch query
+over the same rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_twitch_analytics_spark.streaming.ops import (
+    dedup_stream,
+    enrich_with_dim,
+)
+from tests.test_windows_streaming import stream, write_events
+
+
+def test_stream_static_enrichment_broadcasts(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    write_events(
+        src,
+        1,
+        [
+            ("2024-01-01T10:05:00", "click", 1, 1.0),
+            ("2024-01-01T10:06:00", "view", 2, 2.0),
+            ("2024-01-01T10:07:00", "click", 9, 3.0),  # no dim row → null
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "user_id long, user_name string"
+    )
+    out = enrich_with_dim(stream(spark, src), dim, "user_id")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: r["user_name"] for r in spark.table("enriched").collect()
+        }
+        assert got == {1: "alice", 2: "bob", 9: None}
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    write_events(
+        src,
+        1,
+        [
+            ("2024-01-01T10:05:00", "click", 1, 1.0),
+            ("2024-01-01T10:05:00", "click", 1, 1.0),  # in-batch duplicate
+            ("2024-01-01T10:06:00", "view", 2, 2.0),
+        ],
+    )
+    out = dedup_stream(stream(spark, src), ["event_type", "user_id"], "ts")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # cross-batch duplicate within the 10-minute horizon → dropped too
+        write_events(src, 2, [("2024-01-01T10:07:00", "click", 1, 9.0)])
+        q.processAllAvailable()
+        rows = spark.table("dedup_stream_t").collect()
+        keys = sorted((r["event_type"], r["user_id"]) for r in rows)
+        assert keys == [("click", 1), ("view", 2)]  # one row per id
+        # streaming dedup ≡ batch dropDuplicates over the same rows (ids)
+        batch = spark.read.schema(stream(spark, src).schema).json(src)
+        expect = sorted(
+            (r["event_type"], r["user_id"])
+            for r in batch.dropDuplicates(["event_type", "user_id"]).collect()
+        )
+        assert keys == expect
+    finally:
+        q.stop()
