@@ -33,3 +33,34 @@ def dedup_stream(
     is evicted as the watermark advances — unlike a bare
     ``dropDuplicates`` on a stream, whose state grows forever."""
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(id_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` where the right event lands in
+    ``[left_ts, left_ts + within]`` — the click-joins-impression shape.
+
+    Both sides are watermarked, and the time-interval condition is what
+    BOUNDS the join state: each side buffers only rows whose window can
+    still match under the other side's watermark, then evicts. Without
+    the interval condition Spark must keep every row forever (unbounded
+    state — the same trap as the reference's ``updateStateByKey``).
+    Right columns are suffixed ``_r``.
+    """
+    r = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns]
+    ).withWatermark(f"{right_ts}_r", watermark)
+    lt, rt = F.col(left_ts), F.col(f"{right_ts}_r")
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return left.withWatermark(left_ts, watermark).join(r, cond).drop(f"{key}_r")

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from spark_streaming_twitch_analytics_spark.streaming.ops import (
     dedup_stream,
     enrich_with_dim,
+    interval_join,
 )
 from tests.test_windows_streaming import stream, write_events
 
@@ -41,6 +42,34 @@ def test_stream_static_enrichment_broadcasts(spark, tmp_path):
             r["user_id"]: r["user_name"] for r in spark.table("enriched").collect()
         }
         assert got == {1: "alice", 2: "bob", 9: None}
+    finally:
+        q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Impressions (left) join clicks (right) on user within 10 minutes
+    AFTER the impression — the canonical stream-stream interval join.
+    A click outside the interval must not match."""
+    imp_src, clk_src = str(tmp_path / "imp"), str(tmp_path / "clk")
+    write_events(imp_src, 1, [("2024-01-01T10:00:00", "imp", 1, 0.0),
+                              ("2024-01-01T10:00:00", "imp", 2, 0.0)])
+    write_events(clk_src, 1, [("2024-01-01T10:05:00", "click", 1, 1.0),
+                              ("2024-01-01T10:30:00", "click", 2, 2.0)])
+    joined = interval_join(
+        stream(spark, imp_src), stream(spark, clk_src), key="user_id"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("ij").collect()
+        # user 1's click is 5 min after the impression → joins;
+        # user 2's click is 30 min after → outside the interval, dropped
+        assert [(r["user_id"], r["event_type_r"]) for r in rows] == [(1, "click")]
     finally:
         q.stop()
 
