@@ -11,6 +11,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spark_streaming_twitch_analytics_spark import registry
+from spark_streaming_twitch_analytics_spark.cache import release_all
 from spark_streaming_twitch_analytics_spark.session import get_spark
 
 QUERIES = [
@@ -21,6 +22,9 @@ QUERIES = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "ann_brute_topk",
+    "ann_brute_topk_np",
+    "ann_ivf_topk",
+    "dedup_simhash64_hamming",
     "threshold_decode",
     "sessionize",
 ]
@@ -41,9 +45,11 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
             run()
+            release_all()
             t0 = time.time()
             run()
             ts.append(time.time() - t0)
+            release_all()
         rows.append((name, ts))
         print(f"# {name}: {['%.2f' % t for t in ts]}", file=sys.stderr)
 
