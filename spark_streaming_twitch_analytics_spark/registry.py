@@ -1589,3 +1589,11 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("int").alias("max_toks"),
         )
     )
+
+
+# ===========================================================================
+# 13. Remaining TPC-H shapes (Q2, Q7-Q11, Q13, Q15, Q17, Q20-Q22) — imported
+# for registration side effects; completes all 22 TPC-H query shapes.
+# ===========================================================================
+
+from . import registry_tpch  # noqa: E402,F401  (registration import)

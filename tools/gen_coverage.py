@@ -72,6 +72,7 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "ext-multimodal": ("binary columns + Arrow decode plumbing", "operators/multimodal.py"),
     "ext-text": ("langid/quality/token-count/fingerprint", "functions/text.py"),
     "ext-relational": ("set ops/rollup/pivot/as-of/range/percentiles/windows", "registry.py §10; operators/asof.py"),
+    "ext-tpch": ("all 22 TPC-H query shapes (adapted to the testdata schema)", "registry.py §5; registry_tpch.py"),
 }
 
 
@@ -106,6 +107,12 @@ def main() -> None:
     }
     for key, prefix in ext_map.items():
         by_id[key] = [q.name for q in registry._REGISTRY if q.name.startswith(prefix)]
+    import re
+
+    by_id["ext-tpch"] = sorted(
+        (q.name for q in registry._REGISTRY if re.match(r"^q\d+_", q.name)),
+        key=lambda n: int(n[1:].split("_")[0]),
+    )
     by_id["ext-relational"] = [
         "set_ops", "drop_duplicates", "rollup_orders", "pivot_events",
         "asof_join_events", "range_join_buckets", "quantiles_exact",
