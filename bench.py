@@ -28,6 +28,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
     "events_hourly",
     "sessionize",
     "window_running_total",
