@@ -1597,3 +1597,9 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 from . import registry_tpch  # noqa: E402,F401  (registration import)
+
+# ===========================================================================
+# 14. Training-corpus preparation ops (redact / chunk / pack / mix)
+# ===========================================================================
+
+from . import registry_corpus  # noqa: E402,F401  (registration import)

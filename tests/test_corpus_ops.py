@@ -1,0 +1,101 @@
+"""Semantic properties of the training-corpus prep operators
+(``registry_corpus.py``) that the value-hash oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_twitch_analytics_spark import registry
+from spark_streaming_twitch_analytics_spark.functions import text as X
+from spark_streaming_twitch_analytics_spark.registry_corpus import (
+    _CHUNK_STRIDE,
+    _CHUNK_WINDOW,
+    _MIX,
+    _MIX_DEFAULT,
+    _PACK_BUDGET,
+)
+from spark_streaming_twitch_analytics_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return registry.get(name).fn(spark, SF)
+
+
+def test_redact_leaves_no_pii_and_counts_two_per_doc(spark):
+    rows = q(spark, "text_redact_pii").collect()
+    assert rows
+    for r in rows:
+        assert "@" not in r["redacted"].replace("<EMAIL>", "")
+        assert "+1-555" not in r["redacted"]
+        # the synthesized contact contributes exactly one email + one phone
+        assert r["n_redactions"] >= 2
+
+
+def test_chunks_reconstruct_document_prefix(spark):
+    # stride-aligned chunks must tile the token stream: the first chunk of
+    # every doc starts at 0 and consecutive chunk_starts differ by stride
+    chunks = q(spark, "corpus_chunk_windows")
+    firsts = chunks.groupBy("doc_id").agg(F.min("chunk_start").alias("m"))
+    assert firsts.filter(F.col("m") != 0).count() == 0
+    gaps = (
+        chunks.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("chunk_start")).alias("starts"))
+        .select(
+            F.exists(
+                F.zip_with(
+                    F.slice(F.col("starts"), 2, 100000),
+                    F.slice(F.col("starts"), 1, 100000),
+                    lambda a, b: a.isNotNull() & b.isNotNull() & (a - b != _CHUNK_STRIDE),
+                ),
+                lambda x: x,
+            ).alias("bad")
+        )
+    )
+    assert gaps.filter(F.col("bad")).count() == 0
+
+
+def test_chunk_token_counts_bounded_by_window(spark):
+    chunks = q(spark, "corpus_chunk_windows")
+    assert chunks.filter(
+        (F.col("n_tokens") < 1) | (F.col("n_tokens") > _CHUNK_WINDOW)
+    ).count() == 0
+
+
+def test_pack_bins_conserve_tokens_and_respect_budget_order(spark):
+    d = load_table(spark, SF, "documents")
+    total = d.select(
+        F.sum(F.size(X.tokenize(F.col("text")))).alias("t")
+    ).collect()[0]["t"]
+    bins = {r["bin_id"]: r for r in q(spark, "corpus_pack_bins").collect()}
+    assert sum(r["bin_tokens"] for r in bins.values()) == total
+    # bins are dense 0..max (concat-and-split never skips a bin)
+    assert sorted(bins) == list(range(len(bins)))
+    # every bin except possibly the last was filled past the budget minus
+    # the largest doc — weak-form: interior bins hold >= 1 doc
+    assert all(r["n_docs"] >= 1 for r in bins.values())
+
+
+def test_mix_sample_respects_per_lang_fractions(spark):
+    d = load_table(spark, SF, "documents")
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r["lang"]: r["n"]
+        for r in q(spark, "corpus_mix_sample").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in totals.items():
+        pct = _MIX.get(lang, _MIX_DEFAULT)
+        frac = kept.get(lang, 0) / n
+        # md5 buckets are uniform; allow wide slack at tiny SF
+        assert abs(frac - pct / 100) < 0.22, (lang, frac, pct)
+
+
+def test_mix_sample_is_subset_and_deterministic(spark):
+    a = {r["doc_id"] for r in q(spark, "corpus_mix_sample").collect()}
+    b = {r["doc_id"] for r in q(spark, "corpus_mix_sample").collect()}
+    assert a == b
+    all_ids = {
+        r["doc_id"] for r in load_table(spark, SF, "documents").select("doc_id").collect()
+    }
+    assert a <= all_ids

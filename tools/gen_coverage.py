@@ -73,6 +73,7 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "ext-text": ("langid/quality/token-count/fingerprint", "functions/text.py"),
     "ext-relational": ("set ops/rollup/pivot/as-of/range/percentiles/windows", "registry.py §10; operators/asof.py"),
     "ext-tpch": ("all 22 TPC-H query shapes (adapted to the testdata schema)", "registry.py §5; registry_tpch.py"),
+    "ext-corpus": ("training-corpus prep: sampling/mixing/chunking/packing/redaction/keep-lists/statistics", "registry.py §12; registry_corpus.py"),
 }
 
 
@@ -113,6 +114,12 @@ def main() -> None:
         (q.name for q in registry._REGISTRY if re.match(r"^q\d+_", q.name)),
         key=lambda n: int(n[1:].split("_")[0]),
     )
+    by_id["ext-corpus"] = [
+        q.name
+        for q in registry._REGISTRY
+        if q.name.startswith("corpus_")
+        or q.name in ("text_redact_pii", "dedup_keep_canonical")
+    ]
     by_id["ext-relational"] = [
         "set_ops", "drop_duplicates", "rollup_orders", "pivot_events",
         "asof_join_events", "range_join_buckets", "quantiles_exact",
