@@ -321,9 +321,22 @@ def ngram_jaccard_pairs(
     high-jaccard pairs is preserved; Jaccard itself is still computed
     over the FULL shingle sets of each candidate pair."""
     # one materialization of the shingle plan feeds everything below
-    # (inverted-index buckets, sizes, and the per-pair verify arrays)
+    # (inverted-index buckets, sizes, and the per-pair verify arrays).
+    # Shingles are hashed to 48-bit longs (portable md5 prefix) ONCE per
+    # doc: the inverted-index join keys and the per-pair verify arrays
+    # then carry 8-byte longs instead of shingle strings — less shuffle
+    # and a cheaper array_intersect. 48 bits ≈ zero collision probability
+    # at any realistic per-doc shingle count, and set cardinalities are
+    # preserved, so Jaccard is exact (the DuckDB oracle verifies against
+    # raw string sets).
+    shash = F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
     shd = eager_persist(
-        shingle_sets(docs, text_col, shingle_n).withColumnRenamed("sh", "shs")
+        shingle_sets(docs, text_col, shingle_n).select(
+            "doc_id", shash.alias("shs")
+        )
     )
     sh = shd.select("doc_id", F.explode("shs").alias("sh"))
     # NB: the bucket-expansion pattern (_pairs_from_buckets) was MEASURED
