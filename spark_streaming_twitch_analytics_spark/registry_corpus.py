@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions import text as X
+from .operators import dedup, topk
 from .registry import register
 from .tables import load_table
 
@@ -189,3 +190,153 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in _MIX.items():
         keep_pct = F.when(F.col("lang") == k, v).otherwise(keep_pct)
     return d.select("doc_id", "lang").filter(bucket < keep_pct)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (ingestion-time dedup)
+# ---------------------------------------------------------------------------
+
+_INC_MIN_JACCARD = 0.1
+
+
+def _inc_oracle_sql() -> str:
+    from .registry import _sh_cte
+
+    scored = f"""
+WITH shx AS ({_sh_cte()}),
+sig AS (SELECT doc_id, {X.minhash_signature_sql("sh", dedup.MINHASH_HASHES)} AS sig FROM shx),
+bands AS (
+  SELECT doc_id, b.band,
+  array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|') AS key
+  FROM sig, (SELECT unnest(range(0, {dedup.MINHASH_BANDS})) AS band) b),
+cand AS (SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS match_id
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0),
+shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shx)
+SELECT new_id, match_id,
+round(len(list_intersect(x.sh, y.sh)) /
+  greatest(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1), 6) AS jaccard
+FROM cand JOIN shd x ON x.doc_id = new_id JOIN shd y ON y.doc_id = match_id"""
+    ranked = topk.top_k_per_group_sql(
+        f"SELECT * FROM ({scored}) WHERE jaccard >= {_INC_MIN_JACCARD}",
+        ["new_id"],
+        "jaccard",
+        1,
+        ["match_id"],
+    )
+    return f"SELECT new_id, match_id, jaccard FROM ({ranked})"
+
+
+@register(
+    "dedup_incremental",
+    _inc_oracle_sql(),
+    survey="ext: incremental dedup — new ingest batch (doc_id%10=0) LSH-"
+    "matched against the existing corpus only (no corpus x corpus "
+    "pairs); best match per new doc. At 100 TB the new batch's band "
+    "table broadcasts, so ingestion dedup never reshuffles the corpus",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus MinHash dedup (the ingestion-time shape).
+
+    The corpus side stays put: candidates come from an equi-join on
+    (band, key) with the NEW side broadcast (a crawl increment is orders
+    of magnitude smaller than the corpus). Verification is exact Jaccard
+    on the candidate pairs only; each new doc keeps its single best
+    corpus match (row_number, full tiebreak)."""
+    d = _docs(spark, sf_dir)
+    from .cache import eager_persist
+
+    sh = eager_persist(dedup.shingle_sets(d))
+    bands = dedup.minhash_bands(d, shingles=sh)
+    is_new = F.col("doc_id") % 10 == 0
+    new_bands = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    corpus_bands = bands.filter(~is_new).select(
+        F.col("doc_id").alias("match_id"), "band", "key"
+    )
+    cand = (
+        F.broadcast(new_bands)
+        .join(corpus_bands, ["band", "key"])
+        .select("new_id", "match_id")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_x"))
+    y = sh.select(F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_y"))
+    common = F.size(F.array_intersect("sh_x", "sh_y"))
+    union = F.size("sh_x") + F.size("sh_y") - common
+    scored = (
+        cand.join(x, "new_id")
+        .join(y, "match_id")
+        .select(
+            "new_id",
+            "match_id",
+            F.round(common / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _INC_MIN_JACCARD)
+    )
+    return topk.top_k_per_group(
+        scored, ["new_id"], "jaccard", 1, ["match_id"]
+    ).select("new_id", "match_id", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Composed keep-list: the end-to-end corpus filter a training run consumes
+# ---------------------------------------------------------------------------
+
+_KEEP_MIN_QUALITY = 0.38
+_KEEP_MIN_TOKS = 20
+_KEEP_MAX_TOKS = 90
+
+
+@register(
+    "corpus_keep_list",
+    f"""WITH t AS (
+  SELECT doc_id, lang, text, {X.tokenize_sql('text')} AS toks FROM documents),
+g AS ({dedup.exact_dup_groups_sql()}),
+scored AS (
+  SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_toks,
+         {X.quality_score_sql('text', 'toks', 'en')} AS quality
+  FROM t
+  WHERE CAST('0x' || md5(CAST(doc_id AS VARCHAR))[1:8] AS BIGINT) % 100
+        < ({_mix_case_sql()}))
+SELECT s.doc_id, s.lang, s.n_toks, s.quality
+FROM scored s JOIN g ON g.canonical_id = s.doc_id
+WHERE s.quality >= {_KEEP_MIN_QUALITY}
+  AND s.n_toks BETWEEN {_KEEP_MIN_TOKS} AND {_KEEP_MAX_TOKS}""",
+    survey="ext: composed corpus keep-list — stratified mix sample ∩ "
+    "quality floor ∩ token-count band ∩ exact-dedup canonicals, as ONE "
+    "Catalyst plan (each conjunct is a pushable predicate or a semi-join; "
+    "the full filter chain costs one scan + the dedup shuffle)",
+)
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized corpus a training run reads: every upstream
+    filter composed into one plan (the pipeline a 100 TB pretraining
+    prep job runs nightly)."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokenize(F.col("text"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    keep_pct = F.lit(_MIX_DEFAULT)
+    for k, v in _MIX.items():
+        keep_pct = F.when(F.col("lang") == k, v).otherwise(keep_pct)
+    scored = d.filter(bucket < keep_pct).select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("int").alias("n_toks"),
+        X.quality_score(F.col("text"), toks, "en").alias("quality"),
+    )
+    canon = dedup.exact_dup_groups(d).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    return (
+        scored.filter(
+            (F.col("quality") >= _KEEP_MIN_QUALITY)
+            & F.col("n_toks").between(_KEEP_MIN_TOKS, _KEEP_MAX_TOKS)
+        )
+        .join(canon, "doc_id", "left_semi")
+    )

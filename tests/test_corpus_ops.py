@@ -99,3 +99,36 @@ def test_mix_sample_is_subset_and_deterministic(spark):
         r["doc_id"] for r in load_table(spark, SF, "documents").select("doc_id").collect()
     }
     assert a <= all_ids
+
+
+def test_incremental_dedup_never_pairs_corpus_with_corpus(spark):
+    rows = q(spark, "dedup_incremental").collect()
+    for r in rows:
+        assert r["new_id"] % 10 == 0
+        assert r["match_id"] % 10 != 0
+    # one best match per new doc
+    new_ids = [r["new_id"] for r in rows]
+    assert len(new_ids) == len(set(new_ids))
+
+
+def test_incremental_dedup_broadcasts_new_side(spark):
+    from spark_streaming_twitch_analytics_spark.plans import explain as EX
+
+    df = q(spark, "dedup_incremental")
+    assert EX.has_operator(df, "BroadcastHashJoin")
+
+
+def test_keep_list_respects_every_filter(spark):
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _KEEP_MAX_TOKS,
+        _KEEP_MIN_QUALITY,
+        _KEEP_MIN_TOKS,
+    )
+
+    rows = q(spark, "corpus_keep_list").collect()
+    assert rows
+    kept_mix = {r["doc_id"] for r in q(spark, "corpus_mix_sample").collect()}
+    for r in rows:
+        assert r["quality"] >= _KEEP_MIN_QUALITY
+        assert _KEEP_MIN_TOKS <= r["n_toks"] <= _KEEP_MAX_TOKS
+        assert r["doc_id"] in kept_mix
