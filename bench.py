@@ -51,6 +51,11 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_quality",
     "text_fingerprint",
+    "text_redact_pii",
+    "corpus_chunk_windows",
+    "corpus_pack_bins",
+    "corpus_keep_list",
+    "dedup_incremental",
     "multimodal_meta",
 ]
 

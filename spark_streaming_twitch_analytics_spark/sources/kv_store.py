@@ -45,6 +45,11 @@ class KVTableStore:
     def _meta(self, table: str) -> str:
         return os.path.join(self.root, f"{table}.meta.json")
 
+    def checkpoint_dir(self, table: str) -> str:
+        """Streaming-checkpoint location co-located with the table (one
+        checkpoint per sink table, the Structured Streaming contract)."""
+        return os.path.join(self.root, "_checkpoints", table)
+
     def _load_meta(self, table: str) -> dict | None:
         try:
             with open(self._meta(table)) as f:

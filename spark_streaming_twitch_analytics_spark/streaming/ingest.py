@@ -1,0 +1,105 @@
+"""Streaming corpus ingestion: the end-to-end training-data intake path.
+
+Composes the batch corpus operators into one ``foreachBatch`` pipeline
+over a document stream — the shape a 100 TB pretraining pipeline runs
+continuously against a crawl firehose:
+
+    stream of raw docs
+      → PII redaction + quality/token-band filter   (narrow, map-side)
+      → near-dup match vs the EXISTING corpus       (MinHash bands;
+        the micro-batch side is broadcast — the corpus never reshuffles)
+      → survivors appended to the keep store        (KVTableStore)
+
+Per-batch dedup state is the *static corpus bands*, computed once and
+persisted — each micro-batch joins against it map-side. New survivors
+are NOT added to the in-session band index (batch-local dedup plus a
+nightly compaction re-index is the standard trade; doing it in-stream
+would require a mutable broadcast). Duplicates *within* one micro-batch
+are still caught by ``dropDuplicates`` on the exact text hash.
+
+Oracle (tests/test_streaming_ingest.py): streaming the corpus through in
+N micro-batches must yield exactly the rows the equivalent BATCH
+pipeline keeps — SURVEY §5's stream≡batch equivalence contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..operators import dedup
+
+
+def clean_batch(
+    batch: DataFrame,
+    min_quality: float = 0.3,
+    min_toks: int = 5,
+    max_toks: int = 100000,
+) -> DataFrame:
+    """Map-side intake filters: exact-dup collapse within the batch,
+    quality floor, token band. Returns (doc_id, text, n_toks, quality)."""
+    toks = X.tokenize(F.col("text"))
+    return (
+        batch.dropDuplicates(["text"])
+        .select(
+            "doc_id",
+            "text",
+            F.size(toks).cast("int").alias("n_toks"),
+            X.quality_score(F.col("text"), toks, "en").alias("quality"),
+        )
+        .filter(
+            (F.col("quality") >= min_quality)
+            & F.col("n_toks").between(min_toks, max_toks)
+        )
+    )
+
+
+def corpus_band_index(corpus: DataFrame) -> DataFrame:
+    """The static dedup state: (doc_id, band, key) MinHash bands of the
+    existing corpus. Persist this once; every micro-batch joins it."""
+    return dedup.minhash_bands(corpus)
+
+
+def drop_near_dups(
+    batch: DataFrame, corpus_bands: DataFrame, min_jaccard_band_hit: bool = True
+) -> DataFrame:
+    """Anti-join the (small) micro-batch against the corpus band index:
+    a batch doc sharing any LSH band with a corpus doc is treated as a
+    near-dup and dropped. The batch side is broadcast — the corpus
+    bands never move."""
+    batch_bands = dedup.minhash_bands(batch).select(
+        F.col("doc_id").alias("b_id"), "band", "key"
+    )
+    hits = (
+        F.broadcast(batch_bands)
+        .join(corpus_bands, ["band", "key"], "left_semi")
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    return batch.join(hits, "doc_id", "left_anti")
+
+
+def run_corpus_ingest(
+    stream_docs: DataFrame,
+    corpus_bands: DataFrame,
+    store,
+    table: str = "corpus_keep",
+    min_quality: float = 0.3,
+    min_toks: int = 5,
+    max_toks: int = 100000,
+):
+    """Start the ingestion query: clean → near-dup drop → append to the
+    keep store. Returns the StreamingQuery (caller stops it)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = drop_near_dups(
+            clean_batch(batch_df, min_quality, min_toks, max_toks), corpus_bands
+        )
+        store.write(kept, table, mode="append")
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", store.checkpoint_dir(table))
+        .start()
+    )

@@ -1,0 +1,104 @@
+"""Stream ≡ batch equivalence for the corpus ingestion pipeline
+(streaming/ingest.py): streaming the docs through in micro-batches must
+keep exactly the rows the equivalent batch pipeline keeps."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_streaming_twitch_analytics_spark.cache import eager_persist, release_all
+from spark_streaming_twitch_analytics_spark.sources.kv_store import KVTableStore
+from spark_streaming_twitch_analytics_spark.streaming.ingest import (
+    clean_batch,
+    corpus_band_index,
+    drop_near_dups,
+    run_corpus_ingest,
+)
+from spark_streaming_twitch_analytics_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def write_docs(dir_path: str, batch_id: int, rows: list[tuple[int, str]]):
+    os.makedirs(dir_path, exist_ok=True)
+    with open(os.path.join(dir_path, f"b{batch_id}.json"), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def test_stream_ingest_equals_batch_pipeline(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    # corpus = docs with doc_id % 10 != 0; the "incoming crawl" = the rest
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = [
+        (r["doc_id"], r["text"])
+        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    bands = eager_persist(corpus_band_index(corpus))
+    try:
+        src = str(tmp_path / "docs")
+        mid = len(incoming) // 2
+        write_docs(src, 1, incoming[:mid])
+        store = KVTableStore(spark, str(tmp_path / "store"))
+        stream = spark.readStream.schema(DOC_SCHEMA).json(src)
+        q = run_corpus_ingest(stream, bands, store, min_quality=0.3)
+        try:
+            q.processAllAvailable()
+            write_docs(src, 2, incoming[mid:])  # second micro-batch
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            (r["doc_id"], r["n_toks"], r["quality"])
+            for r in store.get_table(
+                "corpus_keep",
+                T.StructType(
+                    [
+                        T.StructField("doc_id", T.LongType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("n_toks", T.IntegerType()),
+                        T.StructField("quality", T.DoubleType()),
+                    ]
+                ),
+            ).collect()
+        }
+        # batch oracle over the SAME rows (texts are unique across the two
+        # batches, so batch-local exact dedup == global exact dedup here)
+        batch_docs = spark.createDataFrame(incoming, DOC_SCHEMA)
+        expected = {
+            (r["doc_id"], r["n_toks"], r["quality"])
+            for r in drop_near_dups(
+                clean_batch(batch_docs, min_quality=0.3), bands
+            ).collect()
+        }
+        assert got == expected
+        assert expected  # non-degenerate: something survives
+        # and the near-dup guard did something at least once across SFs is
+        # not guaranteed at this tiny SF — assert the mechanism instead:
+        # a doc textually identical to a corpus doc must be dropped
+        dup_text = corpus.select("text").filter(F.length("text") > 60).first()["text"]
+        probe = spark.createDataFrame([(999999, dup_text)], DOC_SCHEMA)
+        survived = drop_near_dups(clean_batch(probe, min_quality=0.0), bands)
+        assert survived.count() == 0
+    finally:
+        release_all()
+
+
+def test_checkpoint_dir_is_per_table(spark, tmp_path):
+    store = KVTableStore(spark, str(tmp_path / "s"))
+    a, b = store.checkpoint_dir("t1"), store.checkpoint_dir("t2")
+    assert a != b and a.startswith(str(tmp_path / "s"))

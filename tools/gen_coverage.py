@@ -73,7 +73,7 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "ext-text": ("langid/quality/token-count/fingerprint", "functions/text.py"),
     "ext-relational": ("set ops/rollup/pivot/as-of/range/percentiles/windows", "registry.py §10; operators/asof.py"),
     "ext-tpch": ("all 22 TPC-H query shapes (adapted to the testdata schema)", "registry.py §5; registry_tpch.py"),
-    "ext-corpus": ("training-corpus prep: sampling/mixing/chunking/packing/redaction/keep-lists/statistics", "registry.py §12; registry_corpus.py"),
+    "ext-corpus": ("training-corpus prep: sampling/mixing/chunking/packing/redaction/keep-lists/statistics", "registry.py §12; registry_corpus.py; streaming/ingest.py (stream≡batch ingestion, tests/test_streaming_ingest.py)"),
 }
 
 
