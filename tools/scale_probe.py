@@ -27,6 +27,13 @@ QUERIES = [
     "dedup_simhash64_hamming",
     "threshold_decode",
     "sessionize",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "dedup_ngram_topk",
+    "dedup_incremental",
+    "corpus_chunk_windows",
+    "corpus_keep_list",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
