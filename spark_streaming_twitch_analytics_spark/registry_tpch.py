@@ -657,3 +657,61 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE + grouping_id, and ranking-function windows (relational breadth)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cube_orders",
+    """SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    survey="ext: CUBE with grouping_id (all 2^k aggregation levels in one "
+    "pass — Spark expands to an ExpandExec, still one shuffle)",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@register(
+    "window_rank_funcs",
+    """SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC)""",
+    survey="ext: ranking window functions (rank / dense_rank / ntile / "
+    "lead) over a per-customer total order",
+)
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.round("o_totalprice", 2)), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )

@@ -124,6 +124,7 @@ def main() -> None:
         "set_ops", "drop_duplicates", "rollup_orders", "pivot_events",
         "asof_join_events", "range_join_buckets", "quantiles_exact",
         "approx_sketches", "window_running_total", "events_hourly", "sessionize",
+        "cube_orders", "window_rank_funcs",
     ]
 
     oracled = {q.name for q in registry._REGISTRY if q.sql is not None}
