@@ -28,7 +28,7 @@ in practice); mix_sample is a pushable filter that cuts the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -190,6 +190,130 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in _MIX.items():
         keep_pct = F.when(F.col("lang") == k, v).otherwise(keep_pct)
     return d.select("doc_id", "lang").filter(bucket < keep_pct)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics (intra-document quality signal)
+# ---------------------------------------------------------------------------
+
+_REP_DUP_WORD_MAX = 0.65
+_REP_TOP_BIGRAM_MAX = 0.15
+
+
+@register(
+    "text_repetition",
+    f"""WITH t AS (
+  SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest({X.word_shingles_sql('toks', 2)}) AS bigram FROM t),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1)
+SELECT t.doc_id, CAST(len(toks) AS INT) AS n_toks,
+  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+    AS dup_word_frac,
+  CAST(coalesce(topc, 0) AS INT) AS top_bigram_count,
+  round(2.0 * coalesce(topc, 0) / len(toks), 6) AS top_bigram_frac,
+  CAST(round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+         > {_REP_DUP_WORD_MAX}
+       OR round(2.0 * coalesce(topc, 0) / len(toks), 6)
+         > {_REP_TOP_BIGRAM_MAX} AS INT) AS flagged
+FROM t LEFT JOIN top USING (doc_id)""",
+    survey="ext: Gopher-style repetition metrics (duplicate-word fraction "
+    "+ most-frequent-bigram token share) — zero-shuffle: the per-doc top "
+    "bigram count is a sort+fold over the row's own bigram array, so the "
+    "whole operator is a narrow map at any corpus size",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the Gopher/MassiveText 'rep'
+    rules): a doc made of one phrase repeated should be dropped before
+    training. The oracle computes the top bigram via explode+groupBy;
+    the Spark side keeps it per-row — ``array_sort`` then an
+    ``aggregate`` fold counting the longest equal run — so no shuffle,
+    no row explosion, O(len·log len) per doc."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokenize(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"))
+    sorted_bg = F.array_sort(X.word_shingles(F.col("toks"), 2))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    topc = F.aggregate(sorted_bg, zero, step, lambda acc: acc["best"])
+    n_toks = F.size("toks")
+    dup_frac = F.round(
+        1 - F.size(F.array_distinct("toks")).cast("double") / n_toks, 6
+    )
+    big_frac = F.round(2.0 * topc / n_toks, 6)
+    return t.select(
+        "doc_id",
+        n_toks.cast("int").alias("n_toks"),
+        dup_frac.alias("dup_word_frac"),
+        topc.cast("int").alias("top_bigram_count"),
+        big_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac > _REP_DUP_WORD_MAX) | (big_frac > _REP_TOP_BIGRAM_MAX)
+        ).cast("int").alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train ∩ eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_SHINGLE_N = 3  # real pipelines use ~13-grams; 3 fits the tiny-vocab testdata
+_DECON_EVAL_MOD = 97  # eval set = doc_id % 97 == 0 (deterministic holdout)
+
+
+@register(
+    "corpus_decontaminate",
+    f"""WITH t AS (
+  SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct({X.word_shingles_sql('toks', _DECON_SHINGLE_N)}))
+           AS s
+  FROM t),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_EVAL_MOD} = 0)
+SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS INT) AS n_hits
+FROM sh JOIN ev USING (s)
+WHERE sh.doc_id % {_DECON_EVAL_MOD} <> 0
+GROUP BY sh.doc_id""",
+    survey="ext: benchmark decontamination — train docs sharing any "
+    f"{_DECON_SHINGLE_N}-gram with the eval holdout, via a broadcast "
+    "semi-ish join on 48-bit shingle hashes (the eval suite is always "
+    "the small side, so the 100 TB train corpus never reshuffles)",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-overlap scan: flag training docs that contain any n-gram of
+    the held-out eval set (doc_id % 97 == 0 stands in for the benchmark
+    suite). Shingles are hashed to 48-bit longs once per doc so the join
+    keys and the distinct-count carry 8-byte longs, not strings; the
+    eval shingle set is broadcast — at production scale this is a
+    map-side filter over the entire corpus with zero corpus shuffle
+    before the per-doc aggregation."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokenize(F.col("text"))
+    shash = F.transform(
+        F.array_distinct(X.word_shingles(toks, _DECON_SHINGLE_N)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+    sh = d.select("doc_id", F.explode(shash).alias("s"))
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    ev = sh.filter(is_eval).select("s").distinct()
+    return (
+        sh.filter(~is_eval)
+        .join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").cast("int").alias("n_hits"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -132,3 +132,59 @@ def test_keep_list_respects_every_filter(spark):
         assert r["quality"] >= _KEEP_MIN_QUALITY
         assert _KEEP_MIN_TOKS <= r["n_toks"] <= _KEEP_MAX_TOKS
         assert r["doc_id"] in kept_mix
+
+
+def test_repetition_metrics_bounded_and_flag_consistent(spark):
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _REP_DUP_WORD_MAX,
+        _REP_TOP_BIGRAM_MAX,
+    )
+
+    rows = q(spark, "text_repetition").collect()
+    assert rows
+    assert any(r["flagged"] for r in rows) and any(not r["flagged"] for r in rows)
+    for r in rows:
+        assert 0.0 <= r["dup_word_frac"] <= 1.0
+        assert 0 <= r["top_bigram_count"] <= max(r["n_toks"] - 1, 0)
+        assert r["flagged"] == int(
+            r["dup_word_frac"] > _REP_DUP_WORD_MAX
+            or r["top_bigram_frac"] > _REP_TOP_BIGRAM_MAX
+        )
+
+
+def test_repetition_top_bigram_matches_explode_groupby(spark):
+    # the per-row sort+fold must agree with the distributed formulation
+    d = load_table(spark, SF, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(X.word_shingles(X.tokenize(F.col("text")), 2)).alias("b"),
+    )
+    expected = {
+        r["doc_id"]: r["m"]
+        for r in bg.groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("m"))
+        .collect()
+    }
+    for r in q(spark, "text_repetition").collect():
+        assert r["top_bigram_count"] == expected.get(r["doc_id"], 0)
+
+
+def test_decontaminate_never_reports_eval_docs_and_hits_positive(spark):
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _DECON_EVAL_MOD,
+    )
+
+    rows = q(spark, "corpus_decontaminate").collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % _DECON_EVAL_MOD != 0
+        assert r["n_hits"] >= 1
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    from spark_streaming_twitch_analytics_spark.plans import explain as EX
+
+    df = q(spark, "corpus_decontaminate")
+    assert EX.has_operator(df, "BroadcastHashJoin")
