@@ -317,6 +317,88 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-statistics quality score (unigram language-model log-prob)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_unigram_logprob",
+    f"""WITH w AS (
+  SELECT doc_id, unnest({X.tokenize_sql('text')}) AS word FROM documents),
+freq AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM freq)
+SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
+  round(avg(log10(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
+FROM w JOIN freq USING (word) CROSS JOIN tot
+GROUP BY doc_id""",
+    survey="ext: unigram-LM quality score — corpus-wide word frequencies "
+    "(one count shuffle) broadcast back onto the token stream; per-doc "
+    "mean log10 probability. The two-pass corpus-statistic shape every "
+    "perplexity-style filter uses",
+)
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document: docs full of rare or
+    out-of-distribution tokens score low, boilerplate scores high — the
+    cheap stand-in for a KenLM perplexity filter. Pass 1 builds the
+    corpus unigram table (vocabulary-sized, broadcastable); pass 2 joins
+    it back onto the exploded token stream and averages per doc."""
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "doc_id", F.explode(X.tokenize(F.col("text"))).alias("word")
+    )
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        w.join(F.broadcast(freq), "word")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_toks"),
+            F.round(
+                F.avg(F.log10(F.col("c").cast("double") / F.col("t"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector centroid aggregation (per-label mean embedding)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroids",
+    """WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS v
+  FROM embeddings)
+SELECT label, CAST(pos AS INT) AS pos,
+  round(avg(CAST(v AS DOUBLE)), 6) AS centroid_val,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM e GROUP BY 1, 2""",
+    survey="ext: per-label centroid of the embedding column (posexplode "
+    "-> one (label,pos) shuffle with partial aggs -> mean). The vector "
+    "aggregation IVF training / cluster summarization is built from; "
+    "shuffle volume is labels x dim rows regardless of corpus size",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label. Emitted as (label, pos,
+    value) scalar rows: partial aggregation collapses each task to
+    ≤ labels·dim rows before the exchange, so the plan's shuffle is
+    independent of row count — the right shape for computing IVF/k-means
+    centroids over 100 TB of vectors."""
+    from .functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(V.as_double(F.col("embedding"))).alias("pos", "v")
+    )
+    return e.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
+        F.round(F.avg("v"), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs existing corpus (ingestion-time dedup)
 # ---------------------------------------------------------------------------
 

@@ -188,3 +188,32 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
 
     df = q(spark, "corpus_decontaminate")
     assert EX.has_operator(df, "BroadcastHashJoin")
+
+
+def test_unigram_logprob_negative_and_token_counts_match(spark):
+    rows = q(spark, "corpus_unigram_logprob").collect()
+    assert rows
+    d = load_table(spark, SF, "documents")
+    expected = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id", F.size(X.tokenize(F.col("text"))).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert r["avg_logprob"] < 0  # probabilities < 1
+        assert r["n_toks"] == expected[r["doc_id"]]
+
+
+def test_embedding_centroids_cover_every_dim_and_count_all_vectors(spark):
+    rows = q(spark, "embedding_centroids").collect()
+    emb = load_table(spark, SF, "embeddings")
+    dim = len(emb.first()["embedding"])
+    total = emb.count()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rs in by_label.items():
+        assert sorted(x["pos"] for x in rs) == list(range(dim))
+        assert len({x["n_vecs"] for x in rs}) == 1  # same count on every dim
+    assert sum(rs[0]["n_vecs"] for rs in by_label.values()) == total
