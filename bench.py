@@ -57,6 +57,10 @@ HEADLINE = [
     "corpus_keep_list",
     "dedup_incremental",
     "multimodal_meta",
+    "text_repetition",
+    "corpus_decontaminate",
+    "corpus_unigram_logprob",
+    "embedding_centroids",
 ]
 
 
@@ -84,11 +88,15 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
         run()  # warm: codegen + shuffle-file cache for THIS plan
-        release_all()  # timed run rebuilds its own caches from cold
-        t0 = time.time()
-        run()
-        times[name] = round(time.time() - t0, 3)
-        release_all()
+        release_all()  # timed runs rebuild their own caches from cold
+        best = float("inf")
+        for _ in range(2):  # best-of-2: the host is multi-tenant noisy
+            spark._jvm.System.gc()  # drop prior queries' garbage from the measurement
+            t0 = time.time()
+            run()
+            best = min(best, time.time() - t0)
+            release_all()
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)

@@ -47,3 +47,13 @@ def count_operator(df: DataFrame, op: str) -> int:
     import re
 
     return len(re.findall(rf"^\(\d+\) {re.escape(op)}\b", formatted_plan(df), re.M))
+
+
+def count_distinct_operator(df: DataFrame, op: str) -> int:
+    """Count DISTINCT physical operator instances (by plan node id).
+    Robust to AQE printing the same plan more than once."""
+    import re
+
+    return len(
+        set(re.findall(rf"^\((\d+)\) {re.escape(op)}\b", formatted_plan(df), re.M))
+    )

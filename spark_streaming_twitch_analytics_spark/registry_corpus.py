@@ -299,13 +299,17 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval shingle set is broadcast — at production scale this is a
     map-side filter over the entire corpus with zero corpus shuffle
     before the per-doc aggregation."""
+    from .operators.skew import fan_out
+
     d = _docs(spark, sf_dir)
     toks = X.tokenize(F.col("text"))
     shash = F.transform(
         F.array_distinct(X.word_shingles(toks, _DECON_SHINGLE_N)),
         lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
     )
-    sh = d.select("doc_id", F.explode(shash).alias("s"))
+    # widen the sub-128MB single-split scan so the md5 digest stage uses
+    # every core (no-op at real scale)
+    sh = fan_out(d).select("doc_id", F.explode(shash).alias("s"))
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     ev = sh.filter(is_eval).select("s").distinct()
     return (
@@ -394,6 +398,109 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
         F.round(F.avg("v"), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means centroid refinement (one Lloyd iteration over the IVF seeds)
+# ---------------------------------------------------------------------------
+
+_KM_CELLS = 8
+_KM_DIM = 64
+
+
+def _kmeans_oracle_sql() -> str:
+    from .functions import vectors as V
+
+    return f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+a1 AS (
+  SELECT vec_id, e, CAST(list_position(s, list_max(s)) - 1 AS INT) AS cell
+  FROM (SELECT vec_id, e, {V.cell_scores_sql('e', _KM_CELLS, _KM_DIM)} AS s
+        FROM v)),
+p1 AS (SELECT cell, generate_subscripts(e, 1) - 1 AS pos, unnest(e) AS x
+       FROM a1),
+c1m AS (SELECT cell, pos, round(avg(x), 6) AS m FROM p1 GROUP BY 1, 2),
+c1 AS (SELECT cell AS c2, list(m ORDER BY pos) AS centroid FROM c1m
+       GROUP BY 1),
+sc AS (SELECT vec_id, e, c2, {V.dot_sql('e', 'centroid', _KM_DIM)} AS score
+       FROM a1 CROSS JOIN c1),
+a2 AS (SELECT c2, e FROM (
+  SELECT c2, e, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, c2 ASC) AS rn
+  FROM sc) WHERE rn = 1),
+p2 AS (SELECT c2, generate_subscripts(e, 1) - 1 AS pos, unnest(e) AS x
+       FROM a2)
+SELECT c2 AS cell, CAST(pos AS INT) AS pos, round(avg(x), 6) AS centroid_val,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM p2 GROUP BY 1, 2"""
+
+
+@register(
+    "kmeans_refine_centroids",
+    _kmeans_oracle_sql(),
+    survey="ext: one Lloyd iteration refining the deterministic IVF "
+    "pseudo-centroids (assign by max dot — the IVF rule — recompute "
+    "means, re-assign, re-mean). Iterative-algorithm pattern: per "
+    "iteration one narrow assignment pass + one (cell,pos) partial-agg "
+    "shuffle; re-assignment picks via max(struct) groupBy, not a window "
+    "— map-side combinable, so no per-vector sort at 100 TB",
+)
+def kmeans_refine_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means refinement of the IVF cells: seeds are the
+    md5-derived pseudo-centroids (``vectors.centroid_weights``), one full
+    Lloyd step produces data-driven centroids, then vectors re-assign and
+    the final means are emitted as (cell, pos, value) rows. Centroid
+    means are rounded to 6 dp at the iteration boundary so both engines
+    feed bit-identical centroids into the second assignment; dots use the
+    sequential fold from ``functions/vectors.py``. Tie-breaks: first
+    max cell in iteration 1 (array_position), lowest cell id in
+    iteration 2 (max of (score, -cell))."""
+    from .functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double(F.col("embedding")).alias("e"))
+    s1 = V.cell_scores(F.col("e"), _KM_CELLS, _KM_DIM)
+    a1 = v.select(
+        "vec_id",
+        "e",
+        (F.array_position(s1, F.array_max(s1)) - 1).cast("int").alias("cell"),
+    )
+    p1 = a1.select("cell", F.posexplode("e").alias("pos", "x"))
+    c1 = (
+        p1.groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    scored = a1.crossJoin(
+        F.broadcast(c1.select(F.col("cell").alias("c2"), "centroid"))
+    ).select(
+        "vec_id",
+        "e",
+        "c2",
+        V.dot(F.col("e"), F.col("centroid"), _KM_DIM).alias("score"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("score"), (-F.col("c2")).alias("negc"), F.col("e")
+            )
+        ).alias("m")
+    )
+    a2 = best.select(
+        (-F.col("m.negc")).cast("int").alias("cell"), F.col("m.e").alias("e")
+    )
+    p2 = a2.select("cell", F.posexplode("e").alias("pos", "x"))
+    return p2.groupBy("cell", F.col("pos").cast("int").alias("pos")).agg(
+        F.round(F.avg("x"), 6).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
 

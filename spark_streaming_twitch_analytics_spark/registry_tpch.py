@@ -688,6 +688,37 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_orders",
+    """SELECT o_orderstatus, strftime(o_orderdate, '%Y') AS year,
+       CAST(GROUPING(o_orderstatus, strftime(o_orderdate, '%Y')) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, strftime(o_orderdate, '%Y')),
+                        (o_orderstatus), (strftime(o_orderdate, '%Y')))""",
+    survey="ext: explicit GROUPING SETS (chosen aggregation levels, not "
+    "the full cube — one ExpandExec + one shuffle regardless of how many "
+    "sets are requested)",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("year", F.date_format("o_orderdate", "yyyy"))
+        .groupingSets(
+            [["o_orderstatus", "year"], ["o_orderstatus"], ["year"]],
+            "o_orderstatus",
+            "year",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "year", "gid", "n", "total")
+    )
+
+
+@register(
     "window_rank_funcs",
     """SELECT o_custkey, o_orderkey,
        CAST(rank() OVER w AS INT) AS rnk,

@@ -217,3 +217,19 @@ def test_embedding_centroids_cover_every_dim_and_count_all_vectors(spark):
         assert sorted(x["pos"] for x in rs) == list(range(dim))
         assert len({x["n_vecs"] for x in rs}) == 1  # same count on every dim
     assert sum(rs[0]["n_vecs"] for rs in by_label.values()) == total
+
+
+def test_kmeans_refine_partitions_all_vectors(spark):
+    from spark_streaming_twitch_analytics_spark.registry_corpus import _KM_DIM
+
+    rows = q(spark, "kmeans_refine_centroids").collect()
+    emb = load_table(spark, SF, "embeddings")
+    total = emb.count()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        assert sorted(x["pos"] for x in rs) == list(range(_KM_DIM))
+        assert len({x["n_vecs"] for x in rs}) == 1
+    # every vector lands in exactly one cell
+    assert sum(rs[0]["n_vecs"] for rs in by_cell.values()) == total

@@ -120,3 +120,20 @@ def test_cents_sum_is_partitioning_invariant(spark):
     li.createOrReplaceTempView("_q9_repart")  # smoke: same rows via rerun
     b = q(spark, "q9_product_profit").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_grouping_sets_exact_levels_one_expand(spark):
+    df = q(spark, "grouping_sets_orders")
+    # only the three requested levels — not the full cube (no gid=3 row)
+    rows = df.collect()
+    gids = {r["gid"] for r in rows}
+    assert gids == {0, 1, 2}
+    for r in rows:
+        if r["gid"] == 1:  # year aggregated away
+            assert r["year"] is None and r["o_orderstatus"] is not None
+        if r["gid"] == 2:  # status aggregated away
+            assert r["o_orderstatus"] is None and r["year"] is not None
+    # all levels in ONE pass: a single Expand feeding a single aggregation
+    # (fresh plan: after execution AQE's explain appends the initial plan
+    # again, double-counting nodes)
+    assert EX.count_distinct_operator(q(spark, "grouping_sets_orders"), "Expand") == 1
