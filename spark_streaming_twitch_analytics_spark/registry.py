@@ -1438,6 +1438,28 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_variant_stats",
+    """SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(avg(CAST(props->>'$.k' AS INT)), 6) AS avg_k,
+  CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type""",
+    survey="ext: VariantType semi-structured aggregation (Spark 4 "
+    "parse_json -> binary variant -> variant_get; the JSON string is "
+    "decoded once per row into the columnar variant encoding instead of "
+    "re-parsed per extraction)",
+)
+def json_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )
+
+
+@register(
     "unpivot_lineitem",
     """SELECT l_returnflag, name, val FROM (
   SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

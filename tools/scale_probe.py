@@ -34,6 +34,13 @@ QUERIES = [
     "dedup_incremental",
     "corpus_chunk_windows",
     "corpus_keep_list",
+    "text_repetition",
+    "corpus_decontaminate",
+    "corpus_unigram_logprob",
+    "embedding_centroids",
+    "kmeans_refine_centroids",
+    "grouping_sets_orders",
+    "json_variant_stats",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
