@@ -367,6 +367,42 @@ def token_count_estimate_sql(expr: str) -> str:
     )
 
 
+def dup_word_frac(tokens: Column) -> Column:
+    """Gopher-style duplicate-word fraction: 1 − distinct/total, 6 dp."""
+    return F.round(
+        1 - F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens), 6
+    )
+
+
+def dup_word_frac_sql(tokens_expr: str) -> str:
+    return (
+        f"round(1 - CAST(len(list_distinct({tokens_expr})) AS DOUBLE) "
+        f"/ len({tokens_expr}), 6)"
+    )
+
+
+def top_bigram_count(tokens: Column) -> Column:
+    """Occurrences of the doc's most frequent bigram — per-row
+    ``array_sort`` + ``aggregate`` fold counting the longest equal run
+    (O(len·log len), zero shuffle). The DuckDB oracle twin is the
+    explode+groupBy formulation (``registry_corpus.text_repetition``);
+    DuckDB's ``list_reduce`` can't carry a struct accumulator."""
+    sorted_bg = F.array_sort(word_shingles(tokens, 2))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_bg, zero, step, lambda acc: acc["best"])
+
+
 def fingerprint(tokens: Column, shingle_n: int = 3, keep: int = 4) -> Column:
     """Winnowing-style doc fingerprint: the ``keep`` smallest md5 hex
     hashes of the distinct n-word shingles, concatenated. Stable under

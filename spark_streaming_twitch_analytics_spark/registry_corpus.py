@@ -233,24 +233,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = X.tokenize(F.col("text"))
     t = d.select("doc_id", toks.alias("toks"))
-    sorted_bg = F.array_sort(X.word_shingles(F.col("toks"), 2))
-    zero = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-
-    def step(acc: Column, x: Column) -> Column:
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    topc = F.aggregate(sorted_bg, zero, step, lambda acc: acc["best"])
+    topc = X.top_bigram_count(F.col("toks"))
     n_toks = F.size("toks")
-    dup_frac = F.round(
-        1 - F.size(F.array_distinct("toks")).cast("double") / n_toks, 6
-    )
+    dup_frac = X.dup_word_frac(F.col("toks"))
     big_frac = F.round(2.0 * topc / n_toks, 6)
     return t.select(
         "doc_id",

@@ -5,7 +5,7 @@ over a document stream — the shape a 100 TB pretraining pipeline runs
 continuously against a crawl firehose:
 
     stream of raw docs
-      → PII redaction + quality/token-band filter   (narrow, map-side)
+      → quality/token-band/repetition filters       (narrow, map-side)
       → near-dup match vs the EXISTING corpus       (MinHash bands;
         the micro-batch side is broadcast — the corpus never reshuffles)
       → survivors appended to the keep store        (KVTableStore)
@@ -36,9 +36,12 @@ def clean_batch(
     min_quality: float = 0.3,
     min_toks: int = 5,
     max_toks: int = 100000,
+    max_dup_word_frac: float = 0.7,
 ) -> DataFrame:
     """Map-side intake filters: exact-dup collapse within the batch,
-    quality floor, token band. Returns (doc_id, text, n_toks, quality)."""
+    quality floor, token band, Gopher-style repetition gate (duplicate-
+    word fraction ≤ ``max_dup_word_frac`` — a sort+fold over the row's
+    own tokens, still narrow). Returns (doc_id, text, n_toks, quality)."""
     toks = X.tokenize(F.col("text"))
     return (
         batch.dropDuplicates(["text"])
@@ -47,11 +50,14 @@ def clean_batch(
             "text",
             F.size(toks).cast("int").alias("n_toks"),
             X.quality_score(F.col("text"), toks, "en").alias("quality"),
+            X.dup_word_frac(toks).alias("dup_frac"),
         )
         .filter(
             (F.col("quality") >= min_quality)
             & F.col("n_toks").between(min_toks, max_toks)
+            & (F.col("dup_frac") <= max_dup_word_frac)
         )
+        .drop("dup_frac")
     )
 
 
