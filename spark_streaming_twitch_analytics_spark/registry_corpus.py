@@ -297,11 +297,14 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = fan_out(d).select("doc_id", F.explode(shash).alias("s"))
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     ev = sh.filter(is_eval).select("s").distinct()
+    # (doc_id, s) pairs are unique by construction — array_distinct per
+    # doc, eval side distinct — so count(*) == count_distinct(s) without
+    # the distinct-aggregate's extra expand/exchange
     return (
         sh.filter(~is_eval)
         .join(F.broadcast(ev), "s")
         .groupBy("doc_id")
-        .agg(F.count_distinct("s").cast("int").alias("n_hits"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
     )
 
 
