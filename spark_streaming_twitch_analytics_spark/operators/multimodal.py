@@ -13,6 +13,12 @@ pluggable function because codec libraries aren't in this container
   bounded Arrow batch size; the default decoder is a deterministic fake
   (md5-seeded feature vector). ``strict=True`` swaps in the
   NotImplementedError stub to mark the real-codec boundary.
+- :func:`sample_frames` is the video path: 1 row → N frame rows
+  (mapInPandas fan-out, the batch shape a real ffmpeg frame sampler
+  would use); frame digests are deterministic so the fan-out is
+  DuckDB-oracle-checkable.
+- :func:`resize_features` is decode → fixed-target linear resample
+  (the image-resize plumbing: decode once, emit the target-dim vector).
 """
 
 from __future__ import annotations
@@ -97,4 +103,79 @@ def decode_features(
 
     return df.select("doc_id", "modality", "payload").mapInPandas(
         run, schema="doc_id long, modality string, features array<double>"
+    )
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: each ``video`` row fans out to
+    ``n_frames`` frame rows; image/audio emit a single frame. A real
+    implementation seeks N keyframes with ffmpeg; the deterministic fake
+    digests ``payload + b'#' + frame_idx`` so the 1→N batch shape —
+    the part Spark owns — is exercised and oracle-checked. mapInPandas
+    keeps the fan-out executor-side (no explode of materialized blobs:
+    frames are produced from the payload inside the task, which is the
+    memory shape you want when one 4K video decodes to many frames)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            mods: list[str] = []
+            idxs: list[int] = []
+            digs: list[str] = []
+            for doc_id, mod, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                k = n_frames if mod == "video" else 1
+                for i in range(k):
+                    ids.append(doc_id)
+                    mods.append(mod)
+                    idxs.append(i)
+                    digs.append(
+                        hashlib.md5(
+                            bytes(payload) + b"#" + str(i).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "modality": mods,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_digest": digs,
+                }
+            )
+
+    return df.select("doc_id", "modality", "payload").mapInPandas(
+        run,
+        schema="doc_id long, modality string, frame_idx int, frame_digest string",
+    )
+
+
+def resize_features(
+    df: DataFrame,
+    out_dim: int = 4,
+    decoder: Callable[[bytes], np.ndarray] = fake_decoder,
+) -> DataFrame:
+    """Resize plumbing: decode then linearly resample the feature vector
+    to ``out_dim`` (stand-in for bilinear image resize — same decode→
+    transform→emit batch shape, one Arrow pass, no intermediate blob
+    column). Swap ``decoder`` for a Pillow-backed resize in prod."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                v = decoder(bytes(payload))
+                src = np.linspace(0.0, 1.0, num=len(v))
+                dst = np.linspace(0.0, 1.0, num=out_dim)
+                out.append(np.round(np.interp(dst, src, v), 8).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "modality": pdf["modality"].values,
+                    "resized": out,
+                }
+            )
+
+    return df.select("doc_id", "modality", "payload").mapInPandas(
+        run, schema="doc_id long, modality string, resized array<double>"
     )

@@ -1552,6 +1552,42 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """WITH m AS (SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+    ELSE 'video' END AS modality, text FROM documents),
+f AS (SELECT doc_id, modality, text,
+  CAST(unnest(range(CASE WHEN modality = 'video' THEN 4 ELSE 1 END)) AS INT)
+    AS frame_idx FROM m)
+SELECT doc_id, modality, frame_idx,
+  md5(text || '#' || frame_idx) AS frame_digest FROM f""",
+    survey="ext: multimodal frame sampling (mapInPandas 1→N fan-out)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(
+        multimodal.attach_payload(_docs(spark, sf_dir)), n_frames=4
+    )
+
+
+@register(
+    "multimodal_resize",
+    None,  # md5-seeded decode + np.interp resample: not SQL-expressible
+    survey="ext: multimodal resize plumbing (decode→resample, one Arrow pass)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = multimodal.resize_features(
+        multimodal.attach_payload(_docs(spark, sf_dir)), out_dim=4
+    )
+    return out.select(
+        "doc_id",
+        "modality",
+        F.round(F.aggregate("resized", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "resized_sum"
+        ),
+    )
+
+
 # ===========================================================================
 # 12. Training-pipeline corpus ops (extensions): reproducible sampling,
 # dedup keep-list materialization, corpus shape statistics

@@ -38,3 +38,37 @@ def test_payload_matches_source_bytes(spark):
     df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     row = multimodal.attach_payload(df).select("payload").head()
     assert bytes(row["payload"]) == b"hello"
+
+
+def test_frame_sample_fan_out(spark, docs):
+    df = multimodal.attach_payload(docs.limit(30))
+    frames = multimodal.sample_frames(df, n_frames=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        expect = 4 if rows[0]["modality"] == "video" else 1
+        assert len(rows) == expect
+        assert sorted(r["frame_idx"] for r in rows) == list(range(expect))
+        assert len({r["frame_digest"] for r in rows}) == expect
+
+
+def test_frame_digest_deterministic(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(2, "clip")], "doc_id long, text string")  # 2%3→video
+    rows = multimodal.sample_frames(multimodal.attach_payload(df), n_frames=2).collect()
+    assert rows[0]["frame_digest"] == hashlib.md5(b"clip#0").hexdigest()
+    assert rows[1]["frame_digest"] == hashlib.md5(b"clip#1").hexdigest()
+
+
+def test_resize_features_dim_and_determinism(spark, docs):
+    df = multimodal.attach_payload(docs.limit(10))
+    a = {r["doc_id"]: r["resized"] for r in multimodal.resize_features(df, 4).collect()}
+    b = {r["doc_id"]: r["resized"] for r in multimodal.resize_features(df, 4).collect()}
+    assert a == b
+    assert all(len(v) == 4 for v in a.values())
+    # endpoints of the resample equal the endpoints of the decoded vector
+    full = {r["doc_id"]: r["features"] for r in multimodal.decode_features(df).collect()}
+    for k, v in a.items():
+        assert abs(v[0] - full[k][0]) < 1e-6 and abs(v[-1] - full[k][-1]) < 1e-6
