@@ -31,6 +31,7 @@ from ..functions.text import (
     minhash_signature,
     simhash16,
     simhash64_bands,
+    simhash64_bands_np,
     tokenize,
     word_shingles,
 )
@@ -259,7 +260,10 @@ def simhash_dup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash64_dup_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    digest: str = "np",
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming`` of a 64-bit
     SimHash, via 4×16-bit band blocking (pigeonhole: Hamming ≤ 3 ⇒ at
@@ -269,10 +273,16 @@ def simhash64_dup_pairs(
     keyed by 16-bit band values, so pair space is Σ bucket², never n².
     Verification is exact: XOR + popcount over the four bands, all
     JVM-side (``bit_count``). Bands are persisted once and reused by the
-    blocking join and both verify lookups."""
+    blocking join and both verify lookups.
+
+    ``digest``: ``"np"`` (default) uses the Arrow-vectorized digest
+    (:func:`simhash64_bands_np`, ~3× faster); ``"expr"`` the
+    pure-Catalyst one — bit-identical, kept for parity checks and
+    UDF-free deployments."""
+    digest_fn = simhash64_bands_np if digest == "np" else simhash64_bands
     s = eager_persist(  # one digest computation feeds three consumers
         fan_out(docs).select(
-            "doc_id", simhash64_bands(tokenize(F.col(text_col))).alias("bands")
+            "doc_id", digest_fn(tokenize(F.col(text_col))).alias("bands")
         )
     )
     e = s.select("doc_id", F.posexplode("bands").alias("band", "val"))

@@ -213,3 +213,39 @@ def test_candidate_pairs_bucket_cap_stars_big_buckets(spark):
     assert len(full) == 10 + 1  # 5C2 + 1
     # star: big bucket pairs only against its min member; small unchanged
     assert capped == {(10, 11), (10, 12), (10, 13), (10, 14), (20, 21)}
+
+
+def test_simhash64_np_digest_matches_expr(planted):
+    """The Arrow-vectorized digest must be bit-identical to the
+    pure-expression one (it replaces it in the default hot path)."""
+    from spark_streaming_twitch_analytics_spark.functions.text import (
+        simhash64_bands,
+        simhash64_bands_np,
+        tokenize,
+    )
+
+    docs = planted.sparkSession.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    both = docs.select(
+        "doc_id",
+        simhash64_bands(tokenize(F.col("text"))).alias("expr_b"),
+        simhash64_bands_np(tokenize(F.col("text"))).alias("np_b"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert r["expr_b"] == r["np_b"], r["doc_id"]
+    # edge rows: empty text -> all-zero bands; null tokens -> null
+    edge = planted.sparkSession.createDataFrame(
+        [(1, ""), (2, "x x y")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: (r["e"], r["n"])
+        for r in edge.select(
+            "doc_id",
+            simhash64_bands(tokenize(F.col("text"))).alias("e"),
+            simhash64_bands_np(tokenize(F.col("text"))).alias("n"),
+        ).collect()
+    }
+    for e, n in rows.values():
+        assert e == n
