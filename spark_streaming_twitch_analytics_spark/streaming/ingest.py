@@ -24,7 +24,7 @@ pipeline keeps — SURVEY §5's stream≡batch equivalence contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -94,15 +94,43 @@ def run_corpus_ingest(
     min_quality: float = 0.3,
     min_toks: int = 5,
     max_toks: int = 100000,
+    metrics: list[dict] | None = None,
 ):
     """Start the ingestion query: clean → near-dup drop → append to the
-    keep store. Returns the StreamingQuery (caller stops it)."""
+    keep store. Returns the StreamingQuery (caller stops it).
+
+    Pass a list as ``metrics`` to collect one dict per micro-batch —
+    ``{epoch, rows_in, rows_kept, avg_quality}`` — via ``df.observe``:
+    the counters ride the write action itself (no second pass over the
+    batch), which is the only affordable way to monitor data-quality
+    yield on a 100 TB intake stream."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        obs_in = Observation()
+        obs_kept = Observation()
         kept = drop_near_dups(
-            clean_batch(batch_df, min_quality, min_toks, max_toks), corpus_bands
+            clean_batch(
+                batch_df.observe(obs_in, F.count(F.lit(1)).alias("n")),
+                min_quality,
+                min_toks,
+                max_toks,
+            ),
+            corpus_bands,
+        ).observe(
+            obs_kept,
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
         store.write(kept, table, mode="append")
+        if metrics is not None:
+            metrics.append(
+                {
+                    "epoch": epoch_id,
+                    "rows_in": obs_in.get["n"],
+                    "rows_kept": obs_kept.get["n"],
+                    "avg_quality": obs_kept.get["avg_quality"],
+                }
+            )
 
     return (
         stream_docs.writeStream.foreachBatch(sink)

@@ -102,3 +102,51 @@ def test_checkpoint_dir_is_per_table(spark, tmp_path):
     store = KVTableStore(spark, str(tmp_path / "s"))
     a, b = store.checkpoint_dir("t1"), store.checkpoint_dir("t2")
     assert a != b and a.startswith(str(tmp_path / "s"))
+
+
+def test_ingest_observed_metrics_reconcile(spark, tmp_path):
+    """Per-batch df.observe counters must reconcile exactly: rows_in sums
+    to the rows streamed, rows_kept sums to the keep-store row count, and
+    no second pass over the batch is needed to get them."""
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = [
+        (r["doc_id"], r["text"])
+        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    bands = eager_persist(corpus_band_index(corpus))
+    try:
+        src = str(tmp_path / "docs")
+        mid = len(incoming) // 2
+        write_docs(src, 1, incoming[:mid])
+        store = KVTableStore(spark, str(tmp_path / "store"))
+        stream = spark.readStream.schema(DOC_SCHEMA).json(src)
+        metrics: list[dict] = []
+        q = run_corpus_ingest(stream, bands, store, min_quality=0.3, metrics=metrics)
+        try:
+            q.processAllAvailable()
+            write_docs(src, 2, incoming[mid:])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(metrics) >= 2
+        assert sum(m["rows_in"] for m in metrics) == len(incoming)
+        kept_rows = store.get_table(
+            "corpus_keep",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                    T.StructField("n_toks", T.IntegerType()),
+                    T.StructField("quality", T.DoubleType()),
+                ]
+            ),
+        ).count()
+        assert sum(m["rows_kept"] for m in metrics) == kept_rows
+        for m in metrics:
+            if m["rows_kept"]:
+                assert 0.3 <= m["avg_quality"] <= 1.0
+    finally:
+        release_all()
