@@ -15,7 +15,7 @@ the per-batch partial is tiny vs the accumulated table). Pass
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,3 +44,67 @@ SELECT COALESCE(a.{join_key}, b.{join_key}) AS {join_key},
        COALESCE(a.{sum_key}, 0) + COALESCE(b.{sum_key}, 0) AS {sum_key}
 FROM ({stored_rel}) a FULL OUTER JOIN ({incoming_rel}) b
   ON a.{join_key} = b.{join_key}"""
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    broadcast_changes: bool = False,
+) -> DataFrame:
+    """CDC upsert (extension — no reference counterpart): apply a change
+    feed to a keyed base table and return the new table contents.
+
+    ``changes`` must carry every ``base`` column plus ``op_col``; the
+    winning change per key is the one with the highest ``seq_cols``
+    (descending, left-to-right). Semantics per key:
+
+    - latest op == ``delete_op`` → key disappears,
+    - latest op != ``delete_op`` → that change's row replaces (or
+      inserts) the base row,
+    - key absent from ``changes`` → base row kept unchanged.
+
+    Scale shape: one shuffle of the (small) change feed for the
+    latest-per-key window, then a LEFT ANTI join of the base against the
+    touched-key set — with ``broadcast_changes=True`` the touched keys
+    broadcast and the 100 TB base never reshuffles; the upsert rows
+    union in for free (no sort, no full-table rewrite plan)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in seq_cols])
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    touched = latest.select(*keys)
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+    survivors = base.join(touched, keys, "left_anti")
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    return survivors.unionByName(upserts)
+
+
+def apply_changes_sql(
+    base_rel: str,
+    changes_rel: str,
+    keys: list[str],
+    seq_cols: list[str],
+    out_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> str:
+    ks = ", ".join(keys)
+    order = ", ".join(f"{c} DESC" for c in seq_cols)
+    cols = ", ".join(out_cols)
+    on = " AND ".join(f"b.{k} = l.{k}" for k in keys)
+    return f"""
+WITH __latest AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY {ks} ORDER BY {order}) AS __rn
+    FROM ({changes_rel}) c) WHERE __rn = 1)
+SELECT {cols} FROM ({base_rel}) b
+WHERE NOT EXISTS (SELECT 1 FROM __latest l WHERE {on})
+UNION ALL
+SELECT {cols} FROM __latest WHERE {op_col} <> '{delete_op}'"""

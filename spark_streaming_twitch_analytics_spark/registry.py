@@ -281,6 +281,63 @@ def update_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.update_table(stored, incoming, "word", "cnt")
 
 
+_CDC_BASE = """
+  SELECT user_id, event_id, value FROM (
+    SELECT user_id, event_id, value,
+      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id < (SELECT CAST(max(event_id) / 2 AS BIGINT)
+                                  FROM events)) WHERE rn = 1"""
+_CDC_CHANGES = """
+  SELECT user_id, event_id, value,
+    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events WHERE event_id >= (SELECT CAST(max(event_id) / 2 AS BIGINT)
+                                 FROM events)"""
+
+
+@register(
+    "cdc_apply_changes",
+    merge.apply_changes_sql(
+        _CDC_BASE,
+        _CDC_CHANGES,
+        keys=["user_id"],
+        seq_cols=["event_id"],
+        out_cols=["user_id", "event_id", "value"],
+    ),
+    survey="ext: CDC upsert — apply a change feed (latest-per-key, "
+    "delete ops) to a keyed base; broadcast touched keys so the base "
+    "never reshuffles",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC scenario on the events stream: base = each user's latest
+    pre-split event, change feed = post-split events ('error' → delete,
+    anything else → upsert). The winner per user is the highest
+    event_id."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.agg((F.max("event_id") / 2).cast("long")).first()[0]
+    w = W.partitionBy("user_id").orderBy(F.desc("event_id"))
+    base = (
+        ev.filter(F.col("event_id") < half)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+    changes = ev.filter(F.col("event_id") >= half).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    return merge.apply_changes(
+        base,
+        changes,
+        keys=["user_id"],
+        seq_cols=["event_id"],
+        broadcast_changes=True,
+    )
+
+
 @register(
     "topk_words_per_lang",
     topk.top_k_per_group_sql(

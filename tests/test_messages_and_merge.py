@@ -81,3 +81,40 @@ def test_semi_join_equals_collect_whitelist(spark, docs):
     whitelist = {r["word"] for r in top5.collect()}  # the reference's O3 way
     got = {r["word"] for r in semi.collect()}
     assert got == whitelist
+
+
+def test_apply_changes_upsert_delete_untouched(spark):
+    from spark_streaming_twitch_analytics_spark.operators import merge
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k long, seq long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 21, "a2", "U"),   # update k=1
+            (1, 22, "a3", "U"),   # later update wins
+            (2, 25, "bx", "D"),   # delete k=2
+            (4, 40, "d", "U"),    # insert new key
+            (5, 50, "e", "U"),    # insert then delete: latest wins -> gone
+            (5, 51, "e2", "D"),
+        ],
+        "k long, seq long, v string, op string",
+    )
+    got = {
+        (r["k"], r["seq"], r["v"])
+        for r in merge.apply_changes(
+            base, changes, keys=["k"], seq_cols=["seq"], broadcast_changes=True
+        ).collect()
+    }
+    assert got == {(1, 22, "a3"), (3, 30, "c"), (4, 40, "d")}
+
+
+def test_apply_changes_delete_then_reinsert(spark):
+    from spark_streaming_twitch_analytics_spark.operators import merge
+
+    base = spark.createDataFrame([(1, 1, "x")], "k long, seq long, v string")
+    changes = spark.createDataFrame(
+        [(1, 2, "x", "D"), (1, 3, "y", "U")], "k long, seq long, v string, op string"
+    )
+    rows = merge.apply_changes(base, changes, ["k"], ["seq"]).collect()
+    assert [(r["k"], r["seq"], r["v"]) for r in rows] == [(1, 3, "y")]
