@@ -641,3 +641,103 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(canon, "doc_id", "left_semi")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term statistics — corpus vocabulary weighting
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP_PER_DOC = 3
+
+
+@register(
+    "corpus_tfidf_terms",
+    f"""WITH t AS (
+  SELECT doc_id, unnest({X.tokenize_sql('text')}) AS term FROM documents),
+pt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM t GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, tf, df,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+FROM pt, n""",
+    survey="ext: global TF-IDF vocabulary statistics — corpus term "
+    "frequency, document frequency, and tf*ln(N/df) weight per term; one "
+    "explode + one shuffle on term (partial agg collapses each task's "
+    "token explosion to <=|vocab| rows before the wire), the corpus-size "
+    "scalar joins back as a broadcast",
+)
+def corpus_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term weighting (the IDF table every retrieval /
+    quality-scoring stage downstream consumes). Reference analogue: the
+    label-frequency count of ProcessingWorkSheet.sc:102-114, generalized
+    to weighted term statistics."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.explode(X.tokenize(F.col("text"))).alias("term"))
+    pt = t.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return pt.join(F.broadcast(n)).select(
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+
+
+@register(
+    "corpus_tfidf_top_per_doc",
+    f"""WITH t AS (
+  SELECT doc_id, unnest({X.tokenize_sql('text')}) AS term FROM documents),
+dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+r AS (
+  SELECT dt.doc_id, dt.term, dt.tf, dfreq.df,
+         round(dt.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY dt.doc_id
+           ORDER BY dt.tf DESC, dfreq.df ASC, dt.term ASC) AS INT) AS rnk
+  FROM dt JOIN dfreq USING (term), n)
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM r WHERE rnk <= {_TFIDF_TOP_PER_DOC}""",
+    survey="ext: per-document top-K keyword extraction by TF-IDF — "
+    "per-doc term counts join the global DF table (AQE flips to broadcast "
+    "when the vocabulary is small; shuffle-on-term otherwise), then a "
+    "per-doc window rank. Rank keys are the integer (tf, df, term) so the "
+    "K-boundary is engine-exact; the float weight is a reported column",
+)
+def corpus_tfidf_top_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keywords: the signature terms a doc-level index / topic
+    sampler keys on. The rank orders by integer (tf desc, df asc, term)
+    rather than the float weight so that the top-K cut is deterministic
+    across engines; tfidf itself is emitted for consumers."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.explode(X.tokenize(F.col("text"))).alias("term"))
+    dt = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = t.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        dt.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _TFIDF_TOP_PER_DOC)
+    )

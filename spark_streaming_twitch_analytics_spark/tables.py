@@ -54,12 +54,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read via nanosAsLong; truncate to the
-        # microsecond TimestampType (same truncation DuckDB applies)
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if name == "events" and col == "ts" and dtype == "bigint":
+            # TIMESTAMP(NANOS) parquet read via nanosAsLong; truncate to
+            # the microsecond TimestampType (same truncation DuckDB applies)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtype == "timestamp_ntz":
+            # Parquet timestamp[us] without tz reads as TIMESTAMP_NTZ under
+            # Spark 4's inferTimestampNTZ; the cast is exact because the
+            # session timezone is pinned to UTC (ensure_session_conf), and
+            # keeps epoch functions (unix_micros etc.) applicable.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

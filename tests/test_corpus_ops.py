@@ -233,3 +233,34 @@ def test_kmeans_refine_partitions_all_vectors(spark):
         assert len({x["n_vecs"] for x in rs}) == 1
     # every vector lands in exactly one cell
     assert sum(rs[0]["n_vecs"] for rs in by_cell.values()) == total
+
+
+def test_tfidf_terms_df_bounded_by_tf_and_idf_sign(spark):
+    rows = q(spark, "corpus_tfidf_terms").collect()
+    assert rows
+    n_docs = load_table(spark, SF, "documents").count()
+    for r in rows:
+        # a term can't appear in more docs than it has occurrences
+        assert 1 <= r["df"] <= r["tf"]
+        assert r["df"] <= n_docs
+        # ln(N/df) >= 0, so the weight is non-negative and zero iff
+        # the term appears in every document
+        if r["df"] == n_docs:
+            assert r["tfidf"] == 0.0
+        else:
+            assert r["tfidf"] > 0.0
+
+
+def test_tfidf_top_per_doc_rank_is_dense_and_consistent(spark):
+    rows = q(spark, "corpus_tfidf_top_per_doc").collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # ranks follow the declared integer ordering (tf desc, df asc, term)
+        keys = [(-r["tf"], r["df"], r["term"]) for r in rs]
+        assert keys == sorted(keys)

@@ -91,11 +91,21 @@ def test_ivf_partitioned_layout_prunes_cells(spark, tmp_path):
     assert probe.count() < spark.read.parquet(path).count()
 
 
-def test_no_python_udf_in_oracle_query_plans(spark):
-    # everything SQL-expressible must stay JVM-side (no BatchEvalPython /
-    # ArrowEvalPython nodes) — UDFs allowed only in rows-only queries
+def test_no_rowwise_python_udf_in_oracle_query_plans(spark):
+    # everything SQL-expressible must stay off the row-at-a-time Python
+    # path (no BatchEvalPython). Vectorized ArrowEvalPython nodes are
+    # allowed where deliberately chosen (e.g. the simhash64 digest, where
+    # the numpy batch kernel beats the exploded-JVM form) — but must stay
+    # rare, so the count is pinned.
+    arrow_nodes = []
     for qd in registry._REGISTRY:
         if qd.sql is None or qd.name.startswith("streaming_"):
             continue
         plan = EX.formatted_plan(qd.fn(spark, SF))
-        assert "EvalPython" not in plan, f"{qd.name} fell off the JVM path"
+        assert "BatchEvalPython" not in plan, f"{qd.name} fell off the JVM path"
+        if "ArrowEvalPython" in plan:
+            arrow_nodes.append(qd.name)
+    allowed = {"dedup_simhash64_hamming", "dedup_simhash_pairs"}
+    assert set(arrow_nodes) <= allowed, (
+        f"unexpected Arrow UDF in oracle plans: {sorted(set(arrow_nodes) - allowed)}"
+    )
