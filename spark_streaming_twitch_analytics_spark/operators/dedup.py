@@ -367,21 +367,24 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         join_sh = sh.join(rare, "sh", "left_semi")
-    sizes = shd.select("doc_id", F.size("shs").alias("n_sh"))
     a = join_sh.select(F.col("doc_id").alias("a"), "sh")
     b = join_sh.select(F.col("doc_id").alias("b"), "sh")
     pairs = a.join(b, "sh").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    # set sizes come free from the arrays already joined for the
+    # intersection — no separate sizes frame, two fewer joins
     common = (
         pairs.join(shd.select(F.col("doc_id").alias("a"), F.col("shs").alias("sh_a")), "a")
         .join(shd.select(F.col("doc_id").alias("b"), F.col("shs").alias("sh_b")), "b")
-        .select("a", "b", F.size(F.array_intersect("sh_a", "sh_b")).alias("common"))
-    )
-    na = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(na, "a")
-        .join(nb, "b")
         .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    return (
+        common.select(
             "a",
             "b",
             F.round(
