@@ -741,3 +741,42 @@ def corpus_tfidf_top_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _TFIDF_TOP_PER_DOC)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota (domain cap) — C4/RefinedWeb-style mix control
+# ---------------------------------------------------------------------------
+
+_SOURCE_QUOTA = 15
+
+
+@register(
+    "corpus_source_quota",
+    f"""WITH t AS (
+  SELECT doc_id, source, {X.tokenize_sql('text')} AS toks FROM documents),
+r AS (
+  SELECT doc_id, source, CAST(len(toks) AS INT) AS n_toks,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY len(toks) DESC, doc_id ASC) AS INT) AS rnk
+  FROM t)
+SELECT doc_id, source, n_toks, rnk FROM r WHERE rnk <= {_SOURCE_QUOTA}""",
+    survey="ext: per-source quota (domain cap) — keep at most K docs per "
+    "source, longest-first with an integer tie-break so the cut is "
+    "engine-exact. One shuffle on source + per-partition rank; a "
+    "mega-domain that skews its partition gets a two-level quota in "
+    "production (cap per (source, shard-salt) first, refine the winners)",
+)
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap sampling: no single source may contribute more than K
+    documents to the corpus — the mix-control that stops one crawl
+    domain from dominating training data. Ranked longest-first
+    (token count, then doc_id) so the boundary is deterministic."""
+    d = _docs(spark, sf_dir)
+    n_toks = F.size(X.tokenize(F.col("text"))).cast("int")
+    w = Window.partitionBy("source").orderBy(F.desc("n_toks"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", n_toks.alias("n_toks"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SOURCE_QUOTA)
+    )

@@ -264,3 +264,18 @@ def test_tfidf_top_per_doc_rank_is_dense_and_consistent(spark):
         # ranks follow the declared integer ordering (tf desc, df asc, term)
         keys = [(-r["tf"], r["df"], r["term"]) for r in rs]
         assert keys == sorted(keys)
+
+
+def test_source_quota_caps_every_source_and_keeps_longest(spark):
+    kept = q(spark, "corpus_source_quota")
+    per_src = {r["source"]: r["n"] for r in
+               kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_src and all(n <= 15 for n in per_src.values())
+    # every dropped doc is no longer than the shortest kept doc of its source
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", F.size(X.tokenize(F.col("text"))).alias("n_toks"))
+    shortest_kept = kept.groupBy("source").agg(F.min("n_toks").alias("floor"))
+    dropped = docs.join(kept.select("doc_id"), "doc_id", "left_anti")
+    bad = dropped.join(shortest_kept, "source").filter(
+        F.col("n_toks") > F.col("floor")).count()
+    assert bad == 0
