@@ -61,6 +61,9 @@ HEADLINE = [
     "corpus_decontaminate",
     "corpus_unigram_logprob",
     "embedding_centroids",
+    "corpus_tfidf_terms",
+    "corpus_tfidf_top_per_doc",
+    "corpus_source_quota",
 ]
 
 
