@@ -57,8 +57,21 @@ class KVTableStore:
         except Exception:
             return None
 
+    def last_applied_epoch(self, table: str) -> int:
+        """Highest micro-batch epoch recorded for ``table`` (-1 if none).
+        The exactly-once guard for delta-merging foreachBatch sinks: a
+        replayed epoch (failure between checkpoint commit and sink write)
+        must not be merged twice."""
+        meta = self._load_meta(table)
+        return int(meta.get("epoch", -1)) if meta else -1
+
     def write(
-        self, df: DataFrame, table: str, mode: str = "overwrite", ttl: int = 0
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        ttl: int = 0,
+        epoch: int | None = None,
     ) -> None:
         """Versioned write: each overwrite lands in a fresh ``v<N>`` subdir
         and the meta pointer flips afterwards. This makes snapshots atomic
@@ -80,6 +93,8 @@ class KVTableStore:
                 os.path.join(self._table_root(table), version)
             )
             new_meta = {"written_at": time.time(), "ttl": ttl, "version": version}
+        if epoch is not None:
+            new_meta["epoch"] = int(epoch)
         tmp = self._meta(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(new_meta, f)

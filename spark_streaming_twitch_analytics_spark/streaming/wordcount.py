@@ -149,6 +149,35 @@ def run_restore_snapshot_query(
     )
 
 
+def apply_delta_once(
+    store: KVTableStore,
+    table: str,
+    schema: T.StructType,
+    delta: DataFrame,
+    key: str,
+    sum_col: str,
+    epoch_id: int,
+    ttl: int = 0,
+) -> bool:
+    """Exactly-once delta merge: add ``delta``'s per-key sums into
+    ``table`` unless ``epoch_id`` was already applied to THAT table.
+
+    foreachBatch gives at-least-once sink invocation — after a failure
+    between the sink write and the checkpoint commit, the same epoch is
+    replayed, and a bare add-merge would double-count it. Recording the
+    epoch in the table's meta (flipped atomically WITH the data version)
+    makes the merge idempotent per table. Returns True if applied,
+    False if skipped as a replay. The guard is per-table so a crash
+    between two tables' writes replays only the unwritten one."""
+    if epoch_id <= store.last_applied_epoch(table):
+        return False
+    stored = store.get_table(table, schema)
+    store.write(
+        update_table(stored, delta, key, sum_col), table, ttl=ttl, epoch=epoch_id
+    )
+    return True
+
+
 def run_dual_branch_query(
     raw: DataFrame,
     store: KVTableStore,
@@ -184,19 +213,19 @@ def run_dual_branch_query(
                 .groupBy("category")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            stored_w = store.get_table(word_table, COUNT_SCHEMA)
-            store.write(
-                update_table(stored_w, words, "word", "cnt"), word_table
-            )
             cat_schema = T.StructType(
                 [
                     T.StructField("category", T.StringType()),
                     T.StructField("cnt", T.LongType()),
                 ]
             )
-            stored_c = store.get_table(cat_table, cat_schema)
-            store.write(
-                update_table(stored_c, cats, "category", "cnt"), cat_table
+            # per-table exactly-once guard: a replayed epoch merges only
+            # into whichever table missed it before the failure
+            apply_delta_once(
+                store, word_table, COUNT_SCHEMA, words, "word", "cnt", epoch_id
+            )
+            apply_delta_once(
+                store, cat_table, cat_schema, cats, "category", "cnt", epoch_id
             )
         finally:
             fmt.unpersist()

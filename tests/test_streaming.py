@@ -278,3 +278,28 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_apply_delta_once_skips_replayed_epoch(spark, tmp_path):
+    from spark_streaming_twitch_analytics_spark.streaming.wordcount import (
+        COUNT_SCHEMA,
+        apply_delta_once,
+    )
+
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    delta = spark.createDataFrame([("hello", 2), ("world", 1)], COUNT_SCHEMA)
+
+    assert apply_delta_once(store, "wc", COUNT_SCHEMA, delta, "word", "cnt", 0)
+    # at-least-once foreachBatch: the SAME epoch fires again after a
+    # failure → must be a no-op, not a double add
+    assert not apply_delta_once(store, "wc", COUNT_SCHEMA, delta, "word", "cnt", 0)
+    got = {r["word"]: r["cnt"] for r in store.get_table("wc", COUNT_SCHEMA).collect()}
+    assert got == {"hello": 2, "world": 1}
+
+    # the next epoch DOES merge
+    assert apply_delta_once(store, "wc", COUNT_SCHEMA, delta, "word", "cnt", 1)
+    got = {r["word"]: r["cnt"] for r in store.get_table("wc", COUNT_SCHEMA).collect()}
+    assert got == {"hello": 4, "world": 2}
+
+    # guard is per table: a fresh table accepts epoch 1 independently
+    assert apply_delta_once(store, "cc", COUNT_SCHEMA, delta, "word", "cnt", 1)
