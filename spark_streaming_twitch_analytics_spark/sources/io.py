@@ -68,3 +68,43 @@ def load_label_map(path: str | None = None) -> dict[int, str]:
 def broadcast_label_map(spark: SparkSession, path: str | None = None):
     """Driver-side load + broadcast: executors get ONE copy per node."""
     return spark.sparkContext.broadcast(load_label_map(path))
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-enforced JSONL source (one JSON object per line — the
+    interchange format of training corpora). The explicit schema skips
+    Spark's inference pass (a full extra scan at 100 TB) and pins column
+    types; corrupt lines land in ``_corrupt_record`` when the schema
+    declares it rather than failing the job."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """JSONL sink; one file per task (never coalesce(1) at scale).
+    ``compression`` e.g. 'gzip'/'zstd' trades CPU for the 3-5× size cut
+    that usually wins at object-store bandwidth."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Range-clustered layout: rows are range-partitioned on
+    ``cluster_col`` (one contiguous value range per output file) and
+    sorted within each file. Parquet min/max footer stats then make any
+    downstream range/point predicate on ``cluster_col`` skip whole files
+    — the poor man's z-order, and the right layout for an ANN cell
+    index, a time-keyed event table, or any column with hot range
+    predicates. One range-exchange (sampling pass + shuffle), same cost
+    class as a global sort."""
+    out = df.repartitionByRange(n_files, cluster_col).sortWithinPartitions(
+        cluster_col, *(sort_cols or [])
+    )
+    out.write.mode("overwrite").parquet(path)

@@ -55,3 +55,53 @@ def test_label_map_resource_roundtrip(spark):
     b = sio.broadcast_label_map(spark)
     assert b.value[7] == ENCODER_CLASSES[7]
     b.unpersist()
+
+
+def test_jsonl_roundtrip_schema_enforced(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from spark_streaming_twitch_analytics_spark.sources.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = spark.createDataFrame([(1, "a b"), (2, "c")], schema)
+    p = str(tmp_path / "docs.jsonl")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, schema)
+    assert back.schema == schema
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [(1, "a b"), (2, "c")]
+
+
+def test_clustered_parquet_files_have_disjoint_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spark_streaming_twitch_analytics_spark.sources.io import (
+        write_clustered_parquet,
+    )
+
+    df = spark.range(0, 10_000).selectExpr(
+        "pmod(hash(id), 1000) AS k", "id AS payload"
+    )
+    p = str(tmp_path / "clustered")
+    write_clustered_parquet(df, p, "k", 8, sort_cols=["payload"])
+    spans = []
+    for f in glob.glob(f"{p}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) == 8
+    # contiguous non-overlapping ranges: every file's min exceeds the
+    # previous file's max → a point/range predicate prunes to one file
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
