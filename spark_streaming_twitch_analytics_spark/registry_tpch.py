@@ -589,24 +589,32 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    with_other = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
+    # EXISTS/NOT EXISTS as per-order aggregates instead of self-joins:
+    # `late` holds DISTINCT (order, supplier) pairs, so "NOT EXISTS another
+    # late supplier in the order" ⟺ the order has exactly ONE late pair —
+    # one groupBy over `late` (computed once; the semi/anti form would
+    # re-evaluate the whole join+distinct subtree for each self-reference).
+    # "EXISTS another supplier in lineitem" ⟺ the order has >1 distinct
+    # suppliers — one aggregate over lineitem's two join columns.
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.max("l_suppkey").alias("l_suppkey"),
+        )
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey", "l_suppkey")
     )
-    sole_late = with_other.join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
     )
     supp = _t(spark, sf_dir, "supplier")
     return (
-        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(multi_supp, "l_orderkey", "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
