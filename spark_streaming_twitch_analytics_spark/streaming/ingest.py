@@ -95,9 +95,18 @@ def run_corpus_ingest(
     min_toks: int = 5,
     max_toks: int = 100000,
     metrics: list[dict] | None = None,
+    available_now: bool = False,
 ):
     """Start the ingestion query: clean → near-dup drop → append to the
     keep store. Returns the StreamingQuery (caller stops it).
+
+    ``available_now=True`` runs the stream in drain mode
+    (``Trigger.AvailableNow``): process everything currently in the
+    source — rate-limited into micro-batches by the source's own options
+    (e.g. ``maxFilesPerTrigger``) — then stop, with the same checkpoint
+    and exactly-once bookkeeping as the continuous mode. This is the
+    nightly-batch deployment of the ingest pipeline: one code path for
+    both continuous intake and scheduled backfill.
 
     Pass a list as ``metrics`` to collect one dict per micro-batch —
     ``{epoch, rows_in, rows_kept, avg_quality}`` — via ``df.observe``:
@@ -132,8 +141,9 @@ def run_corpus_ingest(
                 }
             )
 
-    return (
-        stream_docs.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", store.checkpoint_dir(table))
-        .start()
+    writer = stream_docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", store.checkpoint_dir(table)
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

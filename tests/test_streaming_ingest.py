@@ -150,3 +150,55 @@ def test_ingest_observed_metrics_reconcile(spark, tmp_path):
                 assert 0.3 <= m["avg_quality"] <= 1.0
     finally:
         release_all()
+
+
+def test_available_now_drains_and_terminates(spark, tmp_path):
+    """Drain mode: maxFilesPerTrigger rate-limits the backlog into
+    several micro-batches, AvailableNow stops the query by itself once
+    the backlog is consumed, and the kept rows equal the batch pipeline
+    over the same input."""
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = [
+        (r["doc_id"], r["text"])
+        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    bands = eager_persist(corpus_band_index(corpus))
+    try:
+        src = str(tmp_path / "docs")
+        third = len(incoming) // 3
+        for i, lo in enumerate(range(0, len(incoming), third or 1)):
+            write_docs(src, i, incoming[lo : lo + third])
+        store = KVTableStore(spark, str(tmp_path / "store"))
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        metrics: list[dict] = []
+        q = run_corpus_ingest(
+            stream, bands, store, metrics=metrics, available_now=True
+        )
+        assert q.awaitTermination(120), "drain query did not self-terminate"
+        assert len(metrics) >= 2, "maxFilesPerTrigger should split the backlog"
+
+        incoming_df = spark.createDataFrame(incoming, DOC_SCHEMA)
+        expected = drop_near_dups(clean_batch(incoming_df), bands)
+        got = store.get_table(
+            "corpus_keep",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                    T.StructField("n_toks", T.IntegerType()),
+                    T.StructField("quality", T.DoubleType()),
+                ]
+            ),
+        )
+        assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+            r["doc_id"] for r in expected.collect()
+        )
+    finally:
+        release_all()
