@@ -389,24 +389,29 @@ def lang_id_sql(tokens_expr: str) -> str:
 def quality_score(text: Column, tokens: Column, lang: str) -> Column:
     """Heuristic quality in [0,1]:
     0.3·min(len/500,1) + 0.3·stopword-ratio + 0.4·distinct-token-ratio.
-    Rounded to 4 decimals for float-stable oracle comparison."""
+    Quantized to 4 decimals by FLOOR, not round: the pre-quantization
+    double is bitwise identical on every IEEE-754 engine (same ops, same
+    order), but decimal *rounding* semantics differ — Spark rounds the
+    shortest-decimal rendering (BigDecimal HALF_UP) while DuckDB rounds
+    the binary value, so a true value near a .00005 boundary rounds
+    differently (observed at sf0.1). floor(x·10⁴)/10⁴ is computed purely
+    in doubles and is therefore engine-exact."""
     n = F.size(tokens)
     sw = stopword_array(lang)
     n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
     len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
     stop_ratio = n_stop / n
     uniq_ratio = F.size(F.array_distinct(tokens)) / n
-    return F.round(
-        F.lit(0.3) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.4) * uniq_ratio, 4
-    )
+    raw = F.lit(0.3) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.4) * uniq_ratio
+    return F.floor(raw * F.lit(10000.0)) / F.lit(10000.0)
 
 
 def quality_score_sql(text_expr: str, tokens_expr: str, lang: str) -> str:
     sw = sql_str_list(STOPWORDS[lang])
     return (
-        "round(0.3 * least(length({t}) / 500.0, 1.0) "
+        "(floor((0.3 * least(length({t}) / 500.0, 1.0) "
         "+ 0.3 * (len(list_filter({k}, t -> t IN ({sw}))) / len({k})) "
-        "+ 0.4 * (len(list_distinct({k})) / len({k})), 4)"
+        "+ 0.4 * (len(list_distinct({k})) / len({k}))) * 10000.0) / 10000.0)"
     ).format(t=text_expr, k=tokens_expr, sw=sw)
 
 
