@@ -435,16 +435,22 @@ def token_count_estimate_sql(expr: str) -> str:
 
 
 def dup_word_frac(tokens: Column) -> Column:
-    """Gopher-style duplicate-word fraction: 1 − distinct/total, 6 dp."""
-    return F.round(
+    """Gopher-style duplicate-word fraction: 1 − distinct/total,
+    floor-quantized to 6 dp (engine-exact — see vectors.quantize)."""
+    from .vectors import quantize
+
+    return quantize(
         1 - F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens), 6
     )
 
 
 def dup_word_frac_sql(tokens_expr: str) -> str:
-    return (
-        f"round(1 - CAST(len(list_distinct({tokens_expr})) AS DOUBLE) "
-        f"/ len({tokens_expr}), 6)"
+    from .vectors import quantize_sql
+
+    return quantize_sql(
+        f"1 - CAST(len(list_distinct({tokens_expr})) AS DOUBLE) "
+        f"/ len({tokens_expr})",
+        6,
     )
 
 

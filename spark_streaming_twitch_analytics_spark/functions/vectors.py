@@ -46,15 +46,38 @@ def norm_sql(a_expr: str, dim: int) -> str:
     return f"sqrt({dot_sql(a_expr, a_expr, dim)})"
 
 
+def quantize(x: Column, decimals: int) -> Column:
+    """Engine-exact quantization of a per-row double: floor(x·10ᵈ)/10ᵈ.
+
+    Decimal ROUNDING semantics differ across engines (Spark: BigDecimal
+    HALF_UP on the shortest-decimal rendering; DuckDB/numpy: nearest or
+    half-even on the binary value), so a true value near a half-boundary
+    rounds differently even when the input double is bitwise identical.
+    Floor-quantization stays entirely in IEEE-754 doubles, so identical
+    inputs give identical outputs on every engine. Use for per-row
+    ratios/products whose operands are engine-exact (int ratios,
+    identical-order folds) — NOT for avg/sum aggregates, where the risk
+    is fold order, which no quantizer fixes."""
+    scale = float(10**decimals)
+    return F.floor(x * F.lit(scale)) / F.lit(scale)
+
+
+def quantize_sql(expr: str, decimals: int) -> str:
+    scale = float(10**decimals)
+    return f"(floor(({expr}) * {scale}) / {scale})"
+
+
 def cosine(a: Column, b: Column, decimals: int = 6, dim: int | None = None) -> Column:
-    """Cosine similarity, rounded to keep ordering/thresholds stable."""
-    return F.round(dot(a, b, dim) / (norm(a, dim) * norm(b, dim)), decimals)
+    """Cosine similarity, floor-quantized to keep ordering/thresholds
+    engine-stable (see :func:`quantize`)."""
+    return quantize(dot(a, b, dim) / (norm(a, dim) * norm(b, dim)), decimals)
 
 
 def cosine_sql(a_expr: str, b_expr: str, dim: int, decimals: int = 6) -> str:
-    return (
-        f"round({dot_sql(a_expr, b_expr, dim)} / "
-        f"({norm_sql(a_expr, dim)} * {norm_sql(b_expr, dim)}), {decimals})"
+    return quantize_sql(
+        f"{dot_sql(a_expr, b_expr, dim)} / "
+        f"({norm_sql(a_expr, dim)} * {norm_sql(b_expr, dim)})",
+        decimals,
     )
 
 

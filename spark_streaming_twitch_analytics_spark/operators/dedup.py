@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..cache import eager_persist
 from .skew import fan_out
+from ..functions.vectors import quantize
 from ..functions.text import (
     minhash_signature,
     simhash16,
@@ -204,7 +205,7 @@ def jaccard_on_pairs(
         .select(
             "a",
             "b",
-            F.round(common / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+            quantize(common / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
         )
     )
 
@@ -236,7 +237,7 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select(
             "a",
             "b",
-            F.round(common / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+            quantize(common / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
         )
     )
 
@@ -387,7 +388,7 @@ def ngram_jaccard_pairs(
         common.select(
             "a",
             "b",
-            F.round(
+            quantize(
                 F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
             ).alias("jaccard"),
         )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, dot, lsh_bucket, norm
+from ..functions.vectors import as_double, dot, lsh_bucket, norm, quantize
 
 DIM = 64  # embeddings table dimensionality (static → unrolled codegen dots)
 
@@ -54,7 +54,7 @@ def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | Non
 
 
 def _scored(pairs: DataFrame) -> DataFrame:
-    cos = F.round(
+    cos = quantize(
         dot(F.col("qv"), F.col("cv"), DIM) / (F.col("qn") * F.col("cn")), 6
     )
     return pairs.select("q_id", "c_id", cos.alias("cos"))
@@ -154,10 +154,10 @@ def brute_force_topk_np(
     HOF folds are O(dim) interpreted loop iterations per pair, the matmul
     is vectorized SIMD over the whole batch.
 
-    Values are rounded to 6dp like the fold path; float64 matmul vs
-    sequential fold agree at that precision (verified empirically against
-    :func:`brute_force_topk` in tests — disagreement would need a true
-    value within ~1e-15 of a rounding boundary).
+    Values are floor-quantized to 6dp like the fold path; float64 matmul
+    vs sequential fold agree at that precision (verified empirically
+    against :func:`brute_force_topk` in tests — disagreement would need a
+    true value within ~1e-15 of a quantization boundary).
     """
     import numpy as np
     import pandas as pd
@@ -178,7 +178,9 @@ def brute_force_topk_np(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             cn = np.sqrt((cm * cm).sum(axis=1))
-            s = np.round((cm @ qm.T) / (cn[:, None] * qn[None, :]), 6)
+            # floor-quantize like the Catalyst path (np.round is
+            # half-even on the binary value — a different boundary rule)
+            s = np.floor((cm @ qm.T) / (cn[:, None] * qn[None, :]) * 1e6) / 1e6
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             out_q, out_c, out_s = [], [], []
             for j in range(nq):

@@ -682,8 +682,8 @@ cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   AND l.doc_id < r.doc_id),
 shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shx)
 SELECT a, b,
-round(len(list_intersect(x.sh, y.sh)) /
-  greatest(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1), 6) AS jaccard
+(floor((len(list_intersect(x.sh, y.sh)) /
+  greatest(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1)) * 1000000.0) / 1000000.0) AS jaccard
 FROM cand JOIN shd x ON x.doc_id = a JOIN shd y ON y.doc_id = b""",
     survey="ext: MinHash-LSH candidates + Jaccard verify",
 )
@@ -749,8 +749,8 @@ cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 shd AS (SELECT doc_id, list_distinct(sh) AS shs FROM shx),
 sizes AS (SELECT doc_id, CAST(len(list_distinct(sh)) AS INT) AS n_sh FROM shx)
 SELECT a, b,
-round(len(list_intersect(x.shs, y.shs)) /
-  (sx.n_sh + sy.n_sh - len(list_intersect(x.shs, y.shs))), 6) AS jaccard
+(floor((len(list_intersect(x.shs, y.shs)) /
+  (sx.n_sh + sy.n_sh - len(list_intersect(x.shs, y.shs)))) * 1000000.0) / 1000000.0) AS jaccard
 FROM cand JOIN shd x ON x.doc_id = a JOIN shd y ON y.doc_id = b
 JOIN sizes sx ON sx.doc_id = a JOIN sizes sy ON sy.doc_id = b
 ORDER BY jaccard DESC, a ASC, b ASC LIMIT 50""",

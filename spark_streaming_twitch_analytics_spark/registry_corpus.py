@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions import text as X
+from .functions import vectors as V
 from .operators import dedup, topk
 from .registry import register
 from .tables import load_table
@@ -209,13 +210,13 @@ bg AS (
 cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
 top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1)
 SELECT t.doc_id, CAST(len(toks) AS INT) AS n_toks,
-  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+  (floor((1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 1000000.0) / 1000000.0)
     AS dup_word_frac,
   CAST(coalesce(topc, 0) AS INT) AS top_bigram_count,
-  round(2.0 * coalesce(topc, 0) / len(toks), 6) AS top_bigram_frac,
-  CAST(round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+  (floor((2.0 * coalesce(topc, 0) / len(toks)) * 1000000.0) / 1000000.0) AS top_bigram_frac,
+  CAST((floor((1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 1000000.0) / 1000000.0)
          > {_REP_DUP_WORD_MAX}
-       OR round(2.0 * coalesce(topc, 0) / len(toks), 6)
+       OR (floor((2.0 * coalesce(topc, 0) / len(toks)) * 1000000.0) / 1000000.0)
          > {_REP_TOP_BIGRAM_MAX} AS INT) AS flagged
 FROM t LEFT JOIN top USING (doc_id)""",
     survey="ext: Gopher-style repetition metrics (duplicate-word fraction "
@@ -236,7 +237,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     topc = X.top_bigram_count(F.col("toks"))
     n_toks = F.size("toks")
     dup_frac = X.dup_word_frac(F.col("toks"))
-    big_frac = F.round(2.0 * topc / n_toks, 6)
+    big_frac = V.quantize(2.0 * topc / n_toks, 6)
     return t.select(
         "doc_id",
         n_toks.cast("int").alias("n_toks"),
@@ -515,8 +516,8 @@ cand AS (SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS match_id
   WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0),
 shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shx)
 SELECT new_id, match_id,
-round(len(list_intersect(x.sh, y.sh)) /
-  greatest(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1), 6) AS jaccard
+(floor((len(list_intersect(x.sh, y.sh)) /
+  greatest(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1)) * 1000000.0) / 1000000.0) AS jaccard
 FROM cand JOIN shd x ON x.doc_id = new_id JOIN shd y ON y.doc_id = match_id"""
     ranked = topk.top_k_per_group_sql(
         f"SELECT * FROM ({scored}) WHERE jaccard >= {_INC_MIN_JACCARD}",
@@ -572,7 +573,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "new_id",
             "match_id",
-            F.round(common / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+            V.quantize(common / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _INC_MIN_JACCARD)
     )
