@@ -655,10 +655,11 @@ _TFIDF_TOP_PER_DOC = 3
     "corpus_tfidf_terms",
     f"""WITH t AS (
   SELECT doc_id, unnest({X.tokenize_sql('text')}) AS term FROM documents),
+dt AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
 pt AS (
-  SELECT term, CAST(count(*) AS BIGINT) AS tf,
-         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-  FROM t GROUP BY term),
+  SELECT term, CAST(sum(c) AS BIGINT) AS tf,
+         CAST(count(*) AS BIGINT) AS df
+  FROM dt GROUP BY term),
 n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT term, tf, df,
        round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
@@ -676,9 +677,14 @@ def corpus_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     to weighted term statistics."""
     d = _docs(spark, sf_dir)
     t = d.select("doc_id", F.explode(X.tokenize(F.col("text"))).alias("term"))
-    pt = t.groupBy("term").agg(
-        F.count(F.lit(1)).alias("tf"),
-        F.count_distinct("doc_id").alias("df"),
+    # two-level aggregate: per-(doc, term) counts first, then per-term
+    # sum/count — df is count(*) of the doc-level groups, so there is no
+    # count_distinct expand, and the per-doc aggregate partials collapse
+    # each task's token explosion before the wire
+    dt = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    pt = dt.groupBy("term").agg(
+        F.sum("c").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
     )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return pt.join(F.broadcast(n)).select(
@@ -696,7 +702,7 @@ def corpus_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH t AS (
   SELECT doc_id, unnest({X.tokenize_sql('text')}) AS term FROM documents),
 dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
-dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
 r AS (
   SELECT dt.doc_id, dt.term, dt.tf, dfreq.df,
@@ -721,7 +727,10 @@ def corpus_tfidf_top_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     t = d.select("doc_id", F.explode(X.tokenize(F.col("text"))).alias("term"))
     dt = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = t.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # df from the per-doc aggregate: the dt subplan (and its exchange) is
+    # identical in both branches, so AQE reuses it (ReusedExchange) — the
+    # corpus is exploded once, and no count_distinct expand
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")

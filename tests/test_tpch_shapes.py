@@ -56,11 +56,15 @@ def test_q20_semi_join_chain(spark):
     assert "LeftSemi" in plan
 
 
-def test_q21_exists_and_not_exists_become_semi_and_anti(spark):
+def test_q21_exists_becomes_semi_join_over_aggregates(spark):
+    # EXISTS is a semi join against the per-order supplier-count
+    # aggregate; NOT EXISTS became the n_late=1 aggregate filter (no
+    # anti join, and the late subtree is not evaluated twice)
     df = q(spark, "q21_waiting_suppliers")
     plan = EX.formatted_plan(df)
     assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftAnti" not in plan
+    assert plan.count("HashAggregate") >= 2
 
 
 def test_q21_sole_late_supplier_semantics(spark):
