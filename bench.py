@@ -64,6 +64,7 @@ HEADLINE = [
     "corpus_tfidf_terms",
     "corpus_tfidf_top_per_doc",
     "corpus_source_quota",
+    "corpus_temperature_mix",
 ]
 
 
