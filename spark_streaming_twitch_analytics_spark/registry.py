@@ -910,6 +910,62 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2)
 
 
+_RECALL_SQL = f"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+{V.lsh_bucket_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))", 4, 64)} AS bucket
+FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id % 10 = 0),
+bscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, q WHERE c.vec_id <> q_id),
+bt AS ({topk.top_k_per_group_sql("SELECT * FROM bscored", ["q_id"], "cos", 5, ["c_id"])}),
+lscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c JOIN q USING (bucket) WHERE c.vec_id <> q_id),
+lt AS ({topk.top_k_per_group_sql("SELECT * FROM lscored", ["q_id"], "cos", 5, ["c_id"])}),
+m AS (SELECT CAST(count(*) AS BIGINT) AS matched
+  FROM bt JOIN lt ON bt.q_id = lt.q_id AND bt.c_id = lt.c_id),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bt)
+SELECT matched, total,
+  (floor((CAST(matched AS DOUBLE) / total) * 1000000.0) / 1000000.0) AS recall
+FROM m, t"""
+
+
+@register(
+    "ann_lsh_recall",
+    _RECALL_SQL,
+    survey="ext: ANN evaluation — recall@5 of the LSH path against the "
+    "exact brute-force top-k (total true-neighbour hits / total truth "
+    "rows, a single engine-exact integer ratio). The measurement every "
+    "approximate index ships with; both rankings come from the same "
+    "quantized cosine so the comparison is apples-to-apples",
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of sign-LSH ANN vs exact top-k. The join of the two
+    (q_id, c_id) rank sets is tiny (k rows per query); recall is one
+    integer division, floor-quantized — no float-fold nondeterminism.
+
+    Expect LOW recall on this testdata (~0.11 at sf0.01): the synthetic
+    embeddings have no cluster structure, so nearest neighbours rarely
+    share all 4 hyperplane signs — which is exactly what this query is
+    for: measuring whether an approximate index is adequate BEFORE
+    serving it. Real embedding corpora (clustered) sit far higher."""
+    from .functions.vectors import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    bt = similarity.brute_force_topk(queries, emb, 5).select("q_id", "c_id")
+    lt = similarity.lsh_topk(queries, emb, 5).select("q_id", "c_id")
+    matched = bt.join(lt, ["q_id", "c_id"]).agg(
+        F.count(F.lit(1)).alias("matched")
+    )
+    total = bt.agg(F.count(F.lit(1)).alias("total"))
+    return matched.join(F.broadcast(total)).select(
+        "matched",
+        "total",
+        quantize(F.col("matched").cast("double") / F.col("total"), 6).alias(
+            "recall"
+        ),
+    )
+
+
 # ===========================================================================
 # 8. Text analysis (extensions)
 # ===========================================================================

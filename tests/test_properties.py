@@ -70,3 +70,36 @@ def test_wordcount_permutation_invariance(spark):
         F.col("text"), spark.createDataFrame(list(reversed(rows)), "text string")
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+ratio_nums = st.integers(min_value=0, max_value=10_000)
+ratio_dens = st.integers(min_value=1, max_value=10_000)
+
+
+@settings(max_examples=5, deadline=None)
+@given(pairs=st.lists(st.tuples(ratio_nums, ratio_dens), min_size=1, max_size=200))
+def test_quantize_is_engine_exact_vs_duckdb(spark, pairs):
+    """The floor-quantizer must produce IDENTICAL doubles on Spark and
+    DuckDB for any int ratio — the property the oracle hash relies on
+    (decimal round() does NOT have it; that's why quantize exists)."""
+    import duckdb
+
+    from spark_streaming_twitch_analytics_spark.functions.vectors import (
+        quantize,
+        quantize_sql,
+    )
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [
+        r["q"]
+        for r in df.select(
+            quantize(F.col("a").cast("double") / F.col("b"), 6).alias("q")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    expr = quantize_sql("CAST(a AS DOUBLE) / b", 6)
+    want = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
+    # bitwise equality, not approx — repr distinguishes every double
+    assert [repr(x) for x in got] == [repr(x) for x in want]
