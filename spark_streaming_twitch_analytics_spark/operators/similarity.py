@@ -211,3 +211,25 @@ def brute_force_topk_np(
         score, "q_id long, c_id long, cos double"
     )
     return _topk(reduced, k)
+
+
+def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:
+    """Recall of an approximate ranking against the exact one: both are
+    (q_id, c_id, ...) top-k frames; recall = |approx ∩ exact| / |exact|
+    as one engine-exact integer ratio (floor-quantized). The join is k
+    rows per query on both sides — negligible at any corpus size."""
+    from ..functions.vectors import quantize
+
+    bt = exact_topk.select("q_id", "c_id")
+    at = approx_topk.select("q_id", "c_id")
+    matched = bt.join(at, ["q_id", "c_id"]).agg(
+        F.count(F.lit(1)).alias("matched")
+    )
+    total = bt.agg(F.count(F.lit(1)).alias("total"))
+    return matched.join(F.broadcast(total)).select(
+        "matched",
+        "total",
+        quantize(F.col("matched").cast("double") / F.col("total"), 6).alias(
+            "recall"
+        ),
+    )

@@ -947,22 +947,55 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     share all 4 hyperplane signs — which is exactly what this query is
     for: measuring whether an approximate index is adequate BEFORE
     serving it. Real embedding corpora (clustered) sit far higher."""
-    from .functions.vectors import quantize
-
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    bt = similarity.brute_force_topk(queries, emb, 5).select("q_id", "c_id")
-    lt = similarity.lsh_topk(queries, emb, 5).select("q_id", "c_id")
-    matched = bt.join(lt, ["q_id", "c_id"]).agg(
-        F.count(F.lit(1)).alias("matched")
+    return similarity.recall_at_k(
+        similarity.brute_force_topk(queries, emb, 5),
+        similarity.lsh_topk(queries, emb, 5),
     )
-    total = bt.agg(F.count(F.lit(1)).alias("total"))
-    return matched.join(F.broadcast(total)).select(
-        "matched",
-        "total",
-        quantize(F.col("matched").cast("double") / F.col("total"), 6).alias(
-            "recall"
-        ),
+
+
+_IVF_RECALL_SQL = f"""WITH e AS ({_EMB_CTE}),
+{_IVF_SQL_ASSIGN},
+qm AS (SELECT vec_id, v, cs, cell,
+  list_transform(cs, x -> CASE WHEN x = list_max(cs) THEN -1e18 ELSE x END) AS cs2
+  FROM ac WHERE vec_id % 10 = 0),
+qp AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM qm
+  UNION ALL
+  SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM qm),
+iscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM ac c JOIN qp ON c.cell = qp.cell WHERE c.vec_id <> q_id),
+it AS ({topk.top_k_per_group_sql("SELECT * FROM iscored", ["q_id"], "cos", 5, ["c_id"])}),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+bscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, q WHERE c.vec_id <> q_id),
+bt AS ({topk.top_k_per_group_sql("SELECT * FROM bscored", ["q_id"], "cos", 5, ["c_id"])}),
+m AS (SELECT CAST(count(*) AS BIGINT) AS matched
+  FROM bt JOIN it ON bt.q_id = it.q_id AND bt.c_id = it.c_id),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bt)
+SELECT matched, total,
+  (floor((CAST(matched AS DOUBLE) / total) * 1000000.0) / 1000000.0) AS recall
+FROM m, t"""
+
+
+@register(
+    "ann_ivf_recall",
+    _IVF_RECALL_SQL,
+    survey="ext: ANN evaluation — recall@5 of the 2-probe IVF path vs "
+    "exact brute-force top-k (same engine-exact integer ratio as "
+    "ann_lsh_recall). IVF is the production index layout here, so its "
+    "recall is the serving gate; the probe count is the recall knob",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index (argmax-cell, 2 probes) vs exact
+    top-k — data-adaptive cells recover notably more than fixed
+    hyperplane signs on the same embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.recall_at_k(
+        similarity.brute_force_topk(queries, emb, 5),
+        similarity.ivf_topk(queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2),
     )
 
 
