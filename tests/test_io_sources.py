@@ -105,3 +105,24 @@ def test_clustered_parquet_files_have_disjoint_ranges(spark, tmp_path):
     # previous file's max → a point/range predicate prunes to one file
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2
+
+
+def test_jsonl_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from spark_streaming_twitch_analytics_spark.sources.io import read_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id": 2, "text": "fine"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    rows = read_jsonl(spark, str(p), schema).collect()
+    good = [(r.doc_id, r.text) for r in rows if r._corrupt_record is None]
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert sorted(good) == [(1, "ok"), (2, "fine")]
+    assert bad == ["not json at all"]
