@@ -56,12 +56,24 @@ def file_line_source(spark: SparkSession, dir_path: str) -> DataFrame:
     return spark.readStream.format("text").load(dir_path)
 
 
+_RATE_WORDS = [
+    "stream", "spark", "hello", "pogchamp", "clip", "hype", "raid",
+    "emote", "chat", "mods", "subs", "lurk", "play",
+]
+
+
 def rate_source_lines(
     spark: SparkSession, rows_per_second: int = 100, channel: str = "chan"
 ) -> DataFrame:
     """``rate`` source → synthetic IRC lines (deterministic given the
-    rate source's value counter)."""
+    rate source's value counter). Message text mixes countable chat
+    words (>3 chars, Zipf-ish via the two modular picks) with short
+    filler the word filter drops — so the downstream word counts are
+    non-trivial, as on a real channel."""
     user = F.concat(F.lit("u"), (F.col("value") % 7).cast("string"))
+    words = F.array(*[F.lit(w) for w in _RATE_WORDS])
+    w1 = F.element_at(words, (F.col("value") % len(_RATE_WORDS) + 1).cast("int"))
+    w2 = F.element_at(words, (F.col("value") % 5 + 1).cast("int"))
     line = F.concat(
         (F.unix_millis(F.col("timestamp"))).cast("string"),
         F.lit(":"),
@@ -70,7 +82,11 @@ def rate_source_lines(
         user,
         F.lit("@tmi PRIVMSG #"),
         F.lit(channel),
-        F.lit(" :msg "),
+        F.lit(" :"),
+        w1,
+        F.lit(" "),
+        w2,
+        F.lit(" msg "),
         (F.col("value") % 31).cast("string"),
     )
     return (

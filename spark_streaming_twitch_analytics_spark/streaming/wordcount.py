@@ -186,6 +186,7 @@ def run_dual_branch_query(
     word_table: str = "wordcount",
     cat_table: str = "categoryCount",
     lang: str = DEFAULT_LANG,
+    batch_interval: str | None = None,
 ) -> StreamingQuery:
     """The reference's two-branch fan-out (ST2: ``DStream.cache()`` then
     wordcount + categoryCount branches, ``SparkRunner.scala:79-127``) as
@@ -230,12 +231,15 @@ def run_dual_branch_query(
         finally:
             fmt.unpersist()
 
-    return (
+    writer = (
         raw.writeStream.outputMode("append")
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
-        .start()
     )
+    if batch_interval is not None:
+        # the reference's CLI micro-batch clock (S2, Seconds(BatchDuration))
+        writer = writer.trigger(processingTime=batch_interval)
+    return writer.start()
 
 
 def memory_sink_query(
