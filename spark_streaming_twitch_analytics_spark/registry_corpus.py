@@ -859,3 +859,49 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("keep_bp"))
         .select("doc_id", "source", "keep_bp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (repeated k-token spans across documents)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5
+_SPAN_MIN_DOCS = 2
+
+
+@register(
+    "dedup_substring_spans",
+    f"""WITH t AS (
+  SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents),
+sp AS (
+  SELECT doc_id, unnest({X.word_shingles_sql('toks', _SPAN_K)}) AS span FROM t)
+SELECT span,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occ
+FROM sp GROUP BY span
+HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}""",
+    survey="ext: exact-substring span dedup (Lee et al. style) — every "
+    "k-token span occurring in ≥2 documents, with document and occurrence "
+    "counts. One explode + one shuffle keyed by span; partial aggregation "
+    "collapses each task's window explosion before the wire, so exchange "
+    "volume is bounded by distinct spans per task. The output drives "
+    "span-level cut-lists (drop the repeated boilerplate, keep the doc)",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated exact spans across the corpus: unlike the pairwise dedup
+    operators (which score DOC similarity), this surfaces the shared
+    SPANS themselves — the unit a substring-dedup pass actually removes
+    (boilerplate headers, license blocks, templated text)."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokenize(F.col("text"))
+    sp = d.select(
+        "doc_id", F.explode(X.word_shingles(toks, _SPAN_K)).alias("span")
+    )
+    return (
+        sp.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
+    )

@@ -249,3 +249,20 @@ def test_simhash64_np_digest_matches_expr(planted):
     }
     for e, n in rows.values():
         assert e == n
+
+
+def test_substring_spans_found_in_both_claimed_docs(spark):
+    from spark_streaming_twitch_analytics_spark import registry
+    from spark_streaming_twitch_analytics_spark.tables import load_table
+
+    spans = registry.get("dedup_substring_spans").fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = spans.orderBy(F.desc("n_docs"), "span").limit(5).collect()
+    assert rows
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for r in rows:
+        assert r["n_occ"] >= r["n_docs"] >= 2
+        # the span really is a substring of at least n_docs documents
+        n = docs.filter(F.col("text").contains(r["span"])).count()
+        assert n >= r["n_docs"]
