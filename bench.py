@@ -65,6 +65,8 @@ HEADLINE = [
     "corpus_tfidf_top_per_doc",
     "corpus_source_quota",
     "corpus_temperature_mix",
+    "dedup_substring_spans",
+    "ann_ivf_recall",
 ]
 
 
