@@ -108,3 +108,24 @@ def write_clustered_parquet(
         cluster_col, *(sort_cols or [])
     )
     out.write.mode("overwrite").parquet(path)
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Interleave the low ``bits`` of two non-negative int columns into a
+    Morton (z-order) key. Clustering a write by this key bounds BOTH
+    columns' min/max ranges per file, so parquet footer stats prune
+    files for predicates on either column (or both) — the two-column
+    generalization of :func:`write_clustered_parquet`'s single-column
+    layout. Pure bit expressions, whole-stage codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit1 = F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1))
+        bit2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
+        key = (
+            key
+            + (bit1 * F.lit(1 << (2 * i)))
+            + (bit2 * F.lit(1 << (2 * i + 1)))
+        )
+    return key

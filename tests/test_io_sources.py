@@ -126,3 +126,37 @@ def test_jsonl_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
     bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
     assert sorted(good) == [(1, "ok"), (2, "fine")]
     assert bad == ["not json at all"]
+
+
+def test_zorder_clustering_bounds_both_columns_per_file(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.sources.io import (
+        write_clustered_parquet,
+        zorder_key,
+    )
+
+    # two independent uniform columns in [0, 256)
+    df = spark.range(0, 20_000).selectExpr(
+        "pmod(hash(id), 256) AS x", "pmod(hash(id * 7 + 1), 256) AS y"
+    )
+    z = df.withColumn("z", zorder_key(F.col("x"), F.col("y"), bits=8))
+    p = str(tmp_path / "zordered")
+    write_clustered_parquet(z, p, "z", 16)
+
+    # per-file spans of BOTH x and y must be far below the global span:
+    # that's what lets footer stats prune on either column
+    spans_x, spans_y = [], []
+    for f in glob.glob(f"{p}/part-*.parquet"):
+        t = pq.read_table(f, columns=["x", "y"])
+        xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+        spans_x.append(max(xs) - min(xs))
+        spans_y.append(max(ys) - min(ys))
+    assert len(spans_x) == 16
+    # 16 z-clustered files tile a 256x256 grid into ~64x64 squares-ish
+    # regions; allow generous slack over the ideal span of 64
+    assert sum(spans_x) / len(spans_x) < 256 * 0.75
+    assert sum(spans_y) / len(spans_y) < 256 * 0.75
