@@ -905,3 +905,61 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datacard — one-pass summary statistics report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_datacard",
+    f"""WITH t AS (
+  SELECT doc_id, lang, text, {X.tokenize_sql('text')} AS toks,
+         {X.quality_score_sql('text', X.tokenize_sql('text'), 'en')} AS quality
+  FROM documents)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+  (floor((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)) * 1000000.0)
+     / 1000000.0) AS exact_dup_rate,
+  CAST(min(len(toks)) AS INT) AS min_toks,
+  CAST(max(len(toks)) AS INT) AS max_toks,
+  round(quantile_cont(len(toks), 0.5), 2) AS p50_toks,
+  round(avg(quality), 4) AS avg_quality
+FROM t""",
+    survey="ext: corpus datacard — the one-row summary report (docs, "
+    "tokens, languages, exact-dup rate, token-length spread, quality "
+    "mean) a dataset release ships with; ONE aggregate pass over the "
+    "corpus (count-distincts expand but stay bounded by partial "
+    "aggregation; every other stat is a plain agg on the same scan)",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-release summary: everything a data card's statistics
+    table needs from one scan. At 100 TB the count-distinct terms are
+    the costly part — swap for approx_count_distinct when exactness
+    isn't required (flagged rows-only in that variant)."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokenize(F.col("text"))
+    t = d.select(
+        "lang",
+        "text",
+        F.size(toks).alias("n_toks"),
+        X.quality_score(F.col("text"), toks, "en").alias("quality"),
+    )
+    dup_rate = (
+        1.0 - F.count_distinct(F.md5("text")).cast("double") / F.count(F.lit(1))
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+        V.quantize(dup_rate, 6).alias("exact_dup_rate"),
+        F.min("n_toks").cast("int").alias("min_toks"),
+        F.max("n_toks").cast("int").alias("max_toks"),
+        F.round(F.expr("percentile(n_toks, 0.5)"), 2).alias("p50_toks"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
