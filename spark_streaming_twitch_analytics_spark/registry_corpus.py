@@ -963,3 +963,123 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_toks, 0.5)"), 2).alias("p50_toks"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified train/val/test split + deterministic epoch-shuffle layout
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKETS = 1000
+_SPLIT_TRAIN = 960  # buckets [0, 960) → train
+_SPLIT_VAL = 980  # [960, 980) → val; [980, 1000) → test
+_SHUFFLE_SHARDS = 64
+_SHUFFLE_SALT = ":epoch17"  # new salt per epoch → new deterministic order
+
+
+def _split_bucket() -> Column:
+    # salt ':split' decorrelates this hash from corpus_mix_sample's —
+    # membership in the sample must not bias the split assignment
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _SPLIT_BUCKETS
+    )
+
+
+_SPLIT_BUCKET_SQL = (
+    "CAST('0x' || md5(CAST(doc_id AS VARCHAR) || ':split')[1:8] AS BIGINT) "
+    f"% {_SPLIT_BUCKETS}"
+)
+
+
+@register(
+    "corpus_stratified_split",
+    f"""WITH t AS (
+  SELECT source, len({X.tokenize_sql('text')}) AS n_toks,
+         {_SPLIT_BUCKET_SQL} AS b
+  FROM documents)
+SELECT source,
+  CASE WHEN b < {_SPLIT_TRAIN} THEN 'train'
+       WHEN b < {_SPLIT_VAL} THEN 'val' ELSE 'test' END AS split,
+  count(*) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1, 2""",
+    survey="ext: deterministic stratified train/val/test split (salted "
+    "md5 bucket per doc — any engine, any partitioning, any rerun "
+    "assigns the same doc to the same split; split is a pushable row "
+    "predicate so each consumer scans only its slice)",
+)
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment as a row-local hash — no sampling state,
+    no global sort, no driver involvement. The report aggregates per
+    (source, split) to show the split is stratified: hash uniformity
+    gives each source the same 96/2/2 proportions. At 100 TB the
+    assignment costs one narrow map; the report is one partial+final
+    aggregate keyed by (source, split) — tiny shuffle (|sources|×3
+    rows per task)."""
+    d = _docs(spark, sf_dir)
+    b = _split_bucket()
+    split = (
+        F.when(b < _SPLIT_TRAIN, "train")
+        .when(b < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            F.size(X.tokenize(F.col("text"))).alias("n_toks"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "corpus_shuffle_shards",
+    f"""WITH k AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}') AS skey
+  FROM documents)
+SELECT CAST(CAST('0x' || skey[1:8] AS BIGINT) % {_SHUFFLE_SHARDS} AS INT) AS shard,
+  count(*) AS n_docs,
+  arg_min(doc_id, skey) AS first_doc,
+  arg_max(doc_id, skey) AS last_doc
+FROM k GROUP BY 1""",
+    survey="ext: deterministic epoch shuffle as a sharded layout (salted "
+    "md5 order key → hash shard + within-shard sort) — the training-order "
+    "writer is repartition(shard).sortWithinPartitions(skey): one shuffle, "
+    "no global sort; a new salt per epoch is a free re-shuffle",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global training-order shuffle without a global sort: a salted md5
+    over doc_id is the order key; its top 8 hex chars hash-assign one of
+    64 shards; readers consume shards in any order, each shard locally
+    sorted by the key. Reproducible on any cluster shape (the key is
+    row-local). The report proves the layout: per-shard doc count
+    (balance) and the first/last doc in shard order (min_by/max_by —
+    determinism). At 100 TB: one shuffle keyed by shard, then a local
+    sort per shard — the same cost class as writing the data once."""
+    d = _docs(spark, sf_dir)
+    k = d.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT))).alias(
+            "skey"
+        ),
+    )
+    shard = (
+        F.conv(F.substring("skey", 1, 8), 16, 10).cast("bigint") % _SHUFFLE_SHARDS
+    ).cast("int")
+    return k.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min_by("doc_id", "skey").alias("first_doc"),
+        F.max_by("doc_id", "skey").alias("last_doc"),
+    )

@@ -299,3 +299,84 @@ def test_temperature_mix_upsamples_small_sources(spark):
     # kept counts stay under the threshold-implied expectation bound
     for s, k in kept_by_src.items():
         assert k <= n_by_src[s]
+
+
+def test_stratified_split_covers_all_docs_with_expected_fractions(spark):
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _SPLIT_BUCKETS,
+        _SPLIT_TRAIN,
+    )
+
+    rows = q(spark, "corpus_stratified_split").collect()
+    total_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total_docs  # partition, no loss
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert set(by_split) <= {"train", "val", "test"}
+    # hash uniformity: train ≈ 96% ± sampling noise at sf0.001 (500 docs)
+    train_frac = by_split.get("train", 0) / total_docs
+    expected = _SPLIT_TRAIN / _SPLIT_BUCKETS
+    assert abs(train_frac - expected) < 0.05
+    assert by_split.get("val", 0) + by_split.get("test", 0) > 0
+
+
+def test_stratified_split_is_independent_of_mix_sample_hash(spark):
+    # the ':split' salt must decorrelate split from the unsalted
+    # mix-sample bucket: sampled docs should not all land in one split
+    from spark_streaming_twitch_analytics_spark.registry_corpus import _split_bucket
+    from spark_streaming_twitch_analytics_spark.registry_corpus import _SPLIT_TRAIN
+
+    d = load_table(spark, SF, "documents")
+    unsalted = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    both = d.select(
+        (unsalted < 10).alias("in_sample"), (_split_bucket() < _SPLIT_TRAIN).alias("train")
+    )
+    sampled = both.filter("in_sample")
+    n = sampled.count()
+    n_train = sampled.filter("train").count()
+    assert n > 10
+    assert 0 < n_train < n or n_train / n > 0.8  # roughly train-fraction, not 0/100%
+
+
+def test_shuffle_shards_partition_all_docs_and_are_balanced(spark):
+    from spark_streaming_twitch_analytics_spark.registry_corpus import _SHUFFLE_SHARDS
+
+    rows = q(spark, "corpus_shuffle_shards").collect()
+    d = load_table(spark, SF, "documents")
+    total = d.count()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert len(rows) == min(_SHUFFLE_SHARDS, total)
+    # hash balance: no shard holds more than 4x the mean (500 docs / 64)
+    mean = total / len(rows)
+    assert max(r["n_docs"] for r in rows) <= 4 * mean
+    # the order key is not the ingest order: some shard's first doc in
+    # shuffle order must differ from its smallest doc_id
+    shard_min = {
+        r["shard"]: r["m"]
+        for r in d.select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch17"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _SHUFFLE_SHARDS
+            ).alias("shard"),
+            F.col("doc_id"),
+        )
+        .groupBy("shard")
+        .agg(F.min("doc_id").alias("m"))
+        .collect()
+    }
+    diffs = sum(1 for r in rows if r["first_doc"] != shard_min[r["shard"]])
+    assert diffs > 0
