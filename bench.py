@@ -67,6 +67,8 @@ HEADLINE = [
     "corpus_temperature_mix",
     "dedup_substring_spans",
     "ann_ivf_recall",
+    "corpus_stratified_split",
+    "corpus_shuffle_shards",
 ]
 
 
