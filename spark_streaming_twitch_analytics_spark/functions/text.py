@@ -512,3 +512,67 @@ def sentiment_score_sql(tokens_expr: str) -> str:
         "- len(list_filter({k}, t -> t IN ({n})))) "
         "/ greatest(len({k}), 1), 4)"
     ).format(k=tokens_expr, p=pos, n=neg)
+
+
+_SENTENCE_DELIM_RE = "[.!?]+"
+
+
+def sentences(text: Column) -> tuple[Column, ...]:
+    """Raw sentence segments: ``split`` on terminal-punctuation runs.
+    Pair with ``posexplode`` so each segment keeps its 0-based position
+    (the position counts raw segments, so filtering empties afterwards
+    never renumbers — engines that drop vs keep trailing empties agree)."""
+    return F.split(text, _SENTENCE_DELIM_RE)
+
+
+def split_sentences(df, text_col: str = "text", id_col: str = "doc_id"):
+    """doc → one row per non-empty sentence with its position. Pure
+    built-ins (split → posexplode → trim/filter): a narrow map with no
+    Python in the row path — the fast twin of :class:`SentenceSplitter`."""
+    return (
+        df.select(
+            id_col,
+            F.posexplode(sentences(F.col(text_col))).alias("sent_idx", "sentence"),
+        )
+        .withColumn("sentence", F.trim("sentence"))
+        .filter(F.length("sentence") > 0)
+        .withColumn("n_chars", F.length("sentence").cast("int"))
+    )
+
+
+def split_sentences_sql(table: str = "documents", max_sentences: int = 1024) -> str:
+    """DuckDB twin of :func:`split_sentences` (unnest-with-position via a
+    bounded range cross-join, as regexp_split_to_array keeps trailing
+    empties that Java ``split`` drops — the trim filter aligns both)."""
+    return f"""WITH s AS (
+  SELECT doc_id, regexp_split_to_array(text, '{_SENTENCE_DELIM_RE}') AS sents
+  FROM {table})
+SELECT doc_id, CAST(i AS INT) AS sent_idx, trim(sents[i + 1]) AS sentence,
+  CAST(len(trim(sents[i + 1])) AS INT) AS n_chars
+FROM s, (SELECT unnest(range(0, {max_sentences})) AS i) ix
+WHERE i < len(sents) AND len(trim(sents[i + 1])) > 0"""
+
+
+def make_sentence_udtf():
+    """Spark 4 Python UDTF twin of :func:`split_sentences` — the
+    table-function API surface for consumers who need imperative
+    per-row expansion (regex libraries, model-based segmenters). The
+    native version stays the hot path; tests assert both produce
+    identical rows."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    delim = re.compile(_SENTENCE_DELIM_RE)
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SentenceSplitter:
+        def eval(self, text: str):  # noqa: D401
+            if text is None:
+                return
+            for i, seg in enumerate(delim.split(text)):
+                seg = seg.strip()
+                if seg:
+                    yield i, seg, len(seg)
+
+    return SentenceSplitter

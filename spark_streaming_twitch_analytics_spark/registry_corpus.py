@@ -1083,3 +1083,37 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "skey").alias("first_doc"),
         F.max_by("doc_id", "skey").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation — the doc → sentence table function
+# ---------------------------------------------------------------------------
+
+
+# the synthetic corpus has no terminal punctuation, so (as with
+# text_redact_pii's synthesized PII) boundaries are first made observable:
+# a period after every 5th word, deterministically on both engines
+_SENT_AUG_RE = r"((?:\S+ ){4}\S+) "
+
+
+@register(
+    "text_sentences",
+    X.split_sentences_sql(
+        "(SELECT doc_id, "
+        f"regexp_replace(text, '{_SENT_AUG_RE}', '\\1. ', 'g') AS text "
+        "FROM documents) aug"
+    ),
+    survey="ext: sentence segmentation (split on terminal-punctuation runs "
+    "→ posexplode with stable positions; narrow map, no Python in the row "
+    "path — a lateral-join-shaped UDTF twin exists for imperative "
+    "segmenters, equality-tested)",
+)
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each document into (sent_idx, sentence, n_chars) rows.
+    Zero shuffle at any corpus size: split+posexplode pipelines inside
+    the scan stage; row growth (~sentences/doc) is the same cost class
+    as the chunker's."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", _SENT_AUG_RE, "$1. ")
+    )
+    return X.split_sentences(d)

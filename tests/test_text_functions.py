@@ -109,3 +109,43 @@ def test_fingerprint_stable_under_shingle_reorder(spark):
     assert fp1 and len(fp1) == 4 * 32
     assert fp1 != from_text(spark, "q r s t u v", lambda c: X.fingerprint(X.tokenize(c)))
     del fp2
+
+
+def test_sentence_split_native_and_udtf_agree(spark):
+    from spark_streaming_twitch_analytics_spark.functions.text import (
+        make_sentence_udtf,
+        split_sentences,
+    )
+    from spark_streaming_twitch_analytics_spark.tables import load_table
+
+    d = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .withColumn("text", F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1. "))
+        .limit(50)
+    )
+    native = sorted(
+        (r["doc_id"], r["sent_idx"], r["sentence"], r["n_chars"])
+        for r in split_sentences(d).collect()
+    )
+    assert native and any(idx > 0 for _, idx, _, _ in native)  # real multi-sentence docs
+    spark.udtf.register("split_sents", make_sentence_udtf())
+    d.createOrReplaceTempView("sent_docs")
+    via_udtf = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
+            "FROM sent_docs d, LATERAL split_sents(d.text) s"
+        ).collect()
+    )
+    assert native == via_udtf
+
+
+def test_sentence_split_handles_null_and_empty(spark):
+    from spark_streaming_twitch_analytics_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "only one"), (4, "a. b! c?")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["sent_idx"], r["sentence"]) for r in split_sentences(df).collect()}
+    assert rows == {(3, 0, "only one"), (4, 0, "a"), (4, 1, "b"), (4, 2, "c")}
