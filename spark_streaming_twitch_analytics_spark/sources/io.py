@@ -129,3 +129,26 @@ def zorder_key(c1, c2, bits: int = 16):
             + (bit2 * F.lit(1 << (2 * i + 1)))
         )
     return key
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (extension beyond the reference's parquet/CSV surface —
+    the other columnar format a Spark warehouse interoperates with;
+    built into Spark, predicate pushdown and column pruning work the
+    same as parquet's)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC source twin of :func:`write_orc`."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -160,3 +160,25 @@ def test_zorder_clustering_bounds_both_columns_per_file(spark, tmp_path):
     # regions; allow generous slack over the ideal span of 64
     assert sum(spans_x) / len(spans_x) < 256 * 0.75
     assert sum(spans_y) / len(spans_y) < 256 * 0.75
+
+
+def test_orc_round_trip_preserves_rows_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.sources.io import read_orc, write_orc
+    from spark_streaming_twitch_analytics_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(d, path)
+    back = read_orc(spark, path)
+    assert back.count() == d.count()
+    assert sorted(back.columns) == sorted(d.columns)
+    # hash parity with the parquet original (same rows, any order)
+    h = lambda df: df.select(F.md5(F.concat_ws("\x1f", *sorted(df.columns))).alias("h")) \
+        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint"))).head()[0]
+    assert h(back) == h(d)
+    # filter pushdown reaches the ORC scan
+    plan = back.filter(F.col("n_chars") > 200).select("doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(n_chars)" in plan
