@@ -109,3 +109,24 @@ def test_no_rowwise_python_udf_in_oracle_query_plans(spark):
     assert set(arrow_nodes) <= allowed, (
         f"unexpected Arrow UDF in oracle plans: {sorted(set(arrow_nodes) - allowed)}"
     )
+
+
+def test_split_and_shuffle_shard_ops_take_one_exchange(spark):
+    # both are row-local hash assignments + one keyed aggregate: any
+    # second exchange would mean the assignment itself shuffled
+    for name in ("corpus_stratified_split", "corpus_shuffle_shards"):
+        df = q(spark, name)
+        assert EX.count_operator(df, "Exchange") == 1, name
+        # partial+final (min_by/max_by plan as SortAggregate, not Hash)
+        aggs = EX.count_operator(df, "HashAggregate") + EX.count_operator(
+            df, "SortAggregate"
+        )
+        assert aggs >= 2, name
+
+
+def test_sentence_split_is_a_narrow_map(spark):
+    df = q(spark, "text_sentences")
+    assert EX.count_operator(df, "Exchange") == 0  # pipelines inside the scan stage
+    assert EX.has_operator(df, "Generate")  # posexplode
+    schema = EX.read_schemas(df)[0]
+    assert "lang" not in schema  # unused columns pruned
