@@ -152,3 +152,38 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    salt: str = ":epoch17",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the deterministic epoch-shuffle layout that
+    ``corpus_shuffle_shards`` reports on: a salted md5 over ``id_col``
+    is the global training-order key; its top 32 bits hash-assign a
+    shard; rows land partitioned by shard and locally sorted by the
+    key. Readers stream shards in any order and get a reproducible
+    shuffled epoch; a new salt is a free re-shuffle. One hash-exchange
+    + per-task sort — the same cost class as writing the corpus once,
+    with no global sort."""
+    from pyspark.sql import functions as F
+
+    skey = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    shard = (
+        F.conv(F.substring(skey, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    (
+        df.withColumn("skey", skey)
+        .withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        # shard leads the sort so the dynamic-partition writer's required
+        # ordering is already satisfied — otherwise it inserts its own
+        # (non-stable) sort on shard and scrambles the skey order
+        .sortWithinPartitions("shard", "skey")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -182,3 +182,49 @@ def test_orc_round_trip_preserves_rows_and_pushdown(spark, tmp_path):
     plan = back.filter(F.col("n_chars") > 200).select("doc_id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "PushedFilters: [" in plan and "IsNotNull(n_chars)" in plan
+
+
+def test_training_shards_layout_is_sharded_sorted_and_complete(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.sources.io import write_training_shards
+    from spark_streaming_twitch_analytics_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    path = str(tmp_path / "shards")
+    write_training_shards(d, path, n_shards=16)
+    back = spark.read.parquet(path)
+    assert back.count() == d.count()  # complete: every doc in exactly one shard
+    assert back.select("shard").distinct().count() == 16
+    # shard dir pruning: a shard-predicate scan reads only that partition
+    one = spark.read.parquet(path).filter(F.col("shard") == 3)
+    assert one.count() == back.filter("shard = 3").count()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
+    # within-file training order: rows of one physical file are sorted by skey
+    rows = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .filter(F.col("shard") == 3)
+        .collect()
+    )
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["skey"])
+    for keys in by_file.values():
+        assert keys == sorted(keys)
+    # shard assignment matches the corpus_shuffle_shards report hash
+    expected_shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch17"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+    ).cast("int")
+    mismatches = (
+        back.join(d.select("doc_id", expected_shard.alias("want")), "doc_id")
+        .filter(F.col("shard") != F.col("want"))
+        .count()
+    )
+    assert mismatches == 0
