@@ -18,7 +18,7 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "S3": ("Redis table sink (TTL, overwrite/append)", "sources/kv_store.py write()"),
     "S4": ("Redis source w/ empty-table fallback", "sources/kv_store.py get_table(); tests/test_streaming.py"),
     "S5": ("CSV source (multiline/quoted/header/schema)", "sources/io.py read_training_csv; tests/test_io_sources.py"),
-    "S6": ("coalesce(1) parquet sink", "sources/io.py write_single_parquet"),
+    "S6": ("coalesce(1) parquet sink", "sources/io.py write_single_parquet (+ extensions: write_clustered_parquet, write_orc/read_orc, write_jsonl, write_training_shards)"),
     "S7": ("console/debug sink", "df.show available; streaming memory sink in streaming/wordcount.py"),
     "S8": ("JSON label resource", "sources/io.py load_label_map + resources/encoder_classes.json"),
     "P1": ("rename column", "operators/messages.py format_raw_messages"),
@@ -73,7 +73,7 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "ext-text": ("langid/quality/token-count/fingerprint", "functions/text.py"),
     "ext-relational": ("set ops/rollup/pivot/as-of/range/percentiles/windows", "registry.py §10; operators/asof.py"),
     "ext-tpch": ("all 22 TPC-H query shapes (adapted to the testdata schema)", "registry.py §5; registry_tpch.py"),
-    "ext-corpus": ("training-corpus prep: sampling/mixing/chunking/packing/redaction/keep-lists/statistics", "registry.py §12; registry_corpus.py; streaming/ingest.py (stream≡batch ingestion, tests/test_streaming_ingest.py)"),
+    "ext-corpus": ("training-corpus prep: sampling/mixing/chunking/packing/redaction/keep-lists/statistics", "registry.py §12; registry_corpus.py; sources/io.py write_training_shards (epoch-shuffle layout writer); streaming/ingest.py (stream≡batch ingestion, tests/test_streaming_ingest.py)"),
 }
 
 
