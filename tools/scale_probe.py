@@ -41,6 +41,9 @@ QUERIES = [
     "kmeans_refine_centroids",
     "grouping_sets_orders",
     "json_variant_stats",
+    "corpus_stratified_split",
+    "corpus_shuffle_shards",
+    "text_sentences",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
