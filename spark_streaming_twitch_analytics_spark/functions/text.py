@@ -487,9 +487,11 @@ def fingerprint(tokens: Column, shingle_n: int = 3, keep: int = 4) -> Column:
 
 def fingerprint_sql(tokens_expr: str, shingle_n: int = 3, keep: int = 4) -> str:
     sh = word_shingles_sql(tokens_expr, shingle_n)
+    # coalesce: a shingle-less doc is NULL through DuckDB's list chain but
+    # an empty array (→ '') on Spark — '' is the agreed empty fingerprint
     return (
-        f"array_to_string(list_sort(list_distinct(list_transform({sh}, "
-        f"s -> md5(s))))[1:{keep}], '')"
+        f"coalesce(array_to_string(list_sort(list_distinct(list_transform({sh}, "
+        f"s -> md5(s))))[1:{keep}], ''), '')"
     )
 
 

@@ -103,3 +103,55 @@ def test_quantize_is_engine_exact_vs_duckdb(spark, pairs):
     want = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
     # bitwise equality, not approx — repr distinguishes every double
     assert [repr(x) for x in got] == [repr(x) for x in want]
+
+
+fuzz_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, blacklist_characters="'\\"),
+    min_size=0,
+    max_size=80,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(fuzz_text, min_size=1, max_size=40))
+def test_portable_text_functions_match_duckdb_on_random_strings(spark, texts):
+    """The whole portable text-function chain — tokenize → shingles →
+    minhash signature → simhash64 bands → fingerprint — must agree
+    cross-engine on ARBITRARY printable input, not just the synthetic
+    corpus (the oracle hash at sf0.01 only ever sees the latter)."""
+    import duckdb
+
+    from spark_streaming_twitch_analytics_spark.functions import text as X
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = X.tokenize(F.col("text"))
+    got = [
+        (r["doc_id"], r["toks"], r["mh"], r["bands"], r["fp"])
+        for r in df.select(
+            "doc_id",
+            toks.alias("toks"),
+            X.minhash_signature(X.word_shingles(toks, 2), 4).alias("mh"),
+            X.simhash64_bands(toks).alias("bands"),
+            X.fingerprint(toks).alias("fp"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    tk = X.tokenize_sql("text")
+    want = con.execute(
+        f"""SELECT doc_id, {tk},
+        {X.minhash_signature_sql(X.word_shingles_sql(tk, 2), 4)},
+        {X.simhash64_bands_sql(X.simhash64_token_ints_sql(tk))},
+        {X.fingerprint_sql(tk)}
+        FROM t ORDER BY doc_id"""
+    ).fetchall()
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        assert list(g[1] or []) == list(w[1] or []), (g[0], "tokens")
+        assert list(g[2] or []) == list(w[2] or []), (g[0], "minhash")
+        assert list(g[3] or []) == list(w[3] or []), (g[0], "simhash bands")
+        assert g[4] == w[4], (g[0], "fingerprint")
