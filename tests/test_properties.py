@@ -155,3 +155,54 @@ def test_portable_text_functions_match_duckdb_on_random_strings(spark, texts):
         assert list(g[2] or []) == list(w[2] or []), (g[0], "minhash")
         assert list(g[3] or []) == list(w[3] or []), (g[0], "simhash bands")
         assert g[4] == w[4], (g[0], "fingerprint")
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(fuzz_text, min_size=1, max_size=40))
+def test_portable_scalar_text_functions_match_duckdb(spark, texts):
+    """Scalar twins — cleaners, lang-id, quality, token estimate,
+    dup-word fraction, sentiment — on arbitrary printable input."""
+    import duckdb
+
+    from spark_streaming_twitch_analytics_spark.functions import text as X
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = X.tokenize(F.col("text"))
+    got = [
+        tuple(r)
+        for r in df.select(
+            "doc_id",
+            X.clean_disc(F.col("text")).alias("cl"),
+            X.strip_listchars(F.col("text")).alias("st"),
+            X.countable_words(F.col("text"), "en").alias("cw"),
+            X.lang_id(toks).alias("lg"),
+            X.quality_score(F.col("text"), toks, "en").alias("qs"),
+            X.token_count_estimate(F.col("text")).alias("tc"),
+            X.dup_word_frac(toks).alias("dw"),
+            X.sentiment_score(toks).alias("sn"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    tk = X.tokenize_sql("text")
+    want = con.execute(
+        f"""SELECT doc_id, {X.clean_disc_sql('text')}, {X.strip_listchars_sql('text')},
+        {X.countable_words_sql('text', 'en')}, {X.lang_id_sql(tk)},
+        {X.quality_score_sql('text', tk, 'en')}, {X.token_count_estimate_sql('text')},
+        {X.dup_word_frac_sql(tk)}, {X.sentiment_score_sql(tk)}
+        FROM t ORDER BY doc_id"""
+    ).fetchall()
+    labels = ["doc_id", "clean", "strip", "countable", "langid", "quality",
+              "tokcount", "dupfrac", "sentiment"]
+    for g, w in zip(got, want):
+        for lbl, gv, wv in zip(labels, g, w):
+            gv = list(gv) if isinstance(gv, list) else gv
+            wv = list(wv) if isinstance(wv, list) else wv
+            if isinstance(gv, float) or isinstance(wv, float):
+                assert repr(gv) == repr(wv), (g[0], lbl, gv, wv)
+            else:
+                assert gv == wv, (g[0], lbl, gv, wv)
