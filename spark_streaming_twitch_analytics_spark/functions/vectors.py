@@ -69,16 +69,17 @@ def quantize_sql(expr: str, decimals: int) -> str:
 
 def cosine(a: Column, b: Column, decimals: int = 6, dim: int | None = None) -> Column:
     """Cosine similarity, floor-quantized to keep ordering/thresholds
-    engine-stable (see :func:`quantize`)."""
-    return quantize(dot(a, b, dim) / (norm(a, dim) * norm(b, dim)), decimals)
+    engine-stable (see :func:`quantize`). A zero-norm side yields NULL
+    on both engines (under ANSI mode a bare division would THROW on the
+    first all-zeros embedding in the corpus, killing the whole job)."""
+    denom = norm(a, dim) * norm(b, dim)
+    return F.when(denom != 0, quantize(dot(a, b, dim) / denom, decimals))
 
 
 def cosine_sql(a_expr: str, b_expr: str, dim: int, decimals: int = 6) -> str:
-    return quantize_sql(
-        f"{dot_sql(a_expr, b_expr, dim)} / "
-        f"({norm_sql(a_expr, dim)} * {norm_sql(b_expr, dim)})",
-        decimals,
-    )
+    denom = f"({norm_sql(a_expr, dim)} * {norm_sql(b_expr, dim)})"
+    q = quantize_sql(f"{dot_sql(a_expr, b_expr, dim)} / {denom}", decimals)
+    return f"(CASE WHEN {denom} <> 0 THEN {q} ELSE NULL END)"
 
 
 def hyperplane_weights(h: int, dim: int) -> list[int]:

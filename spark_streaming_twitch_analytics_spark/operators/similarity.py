@@ -54,8 +54,11 @@ def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | Non
 
 
 def _scored(pairs: DataFrame) -> DataFrame:
-    cos = quantize(
-        dot(F.col("qv"), F.col("cv"), DIM) / (F.col("qn") * F.col("cn")), 6
+    # zero-norm guard: NULL (ranked last by the top-k window on both
+    # engines) instead of an ANSI divide-by-zero error killing the job
+    denom = F.col("qn") * F.col("cn")
+    cos = F.when(
+        denom != 0, quantize(dot(F.col("qv"), F.col("cv"), DIM) / denom, 6)
     )
     return pairs.select("q_id", "c_id", cos.alias("cos"))
 
@@ -179,8 +182,11 @@ def brute_force_topk_np(
             )
             cn = np.sqrt((cm * cm).sum(axis=1))
             # floor-quantize like the Catalyst path (np.round is
-            # half-even on the binary value — a different boundary rule)
-            s = np.floor((cm @ qm.T) / (cn[:, None] * qn[None, :]) * 1e6) / 1e6
+            # half-even on the binary value — a different boundary rule);
+            # zero-norm pairs become NaN here and NULL on yield, matching
+            # the fold path's when()-guard
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.floor((cm @ qm.T) / (cn[:, None] * qn[None, :]) * 1e6) / 1e6
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             out_q, out_c, out_s = [], [], []
             for j in range(nq):
@@ -197,11 +203,15 @@ def brute_force_topk_np(
                 out_q.append(np.full(len(cc), q_ids[j]))
                 out_c.append(cc)
                 out_s.append(cs)
+            cos_out = np.concatenate(out_s)
             yield pd.DataFrame(
                 {
                     "q_id": np.concatenate(out_q),
                     "c_id": np.concatenate(out_c),
-                    "cos": np.concatenate(out_s),
+                    # NaN (zero-norm pair) → NULL, like the fold path
+                    "cos": pd.Series(cos_out).where(~np.isnan(cos_out), None)
+                    if np.isnan(cos_out).any()
+                    else cos_out,
                 }
             )
 

@@ -266,3 +266,27 @@ def test_substring_spans_found_in_both_claimed_docs(spark):
         # the span really is a substring of at least n_docs documents
         n = docs.filter(F.col("text").contains(r["span"])).count()
         assert n >= r["n_docs"]
+
+
+def test_zero_norm_vectors_yield_null_not_crash_on_both_brute_paths(spark):
+    """An all-zeros embedding in the corpus must not kill the job (ANSI
+    divide-by-zero) on either brute path; its pairs score NULL and rank
+    last, and the fold and matmul paths still agree."""
+    base = [float(i % 7 - 3) for i in range(64)]
+    twin = list(base)
+    twin[0] += 0.01
+    zero = [0.0] * 64
+    rows = [(0, base, 0), (1, twin, 0), (2, zero, 0), (3, base, 1)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = vecs.filter(F.col("vec_id") == 0)
+    fold = similarity.brute_force_topk(q, vecs, k=3).collect()
+    np_ = similarity.brute_force_topk_np(q, vecs, k=3).collect()
+    want = sorted((r["c_id"], r["cos"], r["rn"]) for r in fold)
+    assert want == sorted((r["c_id"], r["cos"], r["rn"]) for r in np_)
+    by_id = {r["c_id"]: r for r in fold}
+    assert by_id[2]["cos"] is None  # zero-norm pair → NULL
+    assert by_id[2]["rn"] == 3  # ranked last, real neighbours first
+    # the zero vector as the QUERY side must not crash either
+    zq = vecs.filter(F.col("vec_id") == 2)
+    zfold = similarity.brute_force_topk(zq, vecs, k=2).collect()
+    assert all(r["cos"] is None for r in zfold)

@@ -206,3 +206,50 @@ def test_portable_scalar_text_functions_match_duckdb(spark, texts):
                 assert repr(gv) == repr(wv), (g[0], lbl, gv, wv)
             else:
                 assert gv == wv, (g[0], lbl, gv, wv)
+
+
+vec_component = st.integers(min_value=-1000, max_value=1000)
+
+
+@settings(max_examples=5, deadline=None)
+@given(vecs=st.lists(st.tuples(*[vec_component] * 8), min_size=2, max_size=30))
+def test_vector_fold_functions_match_duckdb_bitwise(spark, vecs):
+    """cosine / LSH bucket / IVF cell on arbitrary int-valued float
+    vectors must be BIT-identical across engines (the identical-order
+    fold property every ANN/dedup oracle hash rests on). Components are
+    int-valued floats (exactly representable) but the intermediate
+    products/sums exercise real float accumulation order."""
+    import duckdb
+
+    from spark_streaming_twitch_analytics_spark.functions import vectors as V
+
+    dim = 8
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    q = rows[0][1]  # fixed query vector for the pairwise cosine
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    qcol = F.array(*[F.lit(x) for x in q])
+    got = [
+        tuple(r)
+        for r in df.select(
+            "vid",
+            V.cosine(F.col("v"), qcol, dim=dim).alias("cos"),
+            V.lsh_bucket(F.col("v"), 4, dim).alias("bkt"),
+            V.cell_scores(F.col("v"), 4, dim).alias("cells"),
+        )
+        .orderBy("vid")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(vid BIGINT, v DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    qsql = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in q) + "]"
+    want = con.execute(
+        f"""SELECT vid, {V.cosine_sql('v', qsql, dim)},
+        {V.lsh_bucket_sql('v', 4, dim)}, {V.cell_scores_sql('v', 4, dim)}
+        FROM t ORDER BY vid"""
+    ).fetchall()
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        assert repr(g[1]) == repr(w[1]), (g[0], "cosine", g[1], w[1])
+        assert g[2] == w[2], (g[0], "lsh bucket")
+        assert [repr(x) for x in g[3]] == [repr(x) for x in w[3]], (g[0], "cells")
