@@ -253,3 +253,55 @@ def test_vector_fold_functions_match_duckdb_bitwise(spark, vecs):
         assert repr(g[1]) == repr(w[1]), (g[0], "cosine", g[1], w[1])
         assert g[2] == w[2], (g[0], "lsh bucket")
         assert [repr(x) for x in g[3]] == [repr(x) for x in w[3]], (g[0], "cells")
+
+
+ts_small = st.integers(min_value=0, max_value=30)
+keys_small = st.integers(min_value=0, max_value=3)
+vals_small = st.integers(min_value=0, max_value=100)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    left=st.lists(st.tuples(keys_small, ts_small), min_size=1, max_size=25),
+    right=st.lists(st.tuples(keys_small, ts_small, vals_small), min_size=0, max_size=25),
+)
+def test_asof_join_matches_duckdb_native_asof(spark, left, right):
+    """The union+window as-of rebuild must agree with DuckDB's native
+    ASOF LEFT JOIN on arbitrary (key, ts) streams — including ties,
+    empty right sides, and keys with no match. Right side is first
+    deduped to max(val) per (key, ts) — the ambiguity both engines
+    would otherwise resolve arbitrarily."""
+    import duckdb
+
+    from spark_streaming_twitch_analytics_spark.operators.asof import as_of_join
+
+    lrows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    rrows = list(right)
+    ldf = spark.createDataFrame(lrows, "eid long, k long, ts long")
+    rdf = (
+        spark.createDataFrame(rrows or [(-1, -1, -1)], "k long, ts long, val long")
+        .groupBy("k", "ts")
+        .agg(F.max("val").alias("val"))
+    )
+    got = {
+        r["eid"]: r["asof_val"]
+        for r in as_of_join(ldf, rdf, "k", "ts", "ts", "val", out_col="asof_val")
+        .select("eid", "asof_val")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(eid BIGINT, k BIGINT, ts BIGINT)")
+    con.execute("CREATE TABLE r0(k BIGINT, ts BIGINT, val BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", lrows)
+    if rrows:
+        con.executemany("INSERT INTO r0 VALUES (?, ?, ?)", rrows)
+    else:
+        con.execute("INSERT INTO r0 VALUES (-1, -1, -1)")
+    want = dict(
+        con.execute(
+            """WITH r AS (SELECT k, ts, max(val) AS val FROM r0 GROUP BY k, ts)
+            SELECT l.eid, r.val FROM l ASOF LEFT JOIN r
+            ON l.k = r.k AND l.ts >= r.ts"""
+        ).fetchall()
+    )
+    assert got == want
