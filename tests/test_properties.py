@@ -305,3 +305,45 @@ def test_asof_join_matches_duckdb_native_asof(spark, left, right):
         ).fetchall()
     )
     assert got == want
+
+
+score_cell = st.sampled_from([0.0, 0.25, 0.5, 0.5, 0.5000001, 0.75, 0.75, 1.0])
+
+
+@settings(max_examples=6, deadline=None)
+@given(score_rows=st.lists(st.lists(score_cell, min_size=50, max_size=50), min_size=1, max_size=20))
+def test_threshold_decode_positional_with_duplicate_scores(spark, score_rows):
+    """U4b semantics under the adversarial case the reference got wrong:
+    DUPLICATE score values. The reference's ``preds.indexOf`` resolved
+    every duplicate to the FIRST matching index (TFInterface.scala:63-66);
+    the rebuild must decode each position independently — and agree with
+    the DuckDB twin and a plain python reference on arbitrary score
+    arrays, including exact-0.5 boundary values (strictly greater-than)."""
+    import duckdb
+
+    from spark_streaming_twitch_analytics_spark.constants import ENCODER_CLASSES
+    from spark_streaming_twitch_analytics_spark.functions import scoring
+
+    rows = [(i, v) for i, v in enumerate(score_rows)]
+    df = spark.createDataFrame(rows, "rid long, scores array<double>")
+    got = {
+        r["rid"]: list(r["cats"])
+        for r in df.select(
+            "rid", scoring.decode_categories(F.col("scores")).alias("cats")
+        ).collect()
+    }
+    want_py = {
+        i: [ENCODER_CLASSES[j] for j, s in enumerate(v) if s > 0.5]
+        for i, v in rows
+    }
+    assert got == want_py
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(rid BIGINT, scores DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want_duck = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            f"SELECT rid, {scoring.decode_categories_sql('scores')} FROM t"
+        ).fetchall()
+    }
+    assert got == want_duck
