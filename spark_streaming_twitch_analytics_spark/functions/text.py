@@ -519,7 +519,7 @@ def sentiment_score_sql(tokens_expr: str) -> str:
 _SENTENCE_DELIM_RE = "[.!?]+"
 
 
-def sentences(text: Column) -> tuple[Column, ...]:
+def sentences(text: Column) -> Column:
     """Raw sentence segments: ``split`` on terminal-punctuation runs.
     Pair with ``posexplode`` so each segment keeps its 0-based position
     (the position counts raw segments, so filtering empties afterwards
