@@ -192,13 +192,17 @@ def brute_force_topk_np(
             for j in range(nq):
                 mask = c_ids != q_ids[j]
                 cc, cs = c_ids[mask], s[:, j][mask]
+                # NaN (zero-norm pair → NULL downstream) must sort LAST
+                # deterministically — raw NaN comparisons would make the
+                # per-batch cut depend on row order / batch split
+                cs_sel = np.where(np.isnan(cs), -np.inf, cs)
                 if len(cc) > k:
                     # keep every row tied with the k-th largest score so the
                     # (cos desc, c_id asc) tie-break matches the exact path
-                    thr = np.partition(cs, len(cs) - k)[len(cs) - k]
-                    keep = cs >= thr
-                    cc, cs = cc[keep], cs[keep]
-                order = np.lexsort((cc, -cs))[:k]
+                    thr = np.partition(cs_sel, len(cs_sel) - k)[len(cs_sel) - k]
+                    keep = cs_sel >= thr
+                    cc, cs, cs_sel = cc[keep], cs[keep], cs_sel[keep]
+                order = np.lexsort((cc, -cs_sel))[:k]
                 cc, cs = cc[order], cs[order]
                 out_q.append(np.full(len(cc), q_ids[j]))
                 out_c.append(cc)

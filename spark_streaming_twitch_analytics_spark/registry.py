@@ -200,8 +200,8 @@ def strip_listchars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tokens_nostop",
-    f"""SELECT doc_id, array_to_string(
-{X.remove_stopwords_sql(X.tokenize_sql("text"), DEFAULT_LANG)}, ' ') AS toks
+    f"""SELECT doc_id, coalesce(array_to_string(
+{X.remove_stopwords_sql(X.tokenize_sql("text"), DEFAULT_LANG)}, ' '), '') AS toks
 FROM documents""",
     survey="N2,N3",
 )
@@ -228,8 +228,8 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_ops",
     f"""SELECT doc_id,
-array_to_string(list_sort(list_filter(list_distinct({X.tokenize_sql("text")}),
-  x -> x NOT IN ({sql_str_list(OUTLIER_LABELS)}))), ' ') AS except_outliers,
+COALESCE(array_to_string(list_sort(list_filter(list_distinct({X.tokenize_sql("text")}),
+  x -> x NOT IN ({sql_str_list(OUTLIER_LABELS)}))), ' '), '') AS except_outliers,
 COALESCE(array_to_string(list_sort(list_intersect(list_distinct({X.tokenize_sql("text")}),
   {sql_str_array(STOPWORDS[DEFAULT_LANG])})), ' '), '') AS stop_hits,
 CAST(len({X.tokenize_sql("text")}) AS INT) AS n_tok
@@ -659,7 +659,7 @@ _BANDS_SQL = f"""
 WITH shx AS ({_sh_cte()}),
 sig AS (SELECT doc_id, {X.minhash_signature_sql("sh", dedup.MINHASH_HASHES)} AS sig FROM shx)
 SELECT doc_id, CAST(b.band AS INT) AS band,
-array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|') AS key
+coalesce(array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|'), '') AS key
 FROM sig, (SELECT unnest(range(0, {dedup.MINHASH_BANDS})) AS band) b"""
 
 
@@ -675,7 +675,7 @@ WITH shx AS ({_sh_cte()}),
 sig AS (SELECT doc_id, {X.minhash_signature_sql("sh", dedup.MINHASH_HASHES)} AS sig FROM shx),
 bands AS (
   SELECT doc_id, b.band,
-  array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|') AS key
+  coalesce(array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|'), '') AS key
   FROM sig, (SELECT unnest(range(0, {dedup.MINHASH_BANDS})) AS band) b),
 cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
@@ -785,7 +785,7 @@ WITH RECURSIVE shx AS ({_sh_cte()}),
 sig AS (SELECT doc_id, {X.minhash_signature_sql("sh", dedup.MINHASH_HASHES)} AS sig FROM shx),
 bands AS (
   SELECT doc_id, b.band,
-  array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|') AS key
+  coalesce(array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|'), '') AS key
   FROM sig, (SELECT unnest(range(0, {dedup.MINHASH_BANDS})) AS band) b),
 cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key

@@ -509,7 +509,7 @@ WITH shx AS ({_sh_cte()}),
 sig AS (SELECT doc_id, {X.minhash_signature_sql("sh", dedup.MINHASH_HASHES)} AS sig FROM shx),
 bands AS (
   SELECT doc_id, b.band,
-  array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|') AS key
+  coalesce(array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|'), '') AS key
   FROM sig, (SELECT unnest(range(0, {dedup.MINHASH_BANDS})) AS band) b),
 cand AS (SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS match_id
   FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key

@@ -1,0 +1,154 @@
+"""Randomized-data oracle gate: the driver's Spark-vs-DuckDB comparison
+re-run over ADVERSARIAL random tables (same schemas as the testdata) —
+empty texts, exact/near duplicates, zero vectors, duplicate embeddings,
+boundary punctuation. The sf0.01 gate proves the twins agree on one
+fixed corpus; this proves they agree on corpora they were never tuned
+on. Floats are kept order-independent by construction (int-valued
+embeddings, quarter-step event values → exact sums), so any mismatch is
+a real semantics divergence, not accumulation noise."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.append(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+from compare_oracle import frame_hash  # noqa: E402
+
+from spark_streaming_twitch_analytics_spark import registry  # noqa: E402
+
+VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "the and for with from this that have будет 日本語 café naïve "
+    "a an to of in on at it is be as by or we he".split()
+)
+LANGS = ["en", "fr", "es", "de", "zh", "xx"]
+SOURCES = [f"src{i}" for i in range(8)]
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+# docs/events/embeddings-only queries whose float outputs are row-local
+# quantized or exact-by-construction under the generated data
+FUZZ_QUERIES = [
+    "flagship_wordcount", "format_messages", "wordcount", "clean_text",
+    "strip_listchars", "tokens_nostop", "explode_tokens", "array_ops",
+    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
+    "text_sentiment", "text_redact_pii", "text_repetition", "text_sentences",
+    "threshold_decode", "category_doc_counts", "sentiment_count",
+    "dedup_exact", "dedup_minhash_bands", "dedup_minhash_pairs",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash64_hamming",
+    "dedup_ngram_topk", "dedup_substring_spans", "dedup_keep_canonical",
+    "dedup_incremental",
+    "corpus_sample_10pct", "corpus_mix_sample", "corpus_chunk_windows",
+    "corpus_pack_bins", "corpus_token_histogram", "corpus_unigram_logprob",
+    "corpus_tfidf_terms", "corpus_tfidf_top_per_doc", "corpus_source_quota",
+    "corpus_temperature_mix", "corpus_stratified_split",
+    "corpus_shuffle_shards", "corpus_keep_list", "corpus_decontaminate",
+    "ann_brute_topk", "ann_brute_topk_np", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_centroids", "dedup_embedding_cosine",
+    "events_hourly", "sessionize", "window_running_total", "pivot_events",
+    "asof_join_events", "skew_salted_count", "json_extract_props",
+    "json_variant_stats", "multimodal_meta", "multimodal_frame_sample",
+]
+
+
+def _random_text(rng: random.Random) -> str:
+    roll = rng.random()
+    if roll < 0.03:
+        return ""
+    if roll < 0.06:
+        return rng.choice(VOCAB)
+    n = rng.randint(2, 60)
+    words = [rng.choice(VOCAB) for _ in range(n)]
+    if rng.random() < 0.2:  # sentence punctuation / parser-quirk colons
+        words.insert(rng.randrange(len(words)), rng.choice([".", "a:b", "x!", "y?"]))
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark, tmp_path_factory):
+    rng = random.Random(1311)
+    root = str(tmp_path_factory.mktemp("fuzz_sf"))
+    # relational star-schema side rides along un-fuzzed (queries under
+    # test only read docs/events/embeddings, but shared CTE helpers may
+    # touch a dim table)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{root}/{t}.parquet")
+
+    texts = [_random_text(rng) for _ in range(110)]
+    for _ in range(8):  # exact duplicates
+        texts.append(rng.choice(texts))
+    for _ in range(6):  # near duplicates (one word changed)
+        t = rng.choice(texts).split()
+        if t:
+            t[rng.randrange(len(t))] = rng.choice(VOCAB)
+        texts.append(" ".join(t))
+    docs = [
+        (i, t, rng.choice(LANGS), rng.choice(SOURCES), len(t))
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+
+    vecs = []
+    for i in range(90):
+        vecs.append((i, [float(rng.randint(-5, 5)) for _ in range(64)], rng.randint(0, 4)))
+    vecs.append((90, [0.0] * 64, 0))  # zero vector
+    vecs.append((91, list(vecs[0][1]), vecs[0][2]))  # duplicate vector
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{root}/embeddings.parquet")
+
+    base = dt.datetime(2024, 3, 1)
+    events = [
+        (
+            i,
+            base + dt.timedelta(minutes=rng.randint(0, 5000)),
+            rng.randint(0, 12),
+            rng.choice(EVENT_TYPES),
+            rng.randint(0, 400) * 0.25,  # exact binary steps → exact sums
+            '{"k": %d}' % rng.randint(0, 99),
+        )
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(2).write.mode("overwrite").parquet(f"{root}/events.parquet")
+    return root
+
+
+def test_registry_queries_match_oracle_on_random_tables(spark, fuzz_dir):
+    con = duckdb.connect()
+    from spark_streaming_twitch_analytics_spark.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        p = f"{fuzz_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    from spark_streaming_twitch_analytics_spark.cache import release_all
+
+    failures = []
+    for name in FUZZ_QUERIES:
+        q = registry.get(name)
+        release_all()
+        sdf = q.fn(spark, fuzz_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        sh, sn = frame_hash(sdf.columns, srows)
+        if q.sql is None:
+            assert sn >= 0
+            continue
+        res = con.execute(q.sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        dh, dn = frame_hash(dcols, drows)
+        if not (sorted(sdf.columns) == sorted(dcols) and sh == dh and sn == dn):
+            failures.append((name, sn, dn, sh, dh))
+    assert not failures, failures

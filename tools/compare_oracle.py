@@ -58,9 +58,9 @@ def main() -> int:
         spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p  # dir = multi-part write
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     from spark_streaming_twitch_analytics_spark.cache import release_all
 
     failures = []
