@@ -77,8 +77,7 @@ def fuzz_dir(spark, tmp_path_factory):
     # relational star-schema side rides along un-fuzzed (queries under
     # test only read docs/events/embeddings, but shared CTE helpers may
     # touch a dim table)
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
-        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{root}/{t}.parquet")
+    _link_star_schema(root)
 
     texts = [_random_text(rng) for _ in range(110)]
     for _ in range(8):  # exact duplicates
@@ -125,12 +124,17 @@ def fuzz_dir(spark, tmp_path_factory):
     return root
 
 
-def test_registry_queries_match_oracle_on_random_tables(spark, fuzz_dir):
+def _link_star_schema(root: str) -> None:
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{root}/{t}.parquet")
+
+
+def _run_gate(spark, sf_dir: str) -> None:
     con = duckdb.connect()
     from spark_streaming_twitch_analytics_spark.tables import TABLE_NAMES
 
     for t in TABLE_NAMES:
-        p = f"{fuzz_dir}/{t}.parquet"
+        p = f"{sf_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     from spark_streaming_twitch_analytics_spark.cache import release_all
@@ -139,7 +143,7 @@ def test_registry_queries_match_oracle_on_random_tables(spark, fuzz_dir):
     for name in FUZZ_QUERIES:
         q = registry.get(name)
         release_all()
-        sdf = q.fn(spark, fuzz_dir)
+        sdf = q.fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         sh, sn = frame_hash(sdf.columns, srows)
         if q.sql is None:
@@ -152,3 +156,49 @@ def test_registry_queries_match_oracle_on_random_tables(spark, fuzz_dir):
         if not (sorted(sdf.columns) == sorted(dcols) and sh == dh and sn == dn):
             failures.append((name, sn, dn, sh, dh))
     assert not failures, failures
+
+
+def test_registry_queries_match_oracle_on_random_tables(spark, fuzz_dir):
+    _run_gate(spark, fuzz_dir)
+
+
+@pytest.fixture(scope="module")
+def pathological_dir(spark, tmp_path_factory):
+    """Degenerate corpus: mega duplicate groups, empty docs, one language
+    and one source dominating, single-user single-burst events, identical
+    embeddings — the tie/skew paths the uniform fixture never exercises."""
+    rng = random.Random(97)
+    root = str(tmp_path_factory.mktemp("patho_sf"))
+    _link_star_schema(root)
+
+    texts = ["alpha bravo charlie delta echo foxtrot golf hotel"] * 50
+    texts += [""] * 20
+    texts += ["tango"] * 15
+    texts += [_random_text(rng) for _ in range(15)]
+    docs = [(i, t, "en", "src0" if i % 10 else "src1", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+
+    one = [float((i % 3) - 1) for i in range(64)]
+    vecs = [(i, list(one), i % 2) for i in range(50)]
+    vecs += [(50 + i, [0.0] * 64, 0) for i in range(5)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{root}/embeddings.parquet")
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    events = [
+        (i, base + dt.timedelta(seconds=(i % 7) * 60), 1, "click", 1.25, '{"k": 1}')
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(2).write.mode("overwrite").parquet(f"{root}/events.parquet")
+    return root
+
+
+def test_registry_queries_match_oracle_on_pathological_tables(spark, pathological_dir):
+    _run_gate(spark, pathological_dir)
