@@ -339,3 +339,44 @@ def test_running_counts_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_running_counts_invariant_to_batch_split(spark, tmp_path):
+    """Micro-batch boundaries are an execution detail: any split of the
+    same line stream must converge to the same running state (the
+    property that makes replay/backfill safe)."""
+    import random
+
+    rng = random.Random(23)
+    lines = [
+        format_privmsg(1000 + i, f"u{i % 5}", "chan", t)
+        for i, t in enumerate(
+            rng.choice(
+                [
+                    "alpha bravo alpha",
+                    "bravo charlie delta",
+                    "echoes alpha whisper",
+                    "delta delta field",
+                    "the a an stopwords",
+                ]
+            )
+            for _ in range(30)
+        )
+    ]
+    want = counts_of(SW.batch_oracle_word_counts(spark, lines))
+    for trial in range(3):
+        cuts = sorted(rng.sample(range(1, len(lines)), rng.randint(1, 6)))
+        batches = [
+            lines[a:b] for a, b in zip([0] + cuts, cuts + [len(lines)]) if lines[a:b]
+        ]
+        src = str(tmp_path / f"in{trial}")
+        counts = SW.streaming_word_counts(file_line_source(spark, src))
+        q = SW.memory_sink_query(counts, f"split_wc_{trial}", mode="complete")
+        try:
+            for bi, batch in enumerate(batches):
+                write_batch_file(src, batch, bi)
+                q.processAllAvailable()
+            got = counts_of(spark.table(f"split_wc_{trial}"))
+        finally:
+            q.stop()
+        assert got == want, (trial, cuts)
