@@ -40,6 +40,8 @@ FUZZ_QUERIES = [
     "text_langid", "text_quality", "text_token_count", "text_fingerprint",
     "text_sentiment", "text_redact_pii", "text_repetition", "text_sentences",
     "threshold_decode", "category_doc_counts", "sentiment_count",
+    "category_count", "semi_join_top_words", "topk_words_per_lang",
+    "wordcount_by_channel", "update_table_merge", "drop_duplicates",
     "dedup_exact", "dedup_minhash_bands", "dedup_minhash_pairs",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash64_hamming",
     "dedup_ngram_topk", "dedup_substring_spans", "dedup_keep_canonical",
