@@ -542,17 +542,18 @@ def split_sentences(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def split_sentences_sql(table: str = "documents", max_sentences: int = 1024) -> str:
+def split_sentences_sql(table: str = "documents") -> str:
     """DuckDB twin of :func:`split_sentences` (unnest-with-position via a
-    bounded range cross-join, as regexp_split_to_array keeps trailing
-    empties that Java ``split`` drops — the trim filter aligns both)."""
+    correlated lateral range — no length cap — as regexp_split_to_array
+    keeps trailing empties that Java ``split`` drops; the trim filter
+    aligns both)."""
     return f"""WITH s AS (
   SELECT doc_id, regexp_split_to_array(text, '{_SENTENCE_DELIM_RE}') AS sents
   FROM {table})
-SELECT doc_id, CAST(i AS INT) AS sent_idx, trim(sents[i + 1]) AS sentence,
-  CAST(len(trim(sents[i + 1])) AS INT) AS n_chars
-FROM s, (SELECT unnest(range(0, {max_sentences})) AS i) ix
-WHERE i < len(sents) AND len(trim(sents[i + 1])) > 0"""
+SELECT doc_id, CAST(i AS INT) AS sent_idx, trim(sents[i + 1], ' ') AS sentence,
+  CAST(len(trim(sents[i + 1], ' ')) AS INT) AS n_chars
+FROM s, LATERAL (SELECT unnest(range(0, len(sents))) AS i) ix
+WHERE len(trim(sents[i + 1], ' ')) > 0"""
 
 
 def make_sentence_udtf():
@@ -573,7 +574,9 @@ def make_sentence_udtf():
             if text is None:
                 return
             for i, seg in enumerate(delim.split(text)):
-                seg = seg.strip()
+                # strip SPACES only — F.trim's default char set; str.strip()
+                # would also eat tabs/newlines and diverge from the native path
+                seg = seg.strip(" ")
                 if seg:
                     yield i, seg, len(seg)
 

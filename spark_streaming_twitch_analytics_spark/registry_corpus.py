@@ -972,8 +972,10 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_BUCKETS = 1000
 _SPLIT_TRAIN = 960  # buckets [0, 960) → train
 _SPLIT_VAL = 980  # [960, 980) → val; [980, 1000) → test
+from .sources.io import EPOCH_SHUFFLE_SALT as _SHUFFLE_SALT  # noqa: E402
+
 _SHUFFLE_SHARDS = 64
-_SHUFFLE_SALT = ":epoch17"  # new salt per epoch → new deterministic order
+# a new salt per epoch (EPOCH_SHUFFLE_SALT) → a new deterministic order
 
 
 def _split_bucket() -> Column:
@@ -1068,17 +1070,13 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (balance) and the first/last doc in shard order (min_by/max_by —
     determinism). At 100 TB: one shuffle keyed by shard, then a local
     sort per shard — the same cost class as writing the data once."""
+    from .sources.io import epoch_shuffle_key, shard_of
+
     d = _docs(spark, sf_dir)
     k = d.select(
-        "doc_id",
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT))).alias(
-            "skey"
-        ),
+        "doc_id", epoch_shuffle_key("doc_id", _SHUFFLE_SALT).alias("skey")
     )
-    shard = (
-        F.conv(F.substring("skey", 1, 8), 16, 10).cast("bigint") % _SHUFFLE_SHARDS
-    ).cast("int")
-    return k.groupBy(shard.alias("shard")).agg(
+    return k.groupBy(shard_of(F.col("skey"), _SHUFFLE_SHARDS).alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min_by("doc_id", "skey").alias("first_doc"),
         F.max_by("doc_id", "skey").alias("last_doc"),

@@ -154,11 +154,35 @@ def read_orc(
     return reader.orc(path)
 
 
+EPOCH_SHUFFLE_SALT = ":epoch17"
+
+
+def epoch_shuffle_key(id_col="doc_id", salt: str = EPOCH_SHUFFLE_SALT):
+    """The deterministic training-order key: salted md5 over the doc id.
+    Single definition — the layout writer (:func:`write_training_shards`),
+    the ``corpus_shuffle_shards`` report query, and the tests all derive
+    shard/order from THIS expression, so a recipe change cannot
+    desynchronize them."""
+    from pyspark.sql import functions as F
+
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(col.cast("string"), F.lit(salt)))
+
+
+def shard_of(skey, n_shards: int):
+    """Hash-shard assignment from the order key's top 32 bits."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(F.substring(skey, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
     n_shards: int = 64,
-    salt: str = ":epoch17",
+    salt: str = EPOCH_SHUFFLE_SALT,
     id_col: str = "doc_id",
 ) -> None:
     """Materialize the deterministic epoch-shuffle layout that
@@ -166,19 +190,18 @@ def write_training_shards(
     is the global training-order key; its top 32 bits hash-assign a
     shard; rows land partitioned by shard and locally sorted by the
     key. Readers stream shards in any order and get a reproducible
-    shuffled epoch; a new salt is a free re-shuffle. One hash-exchange
+    shuffled epoch; a new salt is a free re-shuffle. One range-exchange
     + per-task sort — the same cost class as writing the corpus once,
     with no global sort."""
-    from pyspark.sql import functions as F
-
-    skey = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    shard = (
-        F.conv(F.substring(skey, 1, 8), 16, 10).cast("bigint") % n_shards
-    ).cast("int")
+    skey = epoch_shuffle_key(id_col, salt)
+    shard = shard_of(skey, n_shards)
     (
         df.withColumn("skey", skey)
         .withColumn("shard", shard)
-        .repartition(n_shards, "shard")
+        # range-partition on the shard value: ~1 task per shard. A hash
+        # repartition would birthday-collide the 64 values into ~40 tasks,
+        # leaving a third idle and the busiest sorting 3-4x the mean
+        .repartitionByRange(n_shards, "shard")
         # shard leads the sort so the dynamic-partition writer's required
         # ordering is already satisfied — otherwise it inserts its own
         # (non-stable) sort on shard and scrambles the skey order

@@ -341,7 +341,9 @@ def test_stratified_split_is_independent_of_mix_sample_hash(spark):
     n = sampled.count()
     n_train = sampled.filter("train").count()
     assert n > 10
-    assert 0 < n_train < n or n_train / n > 0.8  # roughly train-fraction, not 0/100%
+    # two-sided: perfectly correlated hashes would give 0% or 100%
+    assert 0 < n_train < n
+    assert abs(n_train / n - 0.96) < 0.1  # ≈ the unconditional train fraction
 
 
 def test_shuffle_shards_partition_all_docs_and_are_balanced(spark):
@@ -357,21 +359,15 @@ def test_shuffle_shards_partition_all_docs_and_are_balanced(spark):
     assert max(r["n_docs"] for r in rows) <= 4 * mean
     # the order key is not the ingest order: some shard's first doc in
     # shuffle order must differ from its smallest doc_id
+    from spark_streaming_twitch_analytics_spark.sources.io import (
+        epoch_shuffle_key,
+        shard_of,
+    )
+
     shard_min = {
         r["shard"]: r["m"]
         for r in d.select(
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch17"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % _SHUFFLE_SHARDS
-            ).alias("shard"),
+            shard_of(epoch_shuffle_key("doc_id"), _SHUFFLE_SHARDS).alias("shard"),
             F.col("doc_id"),
         )
         .groupBy("shard")

@@ -214,14 +214,12 @@ def test_training_shards_layout_is_sharded_sorted_and_complete(spark, tmp_path):
     for keys in by_file.values():
         assert keys == sorted(keys)
     # shard assignment matches the corpus_shuffle_shards report hash
-    expected_shard = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch17"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 16
-    ).cast("int")
+    from spark_streaming_twitch_analytics_spark.sources.io import (
+        epoch_shuffle_key,
+        shard_of,
+    )
+
+    expected_shard = shard_of(epoch_shuffle_key("doc_id"), 16)
     mismatches = (
         back.join(d.select("doc_id", expected_shard.alias("want")), "doc_id")
         .filter(F.col("shard") != F.col("want"))

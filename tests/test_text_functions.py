@@ -149,3 +149,50 @@ def test_sentence_split_handles_null_and_empty(spark):
     )
     rows = {(r["doc_id"], r["sent_idx"], r["sentence"]) for r in split_sentences(df).collect()}
     assert rows == {(3, 0, "only one"), (4, 0, "a"), (4, 1, "b"), (4, 2, "c")}
+
+
+def test_sentence_split_sql_has_no_length_cap(spark):
+    """Regression: the oracle twin must emit ALL sentences of a long doc
+    (an earlier version cross-joined a bounded range and silently
+    truncated at 1024 segments)."""
+    import duckdb
+
+    from spark_streaming_twitch_analytics_spark.functions.text import (
+        split_sentences,
+        split_sentences_sql,
+    )
+
+    text = ". ".join(f"s{i}" for i in range(1500))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_native = split_sentences(df).count()
+    assert n_native == 1500
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO d VALUES (1, ?)", [text])
+    n_sql = con.execute(
+        f"SELECT count(*) FROM ({split_sentences_sql('d')})"
+    ).fetchone()[0]
+    assert n_sql == 1500
+
+
+def test_sentence_udtf_space_only_trim_matches_native_on_tabs(spark):
+    from spark_streaming_twitch_analytics_spark.functions.text import (
+        make_sentence_udtf,
+        split_sentences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x.\ty"), (2, "a. \t. b"), (3, "line one.\nline two.")],
+        "doc_id long, text string",
+    )
+    native = sorted(tuple(r) for r in split_sentences(df).collect())
+    spark.udtf.register("split_sents_tabs", make_sentence_udtf())
+    df.createOrReplaceTempView("tab_docs")
+    via = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
+            "FROM tab_docs d, LATERAL split_sents_tabs(d.text) s"
+        ).collect()
+    )
+    assert native == via
