@@ -69,7 +69,10 @@ def _random_text(rng: random.Random) -> str:
     words = [rng.choice(VOCAB) for _ in range(n)]
     if rng.random() < 0.2:  # sentence punctuation / parser-quirk colons
         words.insert(rng.randrange(len(words)), rng.choice([".", "a:b", "x!", "y?"]))
-    return " ".join(words)
+    sep = " "
+    if rng.random() < 0.15:  # whitespace-heavy docs: tabs/newlines/runs
+        sep = rng.choice(["\t", "\n", "  ", " \n\t "])
+    return sep.join(words)
 
 
 @pytest.fixture(scope="module")
