@@ -30,10 +30,14 @@ def as_of_join(
 ) -> DataFrame:
     """Left as-of join: all left columns + ``out_col`` (nullable when no
     right row precedes)."""
+    # the right value rides inside a struct so a right row whose VALUE is
+    # NULL is still a non-null marker: bare last(value, ignorenulls) would
+    # skip it and attach an older, stale value — DuckDB ASOF returns the
+    # NULL from the latest preceding row
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("__t"),
-        F.col(value_col).alias(out_col),
+        F.struct(F.col(value_col).alias("v")).alias("__rv"),
         F.lit(1).alias("__is_right"),
     )
     l = left.withColumn("__t", F.col(left_ts)).withColumn(
@@ -46,5 +50,9 @@ def as_of_join(
         .orderBy(F.asc("__t"), F.desc("__is_right"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.withColumn(out_col, F.last(out_col, ignorenulls=True).over(w))
-    return filled.filter(F.col("__is_right") == 0).drop("__t", "__is_right")
+    filled = u.withColumn(
+        out_col, F.last("__rv", ignorenulls=True).over(w)["v"]
+    )
+    return filled.filter(F.col("__is_right") == 0).drop(
+        "__t", "__is_right", "__rv"
+    )

@@ -56,6 +56,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev = labels.agg(lbl_sum).first()[0]
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.dst == labels.doc_id)
@@ -74,6 +75,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         cur = labels.agg(lbl_sum).first()[0]
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # silent non-convergence would SPLIT one dup cluster into several
+        # "canonical" docs — wrong dedup output with no signal. A chain of
+        # diameter > max_iter (long boilerplate families) needs more rounds.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the dup graph has a component of larger diameter — raise max_iter"
+        )
     return labels.select("doc_id", F.col("lbl").alias("canonical_id"))

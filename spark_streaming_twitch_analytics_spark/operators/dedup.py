@@ -150,11 +150,9 @@ def candidate_pairs(bands: DataFrame, max_bucket: int | None = None) -> DataFram
             .select(F.explode(star).alias("p"))
             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .unionByName(
-                candidate_pairs(
-                    buckets.filter(F.size("ids") <= max_bucket)
-                    .select("band", "key", F.explode("ids").alias("doc_id")),
-                    None,
-                )
+                # small buckets are already grouped — re-exploding and
+                # re-aggregating them would cost a whole extra shuffle
+                _pairs_from_buckets(buckets.filter(F.size("ids") <= max_bucket))
             )
             .distinct()
         )
@@ -185,18 +183,26 @@ def _pairs_from_buckets(buckets: DataFrame) -> DataFrame:
 
 
 def jaccard_on_pairs(
-    pairs: DataFrame, docs: DataFrame, text_col: str = "text", shingle_n: int = SHINGLE_N
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    shingle_n: int = SHINGLE_N,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """True Jaccard over distinct word-shingle sets, only for candidate
-    pairs. Shingle sets ride along the join (bounded per doc)."""
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(
-            word_shingles(tokenize(F.col(text_col)), shingle_n)
-        ).alias("sh"),
-    )
-    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    pairs. Shingle sets ride along the join (bounded per doc). Pass a
+    precomputed (persisted) ``shingles`` frame ``(doc_id, sh)`` to reuse
+    an existing materialization — the single definition of the verify
+    step for every caller."""
+    if shingles is None:
+        shingles = docs.select(
+            "doc_id",
+            F.array_distinct(
+                word_shingles(tokenize(F.col(text_col)), shingle_n)
+            ).alias("sh"),
+        )
+    a = shingles.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - common
     return (
@@ -227,19 +233,7 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``SparkRunner.scala:79,112``)."""
     sh = eager_persist(shingle_sets(docs, text_col))
     pairs = candidate_pairs(minhash_bands(docs, text_col, shingles=sh))
-    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - common
-    return (
-        pairs.join(a, "a")
-        .join(b, "b")
-        .select(
-            "a",
-            "b",
-            quantize(common / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
-        )
-    )
+    return jaccard_on_pairs(pairs, shingles=sh)
 
 
 def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -360,7 +354,9 @@ def ngram_jaccard_pairs(
     # (minhash bands). Keep the join shape.
     join_sh = sh
     if max_df_fraction is not None:
-        max_df = int(-(-docs.count() * max_df_fraction // 1))  # ceil, driver scalar
+        # count off the just-persisted shingle frame (one row per doc) —
+        # docs.count() would re-execute the full upstream lineage
+        max_df = int(-(-shd.count() * max_df_fraction // 1))  # ceil, driver scalar
         rare = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))

@@ -134,8 +134,13 @@ def ivf_topk(
     for _ in range(n_probe):
         probe_cols.append(F.array_position(cur, F.array_max(cur)).cast("int"))
         cur = masked(cur)
+    # array_distinct: when every remaining score ties (e.g. a constant
+    # embedding), repeated argmax re-probes the SAME cell — without the
+    # dedup each candidate pair joins twice and fills top-k slots twice
     q = assigned(queries).select(
-        "vec_id", "embedding", F.explode(F.array(*probe_cols)).alias("cell")
+        "vec_id",
+        "embedding",
+        F.explode(F.array_distinct(F.array(*probe_cols))).alias("cell"),
     )
     return _topk(_scored(_pairs(q, c, ["cell"])), k)
 
@@ -166,6 +171,11 @@ def brute_force_topk_np(
     import pandas as pd
 
     q_pd = queries.select("vec_id", "embedding").toPandas()
+    if len(q_pd) == 0:
+        # empty query set: the fold path returns an empty frame; a (0,)
+        # qm would crash the matmul (and np.concatenate([]) the emit)
+        spark = queries.sparkSession
+        return spark.createDataFrame([], "q_id long, c_id long, cos double, rn int")
     q_ids = q_pd["vec_id"].to_numpy(dtype=np.int64)
     qm = np.array([np.asarray(v, dtype=np.float64) for v in q_pd["embedding"]])
     qn = np.sqrt((qm * qm).sum(axis=1))

@@ -895,8 +895,9 @@ qm AS (SELECT vec_id, v, cs, cell,
   list_transform(cs, x -> CASE WHEN x = list_max(cs) THEN -1e18 ELSE x END) AS cs2
   FROM ac WHERE vec_id % 10 = 0),
 qp AS (
+  -- UNION (not ALL): all-tied scores make probe 2 re-hit probe 1's cell
   SELECT vec_id AS q_id, v AS qv, cell FROM qm
-  UNION ALL
+  UNION
   SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM qm),
 scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
   FROM ac c JOIN qp ON c.cell = qp.cell WHERE c.vec_id <> q_id)
@@ -961,8 +962,9 @@ qm AS (SELECT vec_id, v, cs, cell,
   list_transform(cs, x -> CASE WHEN x = list_max(cs) THEN -1e18 ELSE x END) AS cs2
   FROM ac WHERE vec_id % 10 = 0),
 qp AS (
+  -- UNION (not ALL): all-tied scores make probe 2 re-hit probe 1's cell
   SELECT vec_id AS q_id, v AS qv, cell FROM qm
-  UNION ALL
+  UNION
   SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM qm),
 iscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
   FROM ac c JOIN qp ON c.cell = qp.cell WHERE c.vec_id <> q_id),

@@ -43,8 +43,20 @@ def clean_batch(
     word fraction ≤ ``max_dup_word_frac`` — a sort+fold over the row's
     own tokens, still narrow). Returns (doc_id, text, n_toks, quality)."""
     toks = X.tokenize(F.col("text"))
+    # exact-dup collapse keeps min(doc_id) — dropDuplicates would keep an
+    # arbitrary survivor, breaking the stream≡batch equivalence whenever
+    # duplicate texts carry distinct doc_ids (same canonical convention
+    # as dedup.exact_dup_groups)
+    import pyspark.sql.window as W
+
+    rn = F.row_number().over(
+        W.Window.partitionBy("text").orderBy(F.asc("doc_id"))
+    )
+    deduped = (
+        batch.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    )
     return (
-        batch.dropDuplicates(["text"])
+        deduped
         .select(
             "doc_id",
             "text",
@@ -77,9 +89,13 @@ def drop_near_dups(
     batch_bands = dedup.minhash_bands(batch).select(
         F.col("doc_id").alias("b_id"), "band", "key"
     )
+    # INNER join with the broadcast batch on the build side: Spark cannot
+    # build-left a LEFT SEMI broadcast join (the hint is silently dropped
+    # and the corpus side would shuffle every micro-batch); broadcast-left
+    # inner is plannable and the distinct collapses multi-band hits
     hits = (
         F.broadcast(batch_bands)
-        .join(corpus_bands, ["band", "key"], "left_semi")
+        .join(corpus_bands, ["band", "key"])
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )
@@ -115,6 +131,11 @@ def run_corpus_ingest(
     yield on a 100 TB intake stream."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # exactly-once guard: foreachBatch is at-least-once; a replayed
+        # epoch (crash between sink write and checkpoint commit) must not
+        # append its survivors twice (same pattern as apply_delta_once)
+        if epoch_id <= store.last_applied_epoch(table):
+            return
         obs_in = Observation()
         obs_kept = Observation()
         kept = drop_near_dups(
@@ -130,7 +151,7 @@ def run_corpus_ingest(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
-        store.write(kept, table, mode="append")
+        store.write(kept, table, mode="append", epoch=epoch_id)
         if metrics is not None:
             metrics.append(
                 {

@@ -290,3 +290,30 @@ def test_zero_norm_vectors_yield_null_not_crash_on_both_brute_paths(spark):
     zq = vecs.filter(F.col("vec_id") == 2)
     zfold = similarity.brute_force_topk(zq, vecs, k=2).collect()
     assert all(r["cos"] is None for r in zfold)
+
+
+def test_ivf_constant_vector_probes_once_no_duplicate_neighbours(spark):
+    """All-tied cell scores (constant/zero embeddings) make repeated
+    argmax re-probe the same cell; the probe list must dedupe or every
+    neighbour appears twice and half the top-k is wasted."""
+    const = [1.0] * 64
+    rows = [(i, list(const), 0) for i in range(6)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.ivf_topk(
+        vecs.filter(F.col("vec_id") == 0), vecs, k=4, n_cells=4, n_probe=2
+    ).collect()
+    pairs = [(r["q_id"], r["c_id"]) for r in out]
+    assert len(pairs) == len(set(pairs))  # no duplicates
+    assert len(pairs) == 4  # k distinct neighbours, slots not wasted
+
+
+def test_brute_force_np_empty_query_set_returns_empty(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 64, 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.brute_force_topk_np(
+        vecs.filter(F.col("vec_id") < 0), vecs, k=3
+    )
+    assert out.count() == 0
+    assert out.columns == ["q_id", "c_id", "cos", "rn"]

@@ -263,7 +263,11 @@ vals_small = st.integers(min_value=0, max_value=100)
 @settings(max_examples=6, deadline=None)
 @given(
     left=st.lists(st.tuples(keys_small, ts_small), min_size=1, max_size=25),
-    right=st.lists(st.tuples(keys_small, ts_small, vals_small), min_size=0, max_size=25),
+    right=st.lists(
+        st.tuples(keys_small, ts_small, st.one_of(st.none(), vals_small)),
+        min_size=0,
+        max_size=25,
+    ),
 )
 def test_asof_join_matches_duckdb_native_asof(spark, left, right):
     """The union+window as-of rebuild must agree with DuckDB's native

@@ -202,3 +202,78 @@ def test_available_now_drains_and_terminates(spark, tmp_path):
         )
     finally:
         release_all()
+
+
+def test_drop_near_dups_broadcasts_batch_side(spark):
+    """The corpus band index (the 100 TB side) must never shuffle: the
+    batch side is the broadcast build side of an INNER join (a broadcast
+    hint on the left of a LEFT SEMI join is silently dropped by Spark)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.streaming.ingest import (
+        corpus_band_index,
+        drop_near_dups,
+    )
+    from spark_streaming_twitch_analytics_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    out = drop_near_dups(batch, corpus_band_index(corpus))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BuildLeft" in plan  # the batch (small) side is the build side
+    assert out.count() <= 20
+
+
+def test_clean_batch_keeps_min_doc_id_for_duplicate_texts(spark):
+    from spark_streaming_twitch_analytics_spark.streaming.ingest import clean_batch
+
+    rows = [
+        (12, "alpha bravo charlie delta echo foxtrot"),
+        (7, "alpha bravo charlie delta echo foxtrot"),
+        (3, "golf hotel india juliet kilo lima"),
+    ]
+    out = clean_batch(
+        spark.createDataFrame(rows, "doc_id long, text string"), min_quality=0.0
+    ).collect()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [3, 7]  # min doc_id survives, deterministically
+
+
+def test_ingest_sink_skips_replayed_epoch(spark, tmp_path):
+    """Exactly-once: re-delivering an epoch must not append twice."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.sources.kv_store import KVTableStore
+    from spark_streaming_twitch_analytics_spark.streaming import ingest as I
+    from spark_streaming_twitch_analytics_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 10)
+    bands = I.corpus_band_index(corpus)
+    store = KVTableStore(spark, str(tmp_path / "kv"))
+    batch = docs.filter(F.col("doc_id").between(100, 120))
+
+    # drive a foreachBatch-shaped sink directly, as the engine would
+    def sink(df, epoch):
+        if epoch <= store.last_applied_epoch("corpus_keep"):
+            return
+        kept = I.drop_near_dups(I.clean_batch(df, min_quality=0.0), bands)
+        store.write(kept, "corpus_keep", mode="append", epoch=epoch)
+
+    sink(batch, 0)
+    schema = "doc_id long, text string, n_toks int, quality double"
+    import pyspark.sql.types as T
+
+    n1 = store.get_table("corpus_keep", T._parse_datatype_string(schema)).count()
+    sink(batch, 0)  # replay of the SAME epoch: must be a no-op
+    n2 = store.get_table("corpus_keep", T._parse_datatype_string(schema)).count()
+    assert n1 == n2 and n1 > 0
+    sink(batch, 1)  # a new epoch appends
+    n3 = store.get_table("corpus_keep", T._parse_datatype_string(schema)).count()
+    assert n3 == 2 * n1
