@@ -22,8 +22,10 @@ def eager_persist(df: DataFrame) -> DataFrame:
     once per downstream branch when they run inside the same job), and
     record the frame for :func:`release_all`."""
     df.persist()
-    df.count()
+    # track BEFORE materializing: if count() throws (corrupt input,
+    # killed stage) the partially cached blocks must still be releasable
     _LIVE.append(df)
+    df.count()
     return df
 
 

@@ -71,7 +71,16 @@ def score_udf(scorer: Scorer):
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _score(texts: pd.Series) -> pd.Series:
         scores = scorer.score_batch(texts)
-        return pd.Series(list(scores))
+        out = list(scores)
+        if texts.isna().any():
+            # NULL text scores as an all-NULL array — exactly what the
+            # native hash_scores twin produces (md5(NULL) is NULL), so
+            # both paths threshold-decode NULL rows to no labels
+            null_row = [None] * np.shape(scores)[1]
+            out = [
+                null_row if pd.isna(t) else row for t, row in zip(texts, out)
+            ]
+        return pd.Series(out)
 
     return _score
 

@@ -297,7 +297,10 @@ def simhash64_bands_np(tokens: Column) -> Column:
         pos = 0
         for t, n in zip(tok_col, lens):
             if t is None:
-                out.append(None)
+                # NULL tokens = empty tokens = [0,0,0,0] — the expression
+                # twin's when()-chains fall through to 0 on NULL sizes,
+                # and the two digests must stay bit-identical
+                out.append([0, 0, 0, 0])
                 continue
             ups = tok_bits[pos : pos + n].sum(axis=0)
             pos += n
@@ -396,7 +399,10 @@ def quality_score(text: Column, tokens: Column, lang: str) -> Column:
     the binary value, so a true value near a .00005 boundary rounds
     differently (observed at sf0.1). floor(x·10⁴)/10⁴ is computed purely
     in doubles and is therefore engine-exact."""
-    n = F.size(tokens)
+    # greatest(n,1): a FILTERED token stream (countable_words) can be
+    # empty, and x/0 under Spark 4's default ANSI mode kills the job;
+    # DuckDB twin carries the same guard so the ratio stays engine-exact
+    n = F.greatest(F.size(tokens), F.lit(1))
     sw = stopword_array(lang)
     n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
     len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
@@ -410,8 +416,8 @@ def quality_score_sql(text_expr: str, tokens_expr: str, lang: str) -> str:
     sw = sql_str_list(STOPWORDS[lang])
     return (
         "(floor((0.3 * least(length({t}) / 500.0, 1.0) "
-        "+ 0.3 * (len(list_filter({k}, t -> t IN ({sw}))) / len({k})) "
-        "+ 0.4 * (len(list_distinct({k})) / len({k}))) * 10000.0) / 10000.0)"
+        "+ 0.3 * (len(list_filter({k}, t -> t IN ({sw}))) / greatest(len({k}), 1)) "
+        "+ 0.4 * (len(list_distinct({k})) / greatest(len({k}), 1))) * 10000.0) / 10000.0)"
     ).format(t=text_expr, k=tokens_expr, sw=sw)
 
 
@@ -440,7 +446,10 @@ def dup_word_frac(tokens: Column) -> Column:
     from .vectors import quantize
 
     return quantize(
-        1 - F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens), 6
+        1
+        - F.size(F.array_distinct(tokens)).cast("double")
+        / F.greatest(F.size(tokens), F.lit(1)),
+        6,
     )
 
 
@@ -449,7 +458,7 @@ def dup_word_frac_sql(tokens_expr: str) -> str:
 
     return quantize_sql(
         f"1 - CAST(len(list_distinct({tokens_expr})) AS DOUBLE) "
-        f"/ len({tokens_expr})",
+        f"/ greatest(len({tokens_expr}), 1)",
         6,
     )
 

@@ -101,16 +101,29 @@ def rate_source_lines(
 # Live socket source (Spark 4 Python DataSource) — network path, optional
 # ---------------------------------------------------------------------------
 
-try:  # pragma: no cover - network/live path, exercised only manually
-    from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+def format_stored_line(line: str, epoch_ms: int | None = None) -> str | None:
+    """One raw IRC wire line → the stored ``value`` string, or None if the
+    line is not a chat message. The server prefixes messages with ``:``
+    (``:nick!nick@host PRIVMSG #chan :text``); stored WITHOUT it so the
+    colon-split parser (``format_raw_messages``, SURVEY P2) sees
+    ``{epoch}:{nick!...}`` with metadata at split-position 1, matching
+    :func:`format_privmsg` and the reference's stored shape."""
+    if "PRIVMSG" not in line:
+        return None
+    ms = int(time.time() * 1000) if epoch_ms is None else epoch_ms
+    return f"{ms}:{line.lstrip(':')}"
 
-    class _IRCPartition(InputPartition):
-        def __init__(self, lines: list[str]):
-            self.lines = lines
+
+try:  # pragma: no cover - network/live path, exercised only manually
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
     class IRCSocketDataSource(DataSource):
-        """Minimal live IRC source: one reader connection, offsets are
-        line counts. Options: host, port, channel, nick, token.
+        """Minimal live IRC source: one reader connection on the DRIVER
+        (``SimpleDataSourceStreamReader`` — a partition-style reader
+        would be pickled to executors, and sockets don't pickle).
+        Offsets are line sequence numbers; read lines are RETAINED until
+        ``commit`` so an uncommitted batch can be replayed after a
+        failure. Options: host, port, channel, nick, token.
 
         Mirrors the reference receiver's behavior — auth handshake,
         PING→PONG keepalive, PRIVMSG lines stored with an epoch-millis
@@ -123,68 +136,101 @@ try:  # pragma: no cover - network/live path, exercised only manually
         def schema(self) -> str:
             return RAW_SCHEMA
 
-        def streamReader(self, schema):
+        def simpleStreamReader(self, schema):
             return _IRCStreamReader(self.options)
 
-    class _IRCStreamReader(DataSourceStreamReader):
-        def __init__(self, options):
-            import socket
+    class _IRCStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options, connect: bool = True):
+            from collections import deque
 
             self.opts = options
-            self.buffer: list[str] = []
-            self.offset = 0
-            host = options.get("host", "irc.chat.twitch.tv")
-            port = int(options.get("port", "6667"))
+            self.log: deque[tuple[int, str]] = deque()  # retained (seq, value)
+            self.next_seq = 0
+            self.rx = b""
+            self.sock = None
+            if connect:
+                self._connect()
+
+        def _connect(self) -> None:
+            import socket
+
+            host = self.opts.get("host", "irc.chat.twitch.tv")
+            port = int(self.opts.get("port", "6667"))
+            self.rx = b""
             self.sock = socket.create_connection((host, port), timeout=30)
-            self.fh = self.sock.makefile("rw", encoding="utf-8", newline="\r\n")
-            token = options.get("token", "")
-            nick = options.get("nick", "justinfan12345")
-            chan = options.get("channel", "")
+            token = self.opts.get("token", "")
+            nick = self.opts.get("nick", "justinfan12345")
+            chan = self.opts.get("channel", "")
             if token:
                 self._send(f"PASS {token}")
             self._send(f"NICK {nick}")
             self._send(f"JOIN #{chan}")
 
         def _send(self, line: str) -> None:
-            self.fh.write(line + "\r\n")
-            self.fh.flush()
+            if self.sock is None:
+                raise OSError("not connected")
+            self.sock.sendall((line + "\r\n").encode("utf-8"))
 
         def _poll(self) -> None:
+            """Drain whatever the socket has ready — framing is done on
+            our OWN byte buffer (a buffered ``makefile`` strands complete
+            lines invisible to ``select``, and a partial line would block
+            ``readline`` for the whole socket timeout). Any socket error
+            reconnects, like the reference receiver."""
             import select
 
-            while select.select([self.sock], [], [], 0.0)[0]:
-                line = self.fh.readline()
-                if not line:
-                    break
-                line = line.rstrip("\r\n")
+            try:
+                while self.sock and select.select([self.sock], [], [], 0.0)[0]:
+                    data = self.sock.recv(4096)
+                    if not data:
+                        raise OSError("connection closed by server")
+                    self.rx += data
+            except OSError:
+                try:
+                    self._connect()
+                except OSError:
+                    pass  # stay down this round; next poll retries
+                return
+            self._drain_rx()
+
+        def _drain_rx(self) -> None:
+            *complete, self.rx = self.rx.split(b"\r\n")
+            for raw in complete:
+                line = raw.decode("utf-8", errors="replace")
                 if line.startswith("PING"):
-                    self._send("PONG" + line[4:])
-                elif "PRIVMSG" in line:
-                    self.buffer.append(f"{int(time.time() * 1000)}:{line}")
+                    try:
+                        self._send("PONG" + line[4:])
+                    except OSError:
+                        pass  # keepalive failure surfaces on next recv
+                    continue
+                stored = format_stored_line(line)
+                if stored is not None:
+                    self.log.append((self.next_seq, stored))
+                    self.next_seq += 1
 
         def initialOffset(self):
             return {"n": 0}
 
-        def latestOffset(self):
+        def read(self, start):
             self._poll()
-            return {"n": self.offset + len(self.buffer)}
+            lines = [(v,) for seq, v in self.log if seq >= start["n"]]
+            return iter(lines), {"n": self.next_seq}
 
-        def partitions(self, start, end):
-            take = end["n"] - start["n"]
-            lines, self.buffer = self.buffer[:take], self.buffer[take:]
-            self.offset = end["n"]
-            return [_IRCPartition(lines)]
-
-        def read(self, partition):
-            for line in partition.lines:
-                yield (line,)
+        def readBetweenOffsets(self, start, end):
+            # replay of an uncommitted batch after restart — served from
+            # the retained log, NOT by consuming new socket data
+            return iter(
+                [(v,) for seq, v in self.log if start["n"] <= seq < end["n"]]
+            )
 
         def commit(self, end):
-            pass
+            while self.log and self.log[0][0] < end["n"]:
+                self.log.popleft()
 
         def stop(self):
             try:
-                self.sock.close()
+                if self.sock:
+                    self.sock.close()
             except Exception:
                 pass
 

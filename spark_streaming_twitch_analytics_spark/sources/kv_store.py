@@ -70,7 +70,7 @@ class KVTableStore:
         df: DataFrame,
         table: str,
         mode: str = "overwrite",
-        ttl: int = 0,
+        ttl: int | None = None,
         epoch: int | None = None,
     ) -> None:
         """Versioned write: each overwrite lands in a fresh ``v<N>`` subdir
@@ -85,14 +85,23 @@ class KVTableStore:
             df.write.mode("append").parquet(
                 os.path.join(self._table_root(table), meta["version"])
             )
-            meta.update({"written_at": time.time(), "ttl": ttl})
+            # ttl=None preserves the table's configured expiry — a bare
+            # append must not silently clear a 1s-TTL raw table to
+            # never-expires (and written_at only refreshes when the
+            # caller re-states a ttl, keeping the original anchor)
+            if ttl is not None:
+                meta.update({"written_at": time.time(), "ttl": ttl})
             new_meta = meta
         else:
             version = f"v{(int(meta['version'][1:]) + 1) if meta else 0}"
             df.write.mode("overwrite").parquet(
                 os.path.join(self._table_root(table), version)
             )
-            new_meta = {"written_at": time.time(), "ttl": ttl, "version": version}
+            new_meta = {
+                "written_at": time.time(),
+                "ttl": 0 if ttl is None else ttl,
+                "version": version,
+            }
         if epoch is not None:
             new_meta["epoch"] = int(epoch)
         tmp = self._meta(table) + ".tmp"

@@ -226,3 +226,60 @@ def test_training_shards_layout_is_sharded_sorted_and_complete(spark, tmp_path):
         .count()
     )
     assert mismatches == 0
+
+
+def test_irc_reader_framing_offsets_and_replay():
+    """Driver-side live-reader bookkeeping, no network: byte-buffer line
+    framing (partial lines held, buffered lines all surfaced), PRIVMSG
+    filtering + leading-colon normalization, retained-log replay of
+    uncommitted offsets, and pruning on commit."""
+    from spark_streaming_twitch_analytics_spark.sources.irc import (
+        HAS_DATASOURCE_API,
+        _IRCStreamReader,
+        format_stored_line,
+    )
+
+    assert HAS_DATASOURCE_API
+    r = _IRCStreamReader({}, connect=False)
+    # one TCP segment carrying two complete messages + a partial third
+    r.rx += (
+        b":a!a@h PRIVMSG #c :hello there\r\n"
+        b"PING :tmi\r\n"
+        b":b!b@h PRIVMSG #c :second msg\r\nPARTIAL"
+    )
+    r._drain_rx()
+    assert r.next_seq == 2  # PING and the partial line are not stored
+    assert r.rx == b"PARTIAL"
+    rows, off = r.read({"n": 0})
+    rows = list(rows)
+    assert off == {"n": 2} and len(rows) == 2
+    # leading ':' stripped → colon-split parser sees metadata at item 1
+    ms, meta, text = rows[0][0].split(":", 2)
+    assert meta == "a!a@h PRIVMSG #c " and text == "hello there"
+    # replay of the uncommitted range returns the SAME rows
+    assert list(r.readBetweenOffsets({"n": 0}, {"n": 2})) == rows
+    # completing the partial line on the next segment
+    r.rx += b" line PRIVMSG #c :tail\r\n"
+    r._drain_rx()
+    assert r.next_seq == 3
+    # commit prunes only below the committed offset
+    r.commit({"n": 2})
+    assert [s for s, _ in r.log] == [2]
+    assert list(r.readBetweenOffsets({"n": 2}, {"n": 3}))
+    # non-PRIVMSG lines are ignored by the normalizer too
+    assert format_stored_line(":tmi 001 nick :welcome") is None
+
+
+def test_kv_append_preserves_ttl(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from spark_streaming_twitch_analytics_spark.sources.kv_store import KVTableStore
+
+    store = KVTableStore(spark, str(tmp_path / "kv"))
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    store.write(df, "t", ttl=3600)
+    store.write(df, "t", mode="append")  # bare append: ttl must survive
+    meta = store._load_meta("t")
+    assert meta["ttl"] == 3600
+    schema = T._parse_datatype_string("k string, v int")
+    assert store.get_table("t", schema).count() == 2

@@ -46,3 +46,27 @@ def test_duplicate_scores_decode_positionally(spark):
         ).alias("cats")
     )
     assert df.head()["cats"] == [ENCODER_CLASSES[0], ENCODER_CLASSES[1]]
+
+
+def test_udf_and_native_scores_agree_on_null_text(spark):
+    """NULL text must decode identically through both paths: the native
+    twin yields an all-NULL score array (md5(NULL) is NULL) → no labels;
+    the Arrow UDF path must not silently score the empty string."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.functions import scoring
+
+    df = spark.createDataFrame([(1, None), (2, "hello world")], "id long, text string")
+    native = df.select(
+        "id", scoring.decode_categories(scoring.hash_scores(F.col("text"))).alias("c")
+    ).collect()
+    via_udf = df.select(
+        "id",
+        scoring.decode_categories(
+            scoring.score_udf(scoring.HashScorer())(F.col("text"))
+        ).alias("c"),
+    ).collect()
+    n = {r["id"]: r["c"] for r in native}
+    u = {r["id"]: r["c"] for r in via_udf}
+    assert list(n[1] or []) == list(u[1] or []) == []
+    assert list(n[2]) == list(u[2]) and len(n[2]) > 0

@@ -196,3 +196,50 @@ def test_sentence_udtf_space_only_trim_matches_native_on_tabs(spark):
         ).collect()
     )
     assert native == via
+
+
+def test_quality_and_dupfrac_survive_empty_filtered_tokens(spark):
+    """countable_words can yield an EMPTY array (stopword-only/short
+    docs); the ratio functions must not divide by zero under ANSI mode,
+    and the DuckDB twins must produce the same guarded values."""
+    import duckdb
+
+    rows = [(1, "the a an of"), (2, "xy z ab cd"), (3, "alpha bravo alpha charlie")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = X.countable_words(F.col("text"), "en")
+    got = {
+        r["doc_id"]: (r["q"], r["d"])
+        for r in df.select(
+            "doc_id",
+            X.quality_score(F.col("text"), toks, "en").alias("q"),
+            X.dup_word_frac(toks).alias("d"),
+        ).collect()
+    }
+    assert got[1][1] == 1.0  # no crash; empty tokens → degenerate 1 - 0/1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    cw = X.countable_words_sql("text", "en")
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT doc_id, {X.quality_score_sql('text', cw, 'en')}, "
+            f"{X.dup_word_frac_sql(cw)} FROM t"
+        ).fetchall()
+    }
+    for k in got:
+        assert repr(got[k][0]) == repr(want[k][0]), k
+        assert repr(got[k][1]) == repr(want[k][1]), k
+
+
+def test_simhash64_np_and_expr_agree_on_null_tokens(spark):
+    df = spark.createDataFrame([(1, None), (2, "alpha bravo")], "id long, text string")
+    toks = F.when(F.col("text").isNotNull(), X.tokenize(F.col("text")))
+    both = df.select(
+        "id",
+        X.simhash64_bands(toks).alias("expr"),
+        X.simhash64_bands_np(toks).alias("np"),
+    ).collect()
+    for r in both:
+        assert list(r["expr"]) == list(r["np"]), r["id"]
+    assert list(both[0]["expr"]) == [0, 0, 0, 0]  # null → empty-doc signature
