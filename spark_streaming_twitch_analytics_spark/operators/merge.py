@@ -67,6 +67,11 @@ def apply_changes(
       inserts) the base row,
     - key absent from ``changes`` → base row kept unchanged.
 
+    Rows with a NULL ``op_col`` are rejected up front (both engines):
+    left in, a NULL op fails the ``!= delete_op`` filter while its key
+    still anti-joins the base row away — a malformed feed row would
+    silently DELETE the record instead of surfacing as bad input.
+
     Scale shape: one shuffle of the (small) change feed for the
     latest-per-key window, then a LEFT ANTI join of the base against the
     touched-key set — with ``broadcast_changes=True`` the touched keys
@@ -74,7 +79,8 @@ def apply_changes(
     union in for free (no sort, no full-table rewrite plan)."""
     w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in seq_cols])
     latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
+        changes.filter(F.col(op_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -103,7 +109,7 @@ def apply_changes_sql(
 WITH __latest AS (
   SELECT * FROM (
     SELECT c.*, row_number() OVER (PARTITION BY {ks} ORDER BY {order}) AS __rn
-    FROM ({changes_rel}) c) WHERE __rn = 1)
+    FROM ({changes_rel}) c WHERE {op_col} IS NOT NULL) WHERE __rn = 1)
 SELECT {cols} FROM ({base_rel}) b
 WHERE NOT EXISTS (SELECT 1 FROM __latest l WHERE {on})
 UNION ALL

@@ -285,12 +285,12 @@ _CDC_BASE = """
   SELECT user_id, event_id, value FROM (
     SELECT user_id, event_id, value,
       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-    FROM events WHERE event_id < (SELECT CAST(max(event_id) / 2 AS BIGINT)
+    FROM events WHERE event_id < (SELECT max(event_id) // 2
                                   FROM events)) WHERE rn = 1"""
 _CDC_CHANGES = """
   SELECT user_id, event_id, value,
     CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
-  FROM events WHERE event_id >= (SELECT CAST(max(event_id) / 2 AS BIGINT)
+  FROM events WHERE event_id >= (SELECT max(event_id) // 2
                                  FROM events)"""
 
 
@@ -315,7 +315,10 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
-    half = ev.agg((F.max("event_id") / 2).cast("long")).first()[0]
+    # floor-divide on BOTH engines: DuckDB CAST(x/2 AS BIGINT) rounds to
+    # nearest while Spark cast truncates, so an odd max would classify the
+    # boundary event differently
+    half = ev.agg(F.floor(F.max("event_id") / 2).cast("long")).first()[0]
     w = W.partitionBy("user_id").orderBy(F.desc("event_id"))
     base = (
         ev.filter(F.col("event_id") < half)
@@ -886,19 +889,23 @@ _IVF_SQL_ASSIGN = f"""sc AS (SELECT vec_id, v,
   {V.cell_scores_sql("v", _IVF_CELLS, 64)} AS cs FROM e),
 ac AS (SELECT vec_id, v, CAST(list_position(cs, list_max(cs)) AS INT) AS cell, cs FROM sc)"""
 
-
-@register(
-    "ann_ivf_topk",
-    f"""WITH e AS ({_EMB_CTE}),
-{_IVF_SQL_ASSIGN},
-qm AS (SELECT vec_id, v, cs, cell,
+# 2-probe query cells, shared by ann_ivf_topk and the recall evaluation so
+# the two oracles always measure the SAME index
+_IVF_SQL_PROBES = """qm AS (SELECT vec_id, v, cs, cell,
   list_transform(cs, x -> CASE WHEN x = list_max(cs) THEN -1e18 ELSE x END) AS cs2
   FROM ac WHERE vec_id % 10 = 0),
 qp AS (
   -- UNION (not ALL): all-tied scores make probe 2 re-hit probe 1's cell
   SELECT vec_id AS q_id, v AS qv, cell FROM qm
   UNION
-  SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM qm),
+  SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM qm),"""
+
+
+@register(
+    "ann_ivf_topk",
+    f"""WITH e AS ({_EMB_CTE}),
+{_IVF_SQL_ASSIGN},
+{_IVF_SQL_PROBES}
 scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
   FROM ac c JOIN qp ON c.cell = qp.cell WHERE c.vec_id <> q_id)
 {topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", 5, ["c_id"])}""",
@@ -958,14 +965,7 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_RECALL_SQL = f"""WITH e AS ({_EMB_CTE}),
 {_IVF_SQL_ASSIGN},
-qm AS (SELECT vec_id, v, cs, cell,
-  list_transform(cs, x -> CASE WHEN x = list_max(cs) THEN -1e18 ELSE x END) AS cs2
-  FROM ac WHERE vec_id % 10 = 0),
-qp AS (
-  -- UNION (not ALL): all-tied scores make probe 2 re-hit probe 1's cell
-  SELECT vec_id AS q_id, v AS qv, cell FROM qm
-  UNION
-  SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM qm),
+{_IVF_SQL_PROBES}
 iscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
   FROM ac c JOIN qp ON c.cell = qp.cell WHERE c.vec_id <> q_id),
 it AS ({topk.top_k_per_group_sql("SELECT * FROM iscored", ["q_id"], "cos", 5, ["c_id"])}),
@@ -1150,9 +1150,19 @@ def _run_stream_over_docs(spark: SparkSession, sf_dir: str, build_counts, n_batc
     return spark.table(name)
 
 
+# streaming oracles MUST model the IRC round-trip the stream applies
+# (synth lines → colon-split parse, truncation quirk included) — a raw
+# documents.text oracle diverges the moment a text contains ':'
+_STREAM_ROUNDTRIP_CTE = f"""WITH raw AS ({messages.synth_raw_lines_sql()}),
+fmt AS ({messages.format_raw_messages_sql("SELECT * FROM raw")})"""
+
+_STREAM_WC_SQL = f"""{_STREAM_ROUNDTRIP_CTE}
+{messages.word_counts_sql("text", "fmt")}"""
+
+
 @register(
     "streaming_wordcount",
-    messages.word_counts_sql("text", "documents"),
+    _STREAM_WC_SQL,
     survey="S1,S2,S3,S4,S7,ST1-ST5,ST8,U5,A4: running word counts, update-mode state",
 )
 def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,11 +1173,13 @@ def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_category_count",
-    f"""WITH scored AS ({_SCORED_CTE}),
-s AS (SELECT doc_id, {scoring.hash_scores_sql("h")} AS scores FROM scored),
-x AS (SELECT doc_id, unnest({scoring.decode_categories_sql("scores")}) AS category FROM s)
+    f"""{_STREAM_ROUNDTRIP_CTE},
+scored AS (SELECT md5(text) || md5('s' || text) AS h FROM fmt),
+s AS (SELECT {scoring.hash_scores_sql("h")} AS scores FROM scored),
+x AS (SELECT unnest({scoring.decode_categories_sql("scores")}) AS category FROM s)
 SELECT category, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY category""",
-    survey="N7+ST4: running category counts off the classifier branch",
+    survey="N7+ST4: running category counts off the classifier branch "
+    "(oracle scores the PARSED lowercased text, as the stream does)",
 )
 def streaming_category_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.wordcount import streaming_category_counts
@@ -1183,7 +1195,7 @@ def streaming_category_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_stateful_wordcount",
-    messages.word_counts_sql("text", "documents"),
+    _STREAM_WC_SQL,
     survey="ST4 arbitrary-state path (applyInPandasWithState): running "
     "counts via custom per-key state; final state ≡ batch counts",
 )
@@ -1753,9 +1765,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 100
+    from .sources.io import hash_bucket
+
+    bucket = hash_bucket("doc_id", 100)
     return d.select("doc_id", "text").filter(bucket < 10)
 
 

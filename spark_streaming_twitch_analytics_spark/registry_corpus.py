@@ -36,6 +36,7 @@ from .functions import text as X
 from .functions import vectors as V
 from .operators import dedup, topk
 from .registry import register
+from .sources.io import hash_bucket, hash_bucket_sql  # noqa: F401
 from .tables import load_table
 
 _EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+"
@@ -181,12 +182,7 @@ WHERE CAST('0x' || md5(CAST(doc_id AS VARCHAR))[1:8] AS BIGINT) % 100
 )
 def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % 100
-    )
+    bucket = hash_bucket("doc_id", 100)
     keep_pct = F.lit(_MIX_DEFAULT)
     for k, v in _MIX.items():
         keep_pct = F.when(F.col("lang") == k, v).otherwise(keep_pct)
@@ -617,12 +613,7 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep job runs nightly)."""
     d = _docs(spark, sf_dir)
     toks = X.tokenize(F.col("text"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % 100
-    )
+    bucket = hash_bucket("doc_id", 100)
     keep_pct = F.lit(_MIX_DEFAULT)
     for k, v in _MIX.items():
         keep_pct = F.when(F.col("lang") == k, v).otherwise(keep_pct)
@@ -848,12 +839,7 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 10000.0
         ).alias("keep_bp"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % 10000
-    )
+    bucket = hash_bucket("doc_id", 10000)
     return (
         d.join(F.broadcast(f.select("source", "keep_bp")), "source")
         .filter(bucket < F.col("keep_bp"))
@@ -981,16 +967,7 @@ _SHUFFLE_SHARDS = 64
 def _split_bucket() -> Column:
     # salt ':split' decorrelates this hash from corpus_mix_sample's —
     # membership in the sample must not bias the split assignment
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _SPLIT_BUCKETS
-    )
+    return hash_bucket("doc_id", _SPLIT_BUCKETS, salt=":split")
 
 
 _SPLIT_BUCKET_SQL = (

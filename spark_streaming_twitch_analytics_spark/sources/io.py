@@ -157,6 +157,25 @@ def read_orc(
 EPOCH_SHUFFLE_SALT = ":epoch17"
 
 
+def hash_bucket(col, mod: int, salt: str = ""):
+    """Deterministic md5 bucket in [0, mod): THE sampling/splitting
+    primitive (mix sample, keep list, temperature mix, train/val/test
+    split all key on it). One definition so a recipe change cannot
+    decorrelate the call sites; ``salt`` decorrelates independent
+    decisions on the same id. SQL twin: :func:`hash_bucket_sql`."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)) if salt else c.cast("string"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % mod
+
+
+def hash_bucket_sql(expr: str, mod: int, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_bucket` (same digest, same bucket)."""
+    inner = f"CAST({expr} AS VARCHAR)" + (f" || '{salt}'" if salt else "")
+    return f"CAST('0x' || md5({inner})[1:8] AS BIGINT) % {mod}"
+
+
 def epoch_shuffle_key(id_col="doc_id", salt: str = EPOCH_SHUFFLE_SALT):
     """The deterministic training-order key: salted md5 over the doc id.
     Single definition — the layout writer (:func:`write_training_shards`),

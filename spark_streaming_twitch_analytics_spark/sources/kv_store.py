@@ -33,6 +33,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def checkpoint_lineage(checkpoint_dir: str) -> str:
+    """Identity of a checkpoint INSTANCE: Structured Streaming writes a
+    fresh query id into ``{checkpoint}/metadata`` when (and only when) a
+    checkpoint directory is first used, so a wiped-and-recreated dir gets
+    a new id while same-checkpoint restarts keep it. That id — not the
+    path, which survives a wipe — is the epoch-numbering lineage the
+    exactly-once guards key on."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return str(json.load(f)["id"])
+    except Exception:
+        return checkpoint_dir
+
+
 class KVTableStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -57,13 +71,22 @@ class KVTableStore:
         except Exception:
             return None
 
-    def last_applied_epoch(self, table: str) -> int:
+    def last_applied_epoch(self, table: str, lineage: str | None = None) -> int:
         """Highest micro-batch epoch recorded for ``table`` (-1 if none).
         The exactly-once guard for delta-merging foreachBatch sinks: a
         replayed epoch (failure between checkpoint commit and sink write)
-        must not be merged twice."""
+        must not be merged twice.
+
+        ``lineage`` names the epoch numbering (the query's checkpoint
+        dir): foreachBatch epoch_ids restart at 0 under a FRESH
+        checkpoint, so a recorded epoch from a different lineage must not
+        mask genuinely new batches — a lineage mismatch reads as -1."""
         meta = self._load_meta(table)
-        return int(meta.get("epoch", -1)) if meta else -1
+        if not meta:
+            return -1
+        if lineage is not None and meta.get("lineage") != lineage:
+            return -1
+        return int(meta.get("epoch", -1))
 
     def write(
         self,
@@ -72,6 +95,7 @@ class KVTableStore:
         mode: str = "overwrite",
         ttl: int | None = None,
         epoch: int | None = None,
+        lineage: str | None = None,
     ) -> None:
         """Versioned write: each overwrite lands in a fresh ``v<N>`` subdir
         and the meta pointer flips afterwards. This makes snapshots atomic
@@ -104,6 +128,8 @@ class KVTableStore:
             }
         if epoch is not None:
             new_meta["epoch"] = int(epoch)
+            if lineage is not None:
+                new_meta["lineage"] = lineage
         tmp = self._meta(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(new_meta, f)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..operators import dedup
+from ..sources.kv_store import checkpoint_lineage
 
 
 def clean_batch(
@@ -134,7 +135,8 @@ def run_corpus_ingest(
         # exactly-once guard: foreachBatch is at-least-once; a replayed
         # epoch (crash between sink write and checkpoint commit) must not
         # append its survivors twice (same pattern as apply_delta_once)
-        if epoch_id <= store.last_applied_epoch(table):
+        lin = checkpoint_lineage(store.checkpoint_dir(table))
+        if epoch_id <= store.last_applied_epoch(table, lineage=lin):
             return
         obs_in = Observation()
         obs_kept = Observation()
@@ -151,7 +153,13 @@ def run_corpus_ingest(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
-        store.write(kept, table, mode="append", epoch=epoch_id)
+        store.write(
+            kept,
+            table,
+            mode="append",
+            epoch=epoch_id,
+            lineage=lin,
+        )
         if metrics is not None:
             metrics.append(
                 {

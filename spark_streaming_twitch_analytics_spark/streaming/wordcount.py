@@ -13,9 +13,12 @@ reference's core loop (``SparkRunner.scala:115-160``) rebuilt:
 Two sink flavors, matching the reference's two modes:
 - **complete + overwrite**: whole state snapshot per batch
   (``SaveMode.Overwrite``, ``SparkRunner.scala:143``).
-- **update + merge**: only changed keys flow; the store merges via the
-  J1 ``update_table`` operator. This is the 100 TB shape — state stays
-  in the state store, the sink moves deltas, no per-batch full rewrite.
+- **update + merge**: only changed keys flow from the state store to the
+  sink — per-batch COMPUTE and shuffle are bounded by batch novelty.
+  The bundled parquet-file store still persists each version as a full
+  table rewrite (a file-format artifact: parquet can't update in place);
+  a Redis/JDBC backend implementing the same three methods writes only
+  the changed keys, which is the 100 TB deployment shape.
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from ..constants import DEFAULT_LANG, MIN_WORD_LENGTH
 from ..functions.text import countable_words
 from ..operators.merge import update_table
 from ..operators.messages import format_raw_messages
-from ..sources.kv_store import KVTableStore
+from ..sources.kv_store import KVTableStore, checkpoint_lineage
 
 COUNT_SCHEMA = T.StructType(
     [
@@ -104,9 +107,11 @@ def run_merge_query(
     the sink; the store row is replaced with the new running value.
 
     Scale note: update mode emits the NEW TOTAL per changed key (not a
-    delta), so the merge is replace-on-key, done here with the same
-    full-outer shape as J1 via anti-join + union — bounded by changed
-    keys per batch, not state size."""
+    delta), so the merge is replace-on-key (anti-join + union) — the
+    DELTA computed per batch is bounded by changed keys, not state size.
+    Committing it through the parquet-backed store still rewrites the
+    table file (see module docstring); a KV backend with native upsert
+    makes the whole sink O(changed keys)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         stored = store.get_table(table, COUNT_SCHEMA)
@@ -134,8 +139,15 @@ def run_restore_snapshot_query(
     operator — a job restarted with a fresh checkpoint continues from the
     stored totals instead of zero. (Joins after a streaming aggregation
     aren't allowed in the plan itself, so the merge lives in the sink.)"""
-    baseline = store.get_table(table, COUNT_SCHEMA).persist()
-    baseline.count()  # snapshot now — re-reading per batch would double-count
+    # materialize the baseline OFF the store's files: the first sink
+    # overwrite prunes the version directory this scan points at, and a
+    # cached-but-evicted partition would then recompute against deleted
+    # files (FAILED_READ_FILE). The snapshot table is Redis-sized by
+    # contract, so a driver round-trip is the robust materialization.
+    spark = counts.sparkSession
+    baseline = spark.createDataFrame(
+        store.get_table(table, COUNT_SCHEMA).collect(), COUNT_SCHEMA
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         merged = update_table(baseline, batch_df, "word", "cnt")
@@ -158,6 +170,7 @@ def apply_delta_once(
     sum_col: str,
     epoch_id: int,
     ttl: int = 0,
+    lineage: str | None = None,
 ) -> bool:
     """Exactly-once delta merge: add ``delta``'s per-key sums into
     ``table`` unless ``epoch_id`` was already applied to THAT table.
@@ -168,12 +181,19 @@ def apply_delta_once(
     epoch in the table's meta (flipped atomically WITH the data version)
     makes the merge idempotent per table. Returns True if applied,
     False if skipped as a replay. The guard is per-table so a crash
-    between two tables' writes replays only the unwritten one."""
-    if epoch_id <= store.last_applied_epoch(table):
+    between two tables' writes replays only the unwritten one. Pass the
+    query's checkpoint dir as ``lineage``: epoch_ids restart at 0 under a
+    fresh checkpoint, and without the lineage key the stale recorded
+    epoch would silently swallow the new query's first batches."""
+    if epoch_id <= store.last_applied_epoch(table, lineage):
         return False
     stored = store.get_table(table, schema)
     store.write(
-        update_table(stored, delta, key, sum_col), table, ttl=ttl, epoch=epoch_id
+        update_table(stored, delta, key, sum_col),
+        table,
+        ttl=ttl,
+        epoch=epoch_id,
+        lineage=lineage,
     )
     return True
 
@@ -222,11 +242,14 @@ def run_dual_branch_query(
             )
             # per-table exactly-once guard: a replayed epoch merges only
             # into whichever table missed it before the failure
+            lin = checkpoint_lineage(checkpoint_dir)
             apply_delta_once(
-                store, word_table, COUNT_SCHEMA, words, "word", "cnt", epoch_id
+                store, word_table, COUNT_SCHEMA, words, "word", "cnt",
+                epoch_id, lineage=lin,
             )
             apply_delta_once(
-                store, cat_table, cat_schema, cats, "category", "cnt", epoch_id
+                store, cat_table, cat_schema, cats, "category", "cnt",
+                epoch_id, lineage=lin,
             )
         finally:
             fmt.unpersist()

@@ -118,3 +118,43 @@ def test_apply_changes_delete_then_reinsert(spark):
     )
     rows = merge.apply_changes(base, changes, ["k"], ["seq"]).collect()
     assert [(r["k"], r["seq"], r["v"]) for r in rows] == [(1, 3, "y")]
+
+
+def test_apply_changes_null_op_rejected_not_silent_delete(spark):
+    """A malformed feed row with op=NULL must be IGNORED (key untouched)
+    — left in, it would anti-join the base row away while failing the
+    upsert filter, silently deleting the record."""
+    base = spark.createDataFrame([(1, 10, 1.0), (2, 20, 2.0)], "k long, seq long, v double")
+    changes = spark.createDataFrame(
+        [(1, 30, 9.0, None), (2, 30, 8.0, "U")],
+        "k long, seq long, v double, op string",
+    )
+    got = {
+        r["k"]: (r["seq"], r["v"])
+        for r in merge.apply_changes(base, changes, ["k"], ["seq"]).collect()
+    }
+    assert got[1] == (10, 1.0)  # NULL-op row ignored; base row survives
+    assert got[2] == (30, 8.0)  # valid upsert applied
+
+
+def test_epoch_guard_is_scoped_to_checkpoint_lineage(spark, tmp_path):
+    """A FRESH checkpoint restarts foreachBatch epochs at 0; the
+    exactly-once guard must not mistake those for replays of the old
+    lineage's epochs (which would silently drop real batches)."""
+    import pyspark.sql.types as T
+
+    from spark_streaming_twitch_analytics_spark.sources.kv_store import KVTableStore
+    from spark_streaming_twitch_analytics_spark.streaming.wordcount import (
+        COUNT_SCHEMA,
+        apply_delta_once,
+    )
+
+    store = KVTableStore(spark, str(tmp_path / "kv"))
+    delta = spark.createDataFrame([("w", 1)], COUNT_SCHEMA)
+    assert apply_delta_once(store, "t", COUNT_SCHEMA, delta, "word", "cnt", 5, lineage="ckpt-A")
+    # same lineage, same epoch → replay, skipped
+    assert not apply_delta_once(store, "t", COUNT_SCHEMA, delta, "word", "cnt", 5, lineage="ckpt-A")
+    # NEW lineage, epoch restarts at 0 → must apply
+    assert apply_delta_once(store, "t", COUNT_SCHEMA, delta, "word", "cnt", 0, lineage="ckpt-B")
+    rows = {r["word"]: r["cnt"] for r in store.get_table("t", COUNT_SCHEMA).collect()}
+    assert rows == {"w": 2}
