@@ -24,8 +24,14 @@ RAW_SCHEMA = "value string"  # receiver output (IRCBot.scala:52-53)
 def synth_raw_lines(docs: DataFrame) -> DataFrame:
     """Deterministic IRC-shaped raw lines from the documents table, matching
     the receiver's wire format ``{epoch_ms}:{user}!{host} PRIVMSG #{chan} :{text}``
-    (``IRCBot.scala:52-53`` prefixes receive-time millis to the raw line)."""
+    (``IRCBot.scala:52-53`` prefixes receive-time millis to the raw line).
+
+    Text newlines collapse to spaces: the IRC wire is CRLF-delimited, so
+    a message can never contain a raw line break — and a file/socket
+    transport of the synthesized lines would otherwise split one message
+    into malformed fragments."""
     user = F.concat(F.lit("u"), (F.col("doc_id") % 7).cast("string"))
+    wire_text = F.regexp_replace(F.col("text"), "[\\r\\n]+", " ")
     value = F.concat(
         (F.lit(1700000000000) + F.col("doc_id")).cast("string"),
         F.lit(":"),
@@ -35,7 +41,7 @@ def synth_raw_lines(docs: DataFrame) -> DataFrame:
         F.lit("@tmi PRIVMSG #"),
         F.col("lang"),
         F.lit(" :"),
-        F.col("text"),
+        wire_text,
     )
     return docs.select(value.alias("value"))
 
@@ -46,7 +52,8 @@ def synth_raw_lines_sql() -> str:
         "SELECT CAST(1700000000000 + doc_id AS VARCHAR) || ':' || "
         "'u' || CAST(doc_id % 7 AS VARCHAR) || '!' || "
         "'u' || CAST(doc_id % 7 AS VARCHAR) || '@tmi PRIVMSG #' || lang "
-        "|| ' :' || text AS value FROM documents"
+        "|| ' :' || regexp_replace(text, '[\\r\\n]+', ' ', 'g') "
+        "AS value FROM documents"
     )
 
 

@@ -53,6 +53,8 @@ FUZZ_QUERIES = [
     "corpus_shuffle_shards", "corpus_keep_list", "corpus_decontaminate",
     "ann_brute_topk", "ann_brute_topk_np", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_centroids", "dedup_embedding_cosine",
+    "streaming_wordcount", "streaming_category_count",
+    "streaming_stateful_wordcount", "cdc_apply_changes",
     "events_hourly", "sessionize", "window_running_total", "pivot_events",
     "asof_join_events", "skew_salted_count", "json_extract_props",
     "json_variant_stats", "multimodal_meta", "multimodal_frame_sample",
