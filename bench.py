@@ -59,6 +59,8 @@ HEADLINE = [
     "multimodal_meta",
     "text_repetition",
     "corpus_decontaminate",
+    "corpus_bloom_decontaminate",
+    "corpus_line_dedup",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

