@@ -357,10 +357,14 @@ def ngram_jaccard_pairs(
         # count off the just-persisted shingle frame (one row per doc) —
         # docs.count() would re-execute the full upstream lineage
         max_df = int(-(-shd.count() * max_df_fraction // 1))  # ceil, driver scalar
+        # df >= 2 is result-preserving (a singleton shingle joins only to
+        # itself, and a < b drops that row) but matters enormously at
+        # scale: a Zipf vocabulary is MOSTLY hapax shingles, so the cut
+        # removes the bulk of the exploded join input for free.
         rare = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
+            .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
             .select("sh")
         )
         join_sh = sh.join(rare, "sh", "left_semi")
