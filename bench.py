@@ -61,6 +61,8 @@ HEADLINE = [
     "corpus_decontaminate",
     "corpus_bloom_decontaminate",
     "corpus_line_dedup",
+    "text_gopher_rules",
+    "corpus_url_dedup",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

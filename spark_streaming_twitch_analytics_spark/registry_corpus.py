@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .constants import DEFAULT_LANG
 from .functions import text as X
 from .functions import vectors as V
 from .operators import dedup, topk
@@ -1311,4 +1312,167 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.when(F.col("_hot").isNull(), 1)).cast("int").alias("n_kept"),
         F.count(F.col("_hot")).cast("int").alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite rule filter (document-level quality gate)
+# ---------------------------------------------------------------------------
+
+# Operating points scaled to the synthetic corpus (10-99 words/doc); the
+# canonical MassiveText values are 50..100_000 words, mean word length
+# 3..10, >= 80% alpha words, >= 2 stopwords, <= 10% symbol ratio.
+_G_MIN_WORDS = 20
+_G_MAX_WORDS = 80
+_G_MEAN_LO = 3
+_G_MEAN_HI = 10
+_G_ALPHA_PCT = 80
+_G_MIN_STOP = 2
+_G_SYM_PCT = 10
+
+_G_SW = X.sql_str_list(X.STOPWORDS[DEFAULT_LANG])
+
+
+@register(
+    "text_gopher_rules",
+    f"""WITH t AS (
+  SELECT doc_id, text,
+         list_filter({X.tokenize_sql('text')}, w -> length(w) > 0) AS ws
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS INT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS INT)
+      AS n_chars,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS INT)
+      AS n_alpha,
+    CAST(len(list_filter(ws, w -> w IN ({_G_SW}))) AS INT) AS n_stop,
+    CAST((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3 AS INT)
+      AS n_sym
+  FROM t)
+SELECT doc_id, n_words, n_chars, n_alpha, n_stop, n_sym,
+  CAST(n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS} AS INT) AS r_word_count,
+  CAST(n_chars BETWEEN {_G_MEAN_LO} * n_words AND {_G_MEAN_HI} * n_words AS INT)
+    AS r_mean_len,
+  CAST(100 * n_alpha >= {_G_ALPHA_PCT} * n_words AS INT) AS r_alpha,
+  CAST(n_stop >= {_G_MIN_STOP} AS INT) AS r_stop,
+  CAST({_G_SYM_PCT} * n_sym <= n_words AS INT) AS r_symbol,
+  CAST(n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+   AND n_chars BETWEEN {_G_MEAN_LO} * n_words AND {_G_MEAN_HI} * n_words
+   AND 100 * n_alpha >= {_G_ALPHA_PCT} * n_words
+   AND n_stop >= {_G_MIN_STOP}
+   AND {_G_SYM_PCT} * n_sym <= n_words AS INT) AS keep
+FROM m""",
+    survey="ext: Gopher/MassiveText composite rule filter (word count, "
+    "mean word length, alpha-word fraction, stopword presence, symbol "
+    "ratio) — every rule is an integer comparison on per-row counts, so "
+    "the gate is a zero-shuffle narrow map with engine-exact semantics "
+    "(no float thresholds to drift)",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level quality gate: the five classic MassiveText rules
+    evaluated per doc, each exposed as its own flag plus the composite
+    ``keep`` decision (pipelines keep the per-rule flags for ablations
+    and drop-reason statistics).
+
+    Every rule is expressed as an INTEGER comparison (e.g. mean word
+    length in [3,10] becomes ``3·n_words <= n_chars <= 10·n_words``) —
+    no division, so ANSI mode can't trap on empty docs and the DuckDB
+    oracle matches bit-for-bit without quantization. The whole operator
+    is a narrow map over the scan: at 100 TB it pipelines inside the
+    read stage, and ``keep`` is a pushable predicate for downstream
+    consumers."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokenize(F.col("text"))
+    ws = F.filter(toks, lambda t: F.length(t) > 0)
+    n = F.size(ws)
+    n_chars = F.aggregate(ws, F.lit(0), lambda a, t: a + F.length(t))
+    n_alpha = F.size(F.filter(ws, lambda t: t.rlike("[a-z]")))
+    sw = X.stopword_array(DEFAULT_LANG)
+    n_stop = F.size(F.filter(ws, lambda t: F.array_contains(sw, t)))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+        / F.lit(3)
+    ).cast("int")
+    n_sym = (n_hash + n_ell).cast("int")
+    m = d.select(
+        "doc_id",
+        n.cast("int").alias("n_words"),
+        n_chars.cast("int").alias("n_chars"),
+        n_alpha.cast("int").alias("n_alpha"),
+        n_stop.cast("int").alias("n_stop"),
+        n_sym.alias("n_sym"),
+    )
+    r_wc = F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+    r_ml = F.col("n_chars").between(
+        _G_MEAN_LO * F.col("n_words"), _G_MEAN_HI * F.col("n_words")
+    )
+    r_al = 100 * F.col("n_alpha") >= _G_ALPHA_PCT * F.col("n_words")
+    r_st = F.col("n_stop") >= _G_MIN_STOP
+    r_sy = _G_SYM_PCT * F.col("n_sym") <= F.col("n_words")
+    return m.select(
+        "*",
+        r_wc.cast("int").alias("r_word_count"),
+        r_ml.cast("int").alias("r_mean_len"),
+        r_al.cast("int").alias("r_alpha"),
+        r_st.cast("int").alias("r_stop"),
+        r_sy.cast("int").alias("r_symbol"),
+        (r_wc & r_ml & r_al & r_st & r_sy).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup + domain blocklist (the first pass of a web-crawl pipeline)
+# ---------------------------------------------------------------------------
+
+_URL_HOSTS = 7  # synthesized host spread
+_URL_PATHS = 70  # lcm(7, 70) = 70 < doc count at every SF → deliberate URL collisions
+_URL_BLOCKLIST = ("host0.example.com", "host3.example.com")
+
+
+@register(
+    "corpus_url_dedup",
+    f"""WITH u AS (
+  SELECT doc_id,
+    'https://host' || CAST(doc_id % {_URL_HOSTS} AS VARCHAR)
+      || '.example.com/p/' || CAST(doc_id % {_URL_PATHS} AS VARCHAR) AS url
+  FROM documents),
+d AS (
+  SELECT doc_id, url, regexp_extract(url, 'https?://([^/]+)/', 1) AS domain
+  FROM u),
+f AS (SELECT * FROM d WHERE domain NOT IN ('{_URL_BLOCKLIST[0]}', '{_URL_BLOCKLIST[1]}'))
+SELECT url, domain, min(doc_id) AS canonical_id, CAST(count(*) AS INT) AS n_dups
+FROM f GROUP BY url, domain""",
+    survey="ext: URL-level dedup + domain blocklist (synthesized URL "
+    "column; regexp domain extraction, map-side blocklist predicate, one "
+    "uniform-key shuffle keeping min-doc_id canonical per URL — the "
+    "standard first pass over a web crawl before any content-based dedup)",
+)
+def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup with a domain blocklist. The testdata has no URL
+    column, so one is synthesized deterministically from ``doc_id``
+    (with deliberate collisions via ``% {_URL_PATHS}``) — making the
+    dedup observable and oracle-checkable.
+
+    Scale shape: the blocklist is a small literal predicate here (a
+    broadcast anti-join against a blocklist table in production — same
+    map-side property); the only shuffle is the URL group-by, whose key
+    is uniform by construction (URLs are near-unique after dedup, and
+    partial aggregation collapses each task's duplicates first). Keeping
+    ``min(doc_id)`` as canonical is deterministic under any partitioning."""
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % _URL_HOSTS).cast("string"),
+        F.lit(".example.com/p/"),
+        (F.col("doc_id") % _URL_PATHS).cast("string"),
+    )
+    dom = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+    u = d.select("doc_id", url.alias("url")).withColumn("domain", dom)
+    kept = u.filter(~F.col("domain").isin(*_URL_BLOCKLIST))
+    return kept.groupBy("url", "domain").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).cast("int").alias("n_dups"),
     )

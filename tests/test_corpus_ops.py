@@ -402,3 +402,37 @@ def test_line_dedup_strips_global_boilerplate(spark):
         assert "all rights reserved" not in r["clean_text"]
     # docs with unique content keep it (not everything is boilerplate)
     assert any(r["n_kept"] > 0 for r in rows)
+
+
+def test_gopher_rules_flags_are_consistent(spark):
+    rows = q(spark, "text_gopher_rules").collect()
+    assert len(rows) == 500
+    n_keep = 0
+    for r in rows:
+        for flag in ("r_word_count", "r_mean_len", "r_alpha", "r_stop", "r_symbol", "keep"):
+            assert r[flag] in (0, 1)
+        all_pass = all(
+            r[f] == 1
+            for f in ("r_word_count", "r_mean_len", "r_alpha", "r_stop", "r_symbol")
+        )
+        assert r["keep"] == int(all_pass)
+        # integer metrics are internally consistent
+        assert 0 <= r["n_alpha"] <= r["n_words"]
+        assert 0 <= r["n_stop"] <= r["n_words"]
+        n_keep += r["keep"]
+    # the gate discriminates on this corpus: some kept, some dropped
+    assert 0 < n_keep < 500
+
+
+def test_url_dedup_collides_and_blocks(spark):
+    rows = q(spark, "corpus_url_dedup").collect()
+    assert rows
+    from spark_streaming_twitch_analytics_spark.registry_corpus import _URL_BLOCKLIST
+    for r in rows:
+        assert r["domain"] not in _URL_BLOCKLIST
+        assert r["url"].startswith("https://")
+        assert r["n_dups"] >= 1
+        # canonical is the smallest doc_id mapped to this URL
+        assert r["canonical_id"] % 70 == int(r["url"].rsplit("/", 1)[1])
+    # the synthesized %70 path forces real collisions at sf>=0.01
+    assert any(r["n_dups"] > 1 for r in rows)
