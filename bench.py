@@ -63,6 +63,7 @@ HEADLINE = [
     "corpus_line_dedup",
     "text_gopher_rules",
     "corpus_url_dedup",
+    "dedup_ppjoin_pairs",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

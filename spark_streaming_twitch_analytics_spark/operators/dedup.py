@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..cache import eager_persist
 from .skew import fan_out
@@ -309,6 +310,77 @@ def simhash64_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def hashed_shingle_sets(
+    docs: DataFrame, text_col: str = "text", shingle_n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_id, shs): distinct shingles hashed to 48-bit longs (portable
+    md5 prefix), hashed ONCE per doc — join keys and per-pair verify
+    arrays then carry 8-byte longs instead of shingle strings: less
+    shuffle and a cheaper ``array_intersect``. 48 bits ≈ zero collision
+    probability at any realistic per-doc shingle count, and set
+    cardinalities are preserved, so Jaccard over the hashed sets is
+    exact (DuckDB oracles verify against raw string sets)."""
+    shash = F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+    return shingle_sets(docs, text_col, shingle_n).select(
+        "doc_id", shash.alias("shs")
+    )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = SHINGLE_N,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT threshold similarity join via PPJoin-style prefix filtering:
+    every pair with Jaccard ≥ ``threshold`` over distinct word-shingle
+    sets, with provably complete recall (unlike the df-cut heuristic in
+    :func:`ngram_jaccard_pairs` or the probabilistic MinHash path).
+
+    Prefix-filter lemma: order the shingle universe by any fixed total
+    order (here ascending document frequency, rarest first, ties by
+    hash); if J(x, y) ≥ t then the first ``|x| − ⌈t·|x|⌉ + 1`` shingles
+    of x and the corresponding prefix of y must intersect. Candidates =
+    pairs whose PREFIXES share a shingle; the full-set Jaccard verify
+    then makes the result exact. The output is independent of the
+    chosen order (any consistent order satisfies the lemma), which is
+    also why the DuckDB oracle — ordering raw strings where we order
+    48-bit hashes — must and does produce identical rows.
+
+    Scale shape: df table is one count shuffle bounded by |vocab|; the
+    prefix cut drops ~t of every doc's exploded rows BEFORE the
+    self-join, and because prefixes hold each doc's RAREST shingles the
+    surviving buckets are the small ones — candidate volume falls
+    quadratically. The verify join carries per-doc hashed sets, bounded
+    per doc. Skew: the hottest shingle appears in a prefix only when a
+    doc has nothing rarer, so boilerplate mega-buckets self-suppress."""
+    shd = eager_persist(hashed_shingle_sets(docs, text_col, shingle_n))
+    sh = shd.select("doc_id", F.explode("shs").alias("sh"))
+    dfq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    e = sh.join(dfq, "sh")
+    per_doc = Window.partitionBy("doc_id")
+    rn = F.row_number().over(per_doc.orderBy("df", "sh"))
+    n = F.count(F.lit(1)).over(per_doc)
+    prefix_len = n - F.ceil(F.lit(threshold) * n) + 1
+    prefix = (
+        e.select("doc_id", "sh", rn.alias("rn"), prefix_len.alias("plen"))
+        .filter(F.col("rn") <= F.col("plen"))
+        .select("doc_id", "sh")
+    )
+    a = prefix.select(F.col("doc_id").alias("a"), "sh")
+    b = prefix.select(F.col("doc_id").alias("b"), "sh")
+    pairs = (
+        a.join(b, "sh").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    scored = jaccard_on_pairs(
+        pairs, shingles=shd.select("doc_id", F.col("shs").alias("sh"))
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -336,15 +408,7 @@ def ngram_jaccard_pairs(
     # at any realistic per-doc shingle count, and set cardinalities are
     # preserved, so Jaccard is exact (the DuckDB oracle verifies against
     # raw string sets).
-    shash = F.transform(
-        F.col("sh"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
-    )
-    shd = eager_persist(
-        shingle_sets(docs, text_col, shingle_n).select(
-            "doc_id", shash.alias("shs")
-        )
-    )
+    shd = eager_persist(hashed_shingle_sets(docs, text_col, shingle_n))
     sh = shd.select("doc_id", F.explode("shs").alias("sh"))
     # NB: the bucket-expansion pattern (_pairs_from_buckets) was MEASURED
     # 3× slower here — rare-shingle buckets hold up to max_df≈5%·N docs,

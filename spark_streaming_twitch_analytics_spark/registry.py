@@ -766,6 +766,40 @@ def dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.top_k(pairs, "jaccard", 50, ["a", "b"])
 
 
+_PPJOIN_T = 0.5
+
+
+@register(
+    "dedup_ppjoin_pairs",
+    f"""WITH shx AS ({_sh_cte()}),
+d AS (SELECT doc_id, list_distinct(sh) AS shs FROM shx),
+e AS (SELECT doc_id, unnest(shs) AS s FROM d),
+dfq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+r AS (SELECT doc_id, s,
+        row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn,
+        count(*) OVER (PARTITION BY doc_id) AS n
+      FROM e JOIN dfq USING (s)),
+p AS (SELECT doc_id, s FROM r WHERE rn <= n - ceil({_PPJOIN_T} * n) + 1),
+cand AS (SELECT DISTINCT l.doc_id AS a, r2.doc_id AS b
+         FROM p l JOIN p r2 ON l.s = r2.s AND l.doc_id < r2.doc_id),
+j AS (SELECT a, b,
+  (floor((CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+     greatest(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)), 1))
+   * 1000000.0) / 1000000.0) AS jaccard
+  FROM cand JOIN d x ON x.doc_id = a JOIN d y ON y.doc_id = b)
+SELECT a, b, jaccard FROM j WHERE jaccard >= {_PPJOIN_T}""",
+    survey="ext: EXACT threshold similarity join (PPJoin prefix filter) — "
+    "provably complete recall at jaccard >= t, unlike the df-cut "
+    "heuristic or probabilistic MinHash; the oracle proves "
+    "order-independence by ranking raw strings where Spark ranks hashes",
+)
+def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with Jaccard ≥ 0.5, exactly (see
+    :func:`~spark_streaming_twitch_analytics_spark.operators.dedup.ppjoin_pairs` for the
+    prefix-filter lemma and scale analysis)."""
+    return dedup.ppjoin_pairs(_docs(spark, sf_dir), threshold=_PPJOIN_T)
+
+
 @register(
     "dedup_embedding_cosine",
     f"""WITH e AS (SELECT vec_id, label,

@@ -317,3 +317,37 @@ def test_brute_force_np_empty_query_set_returns_empty(spark):
     )
     assert out.count() == 0
     assert out.columns == ["q_id", "c_id", "cos", "rn"]
+
+
+def test_ppjoin_finds_planted_pairs_exactly(planted):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ppjoin_pairs(planted, threshold=0.5).collect()
+    }
+    assert got.get((0, 1)) == 1.0  # exact dup pair
+    assert (0, 2) in got and got[(0, 2)] >= 0.5  # near dup found
+    assert all(j >= 0.5 for j in got.values())
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_ppjoin_is_superset_of_minhash_at_threshold(spark):
+    """PPJoin is exact; MinHash-LSH is probabilistic and may only MISS
+    pairs. Every LSH-surfaced pair at jaccard >= t must therefore also
+    be in the PPJoin result, with the identical jaccard value."""
+    from spark_streaming_twitch_analytics_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ppjoin_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs(docs).collect()
+        if r["jaccard"] >= 0.5
+    }
+    assert exact, "no pairs at threshold — fixture assumption broken"
+    missed = set(lsh) - set(exact)
+    assert not missed, f"exact join missed LSH-found pairs: {sorted(missed)[:5]}"
+    for k, v in lsh.items():
+        assert exact[k] == v
