@@ -1250,6 +1250,101 @@ def streaming_stateful_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updates.groupBy("word").agg(F.max("cnt").alias("cnt"))
 
 
+def _run_stream_over_events(
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    n_files: int = 4,
+    pre=None,
+    mode: str = "append",
+) -> DataFrame:
+    """Materialize the events table as ``n_files`` parquet files and run a
+    streaming query over them to completion, one file per micro-batch
+    (``maxFilesPerTrigger=1``). The write is the test-harness feeder; the
+    streaming plan is the real product surface (a deployment points the
+    same ``build`` at a Kafka/file firehose)."""
+    import tempfile
+    import uuid
+
+    from .streaming.wordcount import memory_sink_query
+
+    ev = load_table(spark, sf_dir, "events")
+    if pre is not None:
+        ev = pre(ev)
+    src = tempfile.mkdtemp(prefix="ev_stream_")
+    ev.repartition(n_files).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    q = memory_sink_query(build(stream), name, mode=mode)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# Streaming relational ops (streaming/ops.py), registered with batch
+# oracles. The watermark delay is set past the table's full event-time
+# span so no state is evicted mid-replay — making the streaming result
+# EQUAL the batch join/distinct over the same rows regardless of how the
+# feeder split the files (bounded-state eviction behavior is exercised
+# separately in tests/test_streaming_ops.py with tight watermarks).
+_SSJOIN_WITHIN = "30 minutes"
+
+
+@register(
+    "streaming_interval_join",
+    f"""SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS event_id_r, r.ts AS ts_r
+FROM events l JOIN events r ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL {_SSJOIN_WITHIN}""",
+    survey="ext: stream-stream time-interval inner join "
+    "(click-joins-purchase within 30 min; per-side state bounded by "
+    "watermark + interval condition) — streaming result ≡ batch join",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ops import interval_join
+
+    def build(stream: DataFrame) -> DataFrame:
+        left = stream.filter(F.col("event_type") == "click")
+        right = stream.filter(F.col("event_type") == "purchase")
+        return interval_join(
+            left,
+            right,
+            "user_id",
+            within=_SSJOIN_WITHIN,
+            watermark="3650 days",
+        ).select("event_id", "user_id", "ts", "event_id_r", "ts_r")
+
+    return _run_stream_over_events(spark, sf_dir, build)
+
+
+@register(
+    "streaming_dedup_watermark",
+    "SELECT event_id, user_id, event_type, ts FROM events",
+    survey="ext: watermarked streaming deduplication "
+    "(dropDuplicatesWithinWatermark) — the feeder REPLAYS every event "
+    "twice across micro-batches; exactly one row per id survives",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ops import dedup_stream
+
+    def build(stream: DataFrame) -> DataFrame:
+        return dedup_stream(stream, ["event_id"], "ts", delay="3650 days").select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+
+    # exact-replica replay: every row fed twice, scattered across files
+    return _run_stream_over_events(
+        spark, sf_dir, build, pre=lambda ev: ev.unionAll(ev)
+    )
+
+
 # ===========================================================================
 # 10. Relational breadth extensions: set ops, distinct, rollup, pivot,
 # as-of / range joins, percentiles — capabilities a user of any analytics

@@ -109,3 +109,31 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert keys == expect
     finally:
         q.stop()
+
+
+def test_registered_interval_join_is_split_invariant(spark):
+    """The registry harness result must not depend on how the feeder
+    split the files into micro-batches: the interval-condition inner
+    join emits every match once whether the sides arrive in 2 batches
+    or 7."""
+    from spark_streaming_twitch_analytics_spark.registry import (
+        _SSJOIN_WITHIN,
+        _run_stream_over_events,
+    )
+    from spark_streaming_twitch_analytics_spark.streaming.ops import interval_join
+
+    sf = "/root/testdata/sf0.01"
+
+    def build(stream):
+        left = stream.filter(F.col("event_type") == "click")
+        right = stream.filter(F.col("event_type") == "purchase")
+        return interval_join(
+            left, right, "user_id", within=_SSJOIN_WITHIN, watermark="3650 days"
+        ).select("event_id", "user_id", "event_id_r")
+
+    runs = [
+        {tuple(r) for r in _run_stream_over_events(spark, sf, build, n_files=n).collect()}
+        for n in (2, 7)
+    ]
+    assert runs[0] == runs[1]
+    assert runs[0]  # non-trivial: matches exist at this SF
