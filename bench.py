@@ -64,6 +64,7 @@ HEADLINE = [
     "text_gopher_rules",
     "corpus_url_dedup",
     "dedup_ppjoin_pairs",
+    "corpus_cms_counts",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

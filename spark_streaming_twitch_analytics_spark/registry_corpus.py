@@ -1476,3 +1476,112 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).cast("int").alias("n_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable approximate counts with deterministic parity)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 3  # hash rows (independent estimates; est = their min)
+_CMS_W = 1024  # counters per row
+_CMS_TOPK = 20  # probe tokens: top-K by true count (rank-deterministic)
+
+
+def _cms_pos_sql(tok_expr: str, j_expr: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5({tok_expr}), 1 + 8 * CAST({j_expr} AS INT), 8) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "corpus_cms_counts",
+    f"""WITH w AS (
+  SELECT unnest({X.tokenize_sql('text')}) AS token FROM documents),
+freq AS (SELECT token, count(*) AS c FROM w GROUP BY 1),
+ks AS (SELECT unnest(range({_CMS_D})) AS j),
+sketch AS (
+  SELECT j, {_cms_pos_sql('token', 'j')} AS pos, sum(c) AS counter
+  FROM freq, ks GROUP BY 1, 2),
+probe AS (
+  SELECT token, c AS true_cnt FROM freq
+  ORDER BY c DESC, token ASC LIMIT {_CMS_TOPK}),
+est AS (
+  SELECT p.token, p.true_cnt, min(s.counter) AS est_cnt
+  FROM probe p CROSS JOIN ks
+  JOIN sketch s ON s.j = ks.j AND s.pos = {_cms_pos_sql('p.token', 'ks.j')}
+  GROUP BY 1, 2)
+SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(est_cnt AS BIGINT) AS est_cnt
+FROM est""",
+    survey="ext: Count-Min sketch — fixed d×w counter array over the "
+    "token stream (one vocab-bounded shuffle; partial sketches merge by "
+    "elementwise sum, the property that makes CMS the streaming/"
+    "distributed counter of choice), probed for the top-K true tokens; "
+    "md5-slice hashing makes both engines' sketches integer-identical",
+)
+def corpus_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream, evaluated against
+    truth for the top-K tokens (``est_cnt >= true_cnt`` always; equality
+    unless another token collides in all d rows).
+
+    The sketch is built FROM the exact per-token counts (sum commutes,
+    so pre-aggregating then sketching ≡ sketching the raw stream —
+    and it is also the cheaper plan: the (j, pos) shuffle moves
+    |vocab|·d rows, not corpus·d). At 100 TB the d×w integer array is
+    the whole reduction state: partial sketches from every task merge
+    by elementwise sum into 12 KB, which is why CMS replaces exact
+    counting when the vocabulary itself stops fitting — the probe-side
+    join here would then read the sketch instead of ``freq``. Hash
+    positions are disjoint 32-bit md5 slices (same trick as the bloom
+    decontaminator), so the DuckDB oracle builds the identical sketch
+    and the comparison is exact, not tolerance-based."""
+    d = _docs(spark, sf_dir)
+    w = d.select(F.explode(X.tokenize(F.col("text"))).alias("token"))
+    freq = w.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+
+    def pos(tok: Column, j: int) -> Column:
+        h = F.conv(F.substring(F.md5(tok), 1 + 8 * j, 8), 16, 10)
+        return h.cast("bigint") % _CMS_W
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), pos(F.col("token"), j).alias("pos"))
+                for j in range(_CMS_D)
+            ]
+        )
+    ).alias("jp")
+    sketch = (
+        freq.select("c", rows)
+        .select("c", F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+        .groupBy("j", "pos")
+        .agg(F.sum("c").alias("counter"))
+    )
+    # deterministic top-K even under count ties: total order (c, token).
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition K-heaps,
+    # driver merge of K·partitions rows) — no global sort, no window.
+    probe = (
+        freq.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(_CMS_TOPK)
+        .select("token", F.col("c").alias("true_cnt"))
+    )
+    probed = probe.select(
+        "token",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), pos(F.col("token"), j).alias("pos")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jp"),
+    ).select("token", "true_cnt", F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+    return (
+        probed.join(F.broadcast(sketch), ["j", "pos"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("counter").alias("est_cnt"))
+    )

@@ -436,3 +436,13 @@ def test_url_dedup_collides_and_blocks(spark):
         assert r["canonical_id"] % 70 == int(r["url"].rsplit("/", 1)[1])
     # the synthesized %70 path forces real collisions at sf>=0.01
     assert any(r["n_dups"] > 1 for r in rows)
+
+
+def test_cms_overestimates_only_and_is_tight_for_top_tokens(spark):
+    rows = q(spark, "corpus_cms_counts").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"]  # CMS can only overestimate
+    # with w=1024 and a tiny vocab, most top tokens should estimate exactly
+    exact = sum(1 for r in rows if r["est_cnt"] == r["true_cnt"])
+    assert exact >= 10
