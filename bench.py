@@ -35,6 +35,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "events_hourly",
     "sessionize",
+    "session_window_agg",
     "window_running_total",
     "rollup_orders",
     "pivot_events",

@@ -637,6 +637,59 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_window_agg",
+    """WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL OR
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+    THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+s AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 minutes AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid""",
+    survey="ext: native session_window aggregation — per-session rows "
+    "(start, end = last event + gap, count); the oracle derives identical "
+    "sessions via the lag/cumsum islands construction, pinning Spark's "
+    "merge-at-exactly-gap boundary semantics (diff > gap starts a session)",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregation via the NATIVE ``F.session_window``
+    operator (the engine-managed merge used by streaming session
+    aggregation — ``streaming/windows.py`` runs the same expression on a
+    stream). Semantics pinned cross-engine: an event at exactly
+    ``last_ts + gap`` MERGES into the session (sessions are
+    ``[start, last_ts + gap)``), so the islands oracle starts a new
+    session only when the gap is strictly exceeded.
+
+    Scale shape: one shuffle on user_id; Spark merges session windows
+    inside the aggregate (partial merge per task, final merge post
+    exchange) — no per-user sort materialization, unlike the
+    lag-window form (``sessionize``), which pays a full
+    sort-within-partition. Both forms are kept: lag/cumsum composes
+    with arbitrary window logic, session_window is the streaming-safe
+    operator."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # ===========================================================================
 # 6. Dedup suite (extensions, SURVEY §7 phase 4)
 # ===========================================================================
