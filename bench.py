@@ -66,6 +66,7 @@ HEADLINE = [
     "corpus_url_dedup",
     "dedup_ppjoin_pairs",
     "corpus_cms_counts",
+    "corpus_e2e_prep",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

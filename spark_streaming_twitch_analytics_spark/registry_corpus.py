@@ -1332,15 +1332,9 @@ _G_SYM_PCT = 10
 
 _G_SW = X.sql_str_list(X.STOPWORDS[DEFAULT_LANG])
 
-
-@register(
-    "text_gopher_rules",
-    f"""WITH t AS (
-  SELECT doc_id, text,
-         list_filter({X.tokenize_sql('text')}, w -> length(w) > 0) AS ws
-  FROM documents),
-m AS (
-  SELECT doc_id,
+# metric CTE body + keep predicate, shared by text_gopher_rules and the
+# composed corpus_e2e_prep pipeline (one definition of the gate)
+_G_M_COLS_SQL = f"""
     CAST(len(ws) AS INT) AS n_words,
     CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS INT)
       AS n_chars,
@@ -1349,7 +1343,61 @@ m AS (
     CAST(len(list_filter(ws, w -> w IN ({_G_SW}))) AS INT) AS n_stop,
     CAST((length(text) - length(replace(text, '#', '')))
          + (length(text) - length(replace(text, '...', ''))) // 3 AS INT)
-      AS n_sym
+      AS n_sym"""
+
+_G_KEEP_SQL = (
+    f"n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}"
+    f" AND n_chars BETWEEN {_G_MEAN_LO} * n_words AND {_G_MEAN_HI} * n_words"
+    f" AND 100 * n_alpha >= {_G_ALPHA_PCT} * n_words"
+    f" AND n_stop >= {_G_MIN_STOP}"
+    f" AND {_G_SYM_PCT} * n_sym <= n_words"
+)
+
+
+def _gopher_metric_cols() -> list[Column]:
+    """The five integer metric columns, computed from ``text``."""
+    toks = X.tokenize(F.col("text"))
+    ws = F.filter(toks, lambda t: F.length(t) > 0)
+    sw = X.stopword_array(DEFAULT_LANG)
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+        / F.lit(3)
+    ).cast("int")
+    return [
+        F.size(ws).cast("int").alias("n_words"),
+        F.aggregate(ws, F.lit(0), lambda a, t: a + F.length(t))
+        .cast("int")
+        .alias("n_chars"),
+        F.size(F.filter(ws, lambda t: t.rlike("[a-z]"))).cast("int").alias("n_alpha"),
+        F.size(F.filter(ws, lambda t: F.array_contains(sw, t)))
+        .cast("int")
+        .alias("n_stop"),
+        (n_hash + n_ell).cast("int").alias("n_sym"),
+    ]
+
+
+def _gopher_rule_cols() -> dict[str, Column]:
+    """Rule flags over the NAMED metric columns (post-select)."""
+    return {
+        "r_word_count": F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS),
+        "r_mean_len": F.col("n_chars").between(
+            _G_MEAN_LO * F.col("n_words"), _G_MEAN_HI * F.col("n_words")
+        ),
+        "r_alpha": 100 * F.col("n_alpha") >= _G_ALPHA_PCT * F.col("n_words"),
+        "r_stop": F.col("n_stop") >= _G_MIN_STOP,
+        "r_symbol": _G_SYM_PCT * F.col("n_sym") <= F.col("n_words"),
+    }
+
+
+@register(
+    "text_gopher_rules",
+    f"""WITH t AS (
+  SELECT doc_id, text,
+         list_filter({X.tokenize_sql('text')}, w -> length(w) > 0) AS ws
+  FROM documents),
+m AS (
+  SELECT doc_id,{_G_M_COLS_SQL}
   FROM t)
 SELECT doc_id, n_words, n_chars, n_alpha, n_stop, n_sym,
   CAST(n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS} AS INT) AS r_word_count,
@@ -1358,11 +1406,7 @@ SELECT doc_id, n_words, n_chars, n_alpha, n_stop, n_sym,
   CAST(100 * n_alpha >= {_G_ALPHA_PCT} * n_words AS INT) AS r_alpha,
   CAST(n_stop >= {_G_MIN_STOP} AS INT) AS r_stop,
   CAST({_G_SYM_PCT} * n_sym <= n_words AS INT) AS r_symbol,
-  CAST(n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
-   AND n_chars BETWEEN {_G_MEAN_LO} * n_words AND {_G_MEAN_HI} * n_words
-   AND 100 * n_alpha >= {_G_ALPHA_PCT} * n_words
-   AND n_stop >= {_G_MIN_STOP}
-   AND {_G_SYM_PCT} * n_sym <= n_words AS INT) AS keep
+  CAST({_G_KEEP_SQL} AS INT) AS keep
 FROM m""",
     survey="ext: Gopher/MassiveText composite rule filter (word count, "
     "mean word length, alpha-word fraction, stopword presence, symbol "
@@ -1384,43 +1428,14 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     read stage, and ``keep`` is a pushable predicate for downstream
     consumers."""
     d = _docs(spark, sf_dir)
-    toks = X.tokenize(F.col("text"))
-    ws = F.filter(toks, lambda t: F.length(t) > 0)
-    n = F.size(ws)
-    n_chars = F.aggregate(ws, F.lit(0), lambda a, t: a + F.length(t))
-    n_alpha = F.size(F.filter(ws, lambda t: t.rlike("[a-z]")))
-    sw = X.stopword_array(DEFAULT_LANG)
-    n_stop = F.size(F.filter(ws, lambda t: F.array_contains(sw, t)))
-    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    n_ell = (
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
-        / F.lit(3)
-    ).cast("int")
-    n_sym = (n_hash + n_ell).cast("int")
-    m = d.select(
-        "doc_id",
-        n.cast("int").alias("n_words"),
-        n_chars.cast("int").alias("n_chars"),
-        n_alpha.cast("int").alias("n_alpha"),
-        n_stop.cast("int").alias("n_stop"),
-        n_sym.alias("n_sym"),
-    )
-    r_wc = F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
-    r_ml = F.col("n_chars").between(
-        _G_MEAN_LO * F.col("n_words"), _G_MEAN_HI * F.col("n_words")
-    )
-    r_al = 100 * F.col("n_alpha") >= _G_ALPHA_PCT * F.col("n_words")
-    r_st = F.col("n_stop") >= _G_MIN_STOP
-    r_sy = _G_SYM_PCT * F.col("n_sym") <= F.col("n_words")
-    return m.select(
-        "*",
-        r_wc.cast("int").alias("r_word_count"),
-        r_ml.cast("int").alias("r_mean_len"),
-        r_al.cast("int").alias("r_alpha"),
-        r_st.cast("int").alias("r_stop"),
-        r_sy.cast("int").alias("r_symbol"),
-        (r_wc & r_ml & r_al & r_st & r_sy).cast("int").alias("keep"),
-    )
+    m = d.select("doc_id", *_gopher_metric_cols())
+    rules = _gopher_rule_cols()
+    keep = None
+    flags = []
+    for name, cond in rules.items():
+        flags.append(cond.cast("int").alias(name))
+        keep = cond if keep is None else keep & cond
+    return m.select("*", *flags, keep.cast("int").alias("keep"))
 
 
 # ---------------------------------------------------------------------------
@@ -1584,4 +1599,101 @@ def corpus_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed.join(F.broadcast(sketch), ["j", "pos"])
         .groupBy("token", "true_cnt")
         .agg(F.min("counter").alias("est_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end corpus preparation (the pipeline the pieces exist for)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_e2e_prep",
+    f"""WITH t AS (
+  SELECT doc_id, source, text,
+         list_filter({X.tokenize_sql('text')}, w -> length(w) > 0) AS ws
+  FROM documents),
+m AS (
+  SELECT doc_id, source, text,{_G_M_COLS_SQL}
+  FROM t),
+quality AS (SELECT doc_id, source, text FROM m WHERE {_G_KEEP_SQL}),
+ded AS (
+  SELECT doc_id, source, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM quality),
+base AS (
+  SELECT doc_id, source, text FROM ded
+  WHERE doc_id = canon AND doc_id % {_DECON_EVAL_MOD} <> 0),
+tok AS (SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct({X.word_shingles_sql('toks', _DECON_SHINGLE_N)})) AS s
+       FROM tok),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+flagged AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+            WHERE sh.doc_id % {_DECON_EVAL_MOD} <> 0),
+clean AS (SELECT * FROM base
+          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+final AS (
+  SELECT CASE WHEN b < {_SPLIT_TRAIN} THEN 'train'
+              WHEN b < {_SPLIT_VAL} THEN 'val' ELSE 'test' END AS split,
+         source, len({X.tokenize_sql('text')}) AS n_toks
+  FROM (SELECT *, {_SPLIT_BUCKET_SQL} AS b FROM clean))
+SELECT split, source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM final GROUP BY 1, 2""",
+    survey="ext: composed end-to-end corpus prep — gopher-rule gate → "
+    "exact dedup (min-id canonical) → benchmark decontamination → "
+    "deterministic stratified split, ONE DataFrame plan (filters fuse "
+    "into the scan; the only corpus shuffles are the md5 dedup exchange "
+    "and the final tiny report aggregate)",
+)
+def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data preparation pipeline composed from the
+    individually-oracled stages: quality gate (``text_gopher_rules``'s
+    keep predicate) → exact dedup keeping the min-doc_id canonical →
+    drop eval docs and decontamination-flagged docs
+    (``corpus_decontaminate``) → train/val/test assignment
+    (``corpus_stratified_split``'s salted hash) → per-(split, source)
+    doc/token report.
+
+    The point is compositionality: every stage is a row predicate or a
+    keyed operation on the SAME frame, so Catalyst fuses the quality
+    gate into the scan, the dedup window is the first exchange (keyed
+    on md5(text) — uniform), the decon flag set arrives broadcast
+    (eval-bounded), and the split assignment is again map-side. One
+    pass over the corpus, two shuffles total (dedup + final report) —
+    the shape a 100 TB prep run needs."""
+    d = _docs(spark, sf_dir)
+    m = d.select("doc_id", "source", "text", *_gopher_metric_cols())
+    keep = None
+    for cond in _gopher_rule_cols().values():
+        keep = cond if keep is None else keep & cond
+    quality = m.filter(keep).select("doc_id", "source", "text")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    base = (
+        quality.withColumn("canon", F.min("doc_id").over(w))
+        .filter(
+            (F.col("doc_id") == F.col("canon"))
+            & (F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        )
+        .drop("canon")
+    )
+    flagged = corpus_decontaminate(spark, sf_dir).select("doc_id")
+    clean = base.join(flagged, "doc_id", "left_anti")
+    b = _split_bucket()
+    split = (
+        F.when(b < _SPLIT_TRAIN, "train")
+        .when(b < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        clean.select(
+            split.alias("split"),
+            "source",
+            F.size(X.tokenize(F.col("text"))).alias("n_toks"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
     )

@@ -446,3 +446,34 @@ def test_cms_overestimates_only_and_is_tight_for_top_tokens(spark):
     # with w=1024 and a tiny vocab, most top tokens should estimate exactly
     exact = sum(1 for r in rows if r["est_cnt"] == r["true_cnt"])
     assert exact >= 10
+
+
+def test_e2e_prep_is_consistent_with_its_stages(spark):
+    """The composed pipeline's totals must reconcile with its stages run
+    independently: kept docs = gopher-kept ∩ canonical ∩ non-eval ∩
+    not-decon-flagged."""
+    rows = q(spark, "corpus_e2e_prep").collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total > 0
+    gopher_keep = {
+        r["doc_id"] for r in q(spark, "text_gopher_rules").collect() if r["keep"]
+    }
+    flagged = {r["doc_id"] for r in q(spark, "corpus_decontaminate").collect()}
+    d = load_table(spark, SF, "documents")
+    from pyspark.sql.window import Window as W
+
+    canon = {
+        r["doc_id"]
+        for r in d.withColumn(
+            "c", F.min("doc_id").over(W.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("c"))
+        .collect()
+    }
+    expect = {
+        i for i in gopher_keep
+        if i in canon and i % 97 != 0 and i not in flagged
+    }
+    assert total == len(expect)
+    splits = {r["split"] for r in rows}
+    assert "train" in splits  # 96% of buckets → train must be present
