@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_ppjoin_pairs",
     "corpus_cms_counts",
     "corpus_e2e_prep",
+    "corpus_fixed_sample",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

@@ -1697,3 +1697,52 @@ def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-size per-stratum sampling (fixed N per group, deterministic)
+# ---------------------------------------------------------------------------
+
+_FIXED_PER_LANG = 40  # exact sample size per lang stratum
+
+
+@register(
+    "corpus_fixed_sample",
+    f"""WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':fixed'), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang FROM r WHERE rn <= {_FIXED_PER_LANG}""",
+    survey="ext: exact-size per-stratum sample — N docs per lang, chosen "
+    "by ranking a salted md5 (reproducible on any engine/partitioning; "
+    "fraction-based hash sampling can't hit an exact N)",
+)
+def corpus_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``{_FIXED_PER_LANG}`` docs per language, deterministically:
+    rank docs within each stratum by a salted md5 of the id and keep the
+    first N. Complements ``corpus_mix_sample`` (hash-bucket FRACTION
+    sampling): fraction sampling is a pure narrow map but only hits the
+    target size in expectation; rank-based selection is exact, at the
+    cost of one per-stratum ordering.
+
+    Scale shape: one shuffle on the stratum key; within each stratum
+    the rank is a sort bounded by stratum size. For mega-strata the
+    production form two-levels it: per-partition top-N heaps (the
+    TakeOrderedAndProject trick keyed by stratum) then a final N-merge,
+    so no stratum ever fully sorts. The salt makes the choice
+    independent of the split/mix hashes, and ``doc_id`` tie-breaks make
+    it total — the same N docs on any engine, any partitioning."""
+    d = _docs(spark, sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":fixed"))),
+            F.col("doc_id"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang", rn.alias("rn"))
+        .filter(F.col("rn") <= _FIXED_PER_LANG)
+        .select("doc_id", "lang")
+    )

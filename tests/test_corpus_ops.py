@@ -477,3 +477,20 @@ def test_e2e_prep_is_consistent_with_its_stages(spark):
     assert total == len(expect)
     splits = {r["split"] for r in rows}
     assert "train" in splits  # 96% of buckets → train must be present
+
+
+def test_fixed_sample_is_exact_and_deterministic(spark):
+    rows = q(spark, "corpus_fixed_sample").collect()
+    from collections import Counter
+    per_lang = Counter(r["lang"] for r in rows)
+    d = load_table(spark, SF, "documents")
+    stratum_sizes = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from spark_streaming_twitch_analytics_spark.registry_corpus import _FIXED_PER_LANG
+    for lang, size in stratum_sizes.items():
+        assert per_lang[lang] == min(_FIXED_PER_LANG, size)
+    # deterministic: a second run picks the identical docs
+    again = {(r["doc_id"], r["lang"]) for r in q(spark, "corpus_fixed_sample").collect()}
+    assert {(r["doc_id"], r["lang"]) for r in rows} == again
