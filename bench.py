@@ -68,6 +68,7 @@ HEADLINE = [
     "corpus_cms_counts",
     "corpus_e2e_prep",
     "corpus_fixed_sample",
+    "corpus_hll_distinct",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

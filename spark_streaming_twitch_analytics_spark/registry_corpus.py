@@ -1746,3 +1746,96 @@ def corpus_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _FIXED_PER_LANG)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count (portable registers, deterministic estimate)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 1024  # registers (p = 10 bits) → ~3.2% relative error
+_HLL_VBITS = 20  # rho comes from a 20-bit slice → rho in [1, 21]
+
+
+@register(
+    "corpus_hll_distinct",
+    f"""WITH tok AS (
+  SELECT unnest({X.tokenize_sql('text')}) AS token FROM documents),
+hx AS (SELECT token, md5(token) AS h FROM tok),
+r AS (SELECT
+    CAST('0x' || substring(h, 1, 8) AS BIGINT) % {_HLL_M} AS b,
+    CAST('0x' || substring(h, 9, 8) AS BIGINT) % {1 << _HLL_VBITS} AS v
+  FROM hx),
+regs AS (
+  SELECT b, max(CASE WHEN v = 0 THEN {_HLL_VBITS + 1}
+                     ELSE {_HLL_VBITS + 1} - length(bin(v)) END) AS M
+  FROM r GROUP BY b),
+agg AS (SELECT count(*) AS used, sum(1.0 / (1::BIGINT << M)) AS s FROM regs),
+t AS (SELECT count(DISTINCT token) AS n_distinct_true FROM tok)
+SELECT n_distinct_true, CAST(used AS INT) AS n_buckets_used,
+  floor((0.7213 / (1 + 1.079 / {_HLL_M}) * {_HLL_M} * {_HLL_M}
+         / (s + ({_HLL_M} - used))) * 1000000.0) / 1000000.0 AS est_raw
+FROM t, agg""",
+    survey="ext: HyperLogLog distinct-token estimate with PORTABLE "
+    "registers (bucket + rho from md5 slices; rho via length(bin(v)), "
+    "pure integer ops) — every arithmetic step is IEEE-deterministic, so "
+    "the DuckDB oracle reproduces the estimate exactly, not within "
+    "tolerance; completes the sketch trio (Bloom, CMS, HLL)",
+)
+def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL over the token stream, reported against the exact distinct
+    count (the evaluation harness; production drops the truth branch).
+
+    Portability engineering: bucket and the rho slice are disjoint
+    32-bit md5 slices; rho = 21 − ⌊log2 v⌋ computed as
+    ``length(bin(v))`` — an INTEGER string length, no float log to
+    drift. Every register term 2^−M is exactly representable and the
+    register sum stays exact under any accumulation order (multiples of
+    2^−21 bounded by m fit a double's mantissa), so the raw estimate —
+    a fixed sequence of IEEE ops on identical inputs — is bit-equal on
+    both engines and the gate needs no tolerance.
+
+    The small-range (linear-counting) correction is deliberately NOT in
+    the query: it needs ln(), whose libm rounding is not pinned across
+    engines. Instead the query emits the INTEGER sufficient statistic
+    it depends on (``n_buckets_used``): the consumer applies
+    ``m·ln(m / (m − used))`` as a driver-side scalar when
+    ``est_raw ≤ 2.5·m`` — exactly how production HLL implementations
+    stage the correction (the test demonstrates it). ``est_raw`` is the
+    honest large-range formula and is biased high on the tiny test
+    vocabulary.
+
+    Scale shape: registers are a 1024-row aggregate with partial max
+    per task — the whole corpus reduces to m integers, mergeable by
+    elementwise max (the HLL union property), which is why this is THE
+    distributed distinct-counter. The truth branch's count(DISTINCT)
+    is the only expensive part and exists solely for evaluation."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.explode(X.tokenize(F.col("text"))).alias("token"))
+    h = F.md5("token")
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _HLL_M
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % (1 << _HLL_VBITS)
+    rho = F.when(v == 0, F.lit(_HLL_VBITS + 1)).otherwise(
+        _HLL_VBITS + 1 - F.length(F.bin(v))
+    )
+    regs = (
+        tok.select(bucket.alias("b"), rho.alias("rho"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("M"))
+    )
+    pow2 = F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), F.col("M").cast("int")
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.lit(1.0) / pow2).alias("s"),
+    )
+    truth = tok.agg(F.count_distinct("token").alias("n_distinct_true"))
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    est = (
+        F.lit(alpha) * _HLL_M * _HLL_M / (F.col("s") + (_HLL_M - F.col("used")))
+    )
+    return truth.crossJoin(agg).select(
+        "n_distinct_true",
+        F.col("used").cast("int").alias("n_buckets_used"),
+        (F.floor(est * F.lit(1000000.0)) / F.lit(1000000.0)).alias("est_raw"),
+    )

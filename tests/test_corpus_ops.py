@@ -494,3 +494,21 @@ def test_fixed_sample_is_exact_and_deterministic(spark):
     # deterministic: a second run picks the identical docs
     again = {(r["doc_id"], r["lang"]) for r in q(spark, "corpus_fixed_sample").collect()}
     assert {(r["doc_id"], r["lang"]) for r in rows} == again
+
+
+def test_hll_estimate_is_within_expected_error(spark):
+    r = q(spark, "corpus_hll_distinct").collect()[0]
+    true, est = r["n_distinct_true"], r["est_raw"]
+    assert true > 0 and est > 0
+    assert 0 < r["n_buckets_used"] <= 1024
+    # the tiny test vocab sits in HLL's small range, where the standard
+    # estimator is linear counting over the INTEGER bucket-occupancy
+    # statistic the query emits (the raw formula is for n >> m and is
+    # biased high here — which the raw output honestly shows)
+    import math
+    m = 1024
+    v_empty = m - r["n_buckets_used"]
+    assert v_empty > 0
+    est_lc = m * math.log(m / v_empty)
+    assert abs(est_lc - true) / true < 0.13
+    assert est >= est_lc  # raw >= corrected in the small range
