@@ -69,6 +69,7 @@ HEADLINE = [
     "corpus_e2e_prep",
     "corpus_fixed_sample",
     "corpus_hll_distinct",
+    "corpus_dsir_weights",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

@@ -1839,3 +1839,83 @@ def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("used").cast("int").alias("n_buckets_used"),
         (F.floor(est * F.lit(1000000.0)) / F.lit(1000000.0)).alias("est_raw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed-feature target-matching selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed feature buckets
+_DSIR_BUCKET_SQL = f"CAST('0x' || md5(token)[1:8] AS BIGINT) % {_DSIR_B}"
+
+
+@register(
+    "corpus_dsir_weights",
+    f"""WITH tok AS (
+  SELECT doc_id, unnest({X.tokenize_sql('text')}) AS token FROM documents),
+tb AS (SELECT doc_id, {_DSIR_BUCKET_SQL} AS b FROM tok),
+tgt AS (SELECT b, count(*) AS ct FROM tb
+        WHERE doc_id % {_DECON_EVAL_MOD} = 0 GROUP BY b),
+src AS (SELECT b, count(*) AS cs FROM tb
+        WHERE doc_id % {_DECON_EVAL_MOD} <> 0 GROUP BY b),
+tots AS (SELECT (SELECT sum(ct) FROM tgt) AS tt, (SELECT sum(cs) FROM src) AS ts),
+w AS (
+  SELECT tb.doc_id,
+    log10((coalesce(ct, 0) + 1.0) / (tt + {_DSIR_B}))
+      - log10((coalesce(cs, 0) + 1.0) / (ts + {_DSIR_B})) AS lr
+  FROM tb LEFT JOIN tgt USING (b) LEFT JOIN src USING (b) CROSS JOIN tots
+  WHERE tb.doc_id % {_DECON_EVAL_MOD} <> 0)
+SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
+       round(avg(lr), 6) AS logratio,
+       CAST(avg(lr) > 0 AS INT) AS selected
+FROM w GROUP BY doc_id""",
+    survey="ext: DSIR-style importance weighting — hashed-unigram "
+    "(256-bucket) target/source distributions with add-1 smoothing; "
+    "per-doc mean log-likelihood ratio toward the eval holdout; both "
+    "256-row distributions broadcast, so scoring the 100 TB corpus is "
+    "map-side with one per-doc aggregate",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, reduced to its Spark
+    shape: estimate target (the eval holdout, standing in for a quality
+    domain) and source distributions over HASHED unigram features
+    (md5 → 256 buckets — the hashing that makes DSIR scale past any
+    vocabulary), then score every training doc by its mean
+    log-likelihood ratio; ``selected`` marks docs that look more
+    target- than source-like.
+
+    Scale shape: the two distributions are ``B``-row aggregates with
+    map-side partials (bounded by B·tasks on the wire), broadcast back
+    onto the token stream — the corpus itself is scored map-side and
+    reduced once per doc. Add-1 smoothing keeps empty buckets finite on
+    both engines; log10 values ride the same round-6 policy as
+    ``corpus_unigram_logprob``."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(X.tokenize(F.col("text"))).alias("token")
+    )
+    b = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % _DSIR_B
+    tb = tok.select("doc_id", b.alias("b"))
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    tgt = tb.filter(is_eval).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    src = tb.filter(~is_eval).groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    tots = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
+        src.agg(F.sum("cs").alias("ts"))
+    )
+    lr = F.log10(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tt") + _DSIR_B)
+    ) - F.log10(
+        (F.coalesce(F.col("cs"), F.lit(0)) + 1.0) / (F.col("ts") + _DSIR_B)
+    )
+    w = (
+        tb.filter(~is_eval)
+        .join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(src), "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("doc_id", lr.alias("lr"))
+    )
+    return w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_toks"),
+        F.round(F.avg("lr"), 6).alias("logratio"),
+        (F.avg("lr") > 0).cast("int").alias("selected"),
+    )
