@@ -1377,6 +1377,57 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_over_events(spark, sf_dir, build)
 
 
+_SESSION_ISLANDS_SQL = """WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL OR
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+    THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+s AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 minutes AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid"""
+
+
+@register(
+    "streaming_session_window",
+    _SESSION_ISLANDS_SQL,
+    survey="ext: STREAMING session-window aggregation — sessions merge "
+    "across micro-batches in the state store (merge is associative, so "
+    "the final state is split-invariant); final table ≡ the batch "
+    "islands construction",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native session-window aggregation run as a REAL stream (one
+    file per trigger): per-user sessions merge inside the state store as
+    events arrive — two sessions created in different micro-batches
+    collapse when a bridging event lands. Complete-mode sink; the final
+    table must equal ``session_window_agg``'s batch result."""
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "3650 days")
+            .groupBy(
+                F.session_window(F.col("ts"), "30 minutes").alias("win"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    return _run_stream_over_events(spark, sf_dir, build, mode="complete")
+
+
 @register(
     "streaming_dedup_watermark",
     "SELECT event_id, user_id, event_type, ts FROM events",

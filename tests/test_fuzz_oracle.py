@@ -60,6 +60,7 @@ FUZZ_QUERIES = [
     "streaming_wordcount", "streaming_category_count",
     "streaming_stateful_wordcount", "cdc_apply_changes",
     "streaming_interval_join", "streaming_dedup_watermark",
+    "streaming_session_window",
     "events_hourly", "sessionize", "session_window_agg", "window_running_total", "pivot_events",
     "asof_join_events", "skew_salted_count", "json_extract_props",
     "json_variant_stats", "multimodal_meta", "multimodal_frame_sample",
