@@ -364,7 +364,13 @@ def ppjoin_pairs(
     per_doc = Window.partitionBy("doc_id")
     rn = F.row_number().over(per_doc.orderBy("df", "sh"))
     n = F.count(F.lit(1)).over(per_doc)
-    prefix_len = n - F.ceil(F.lit(threshold) * n) + 1
+    # ceil over a FLOAT product can round an exact integer t·n up (e.g.
+    # 0.07·100 → 7.000000000000001 → ceil 8), shortening the prefix by
+    # one and silently breaking the completeness guarantee. The epsilon
+    # keeps exact-integer products at their integer; a longer prefix is
+    # always safe (more candidates), a shorter one never is. The oracle
+    # carries the identical epsilon.
+    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1
     prefix = (
         e.select("doc_id", "sh", rn.alias("rn"), prefix_len.alias("plen"))
         .filter(F.col("rn") <= F.col("plen"))

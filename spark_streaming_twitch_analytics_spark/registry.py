@@ -637,23 +637,48 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "session_window_agg",
-    """WITH g AS (
-  SELECT user_id, ts,
+# ONE islands construction for both the batch and the streaming session
+# oracle. The cumulative sum carries the SAME (ts, event_id) tie-break as
+# the lag window: without it, two events at an identical (user_id, ts)
+# could be ordered differently in the two windows and land in different
+# sessions nondeterministically (minute-granularity fuzz events tie often).
+_SESSION_ISLANDS_SQL = """WITH g AS (
+  SELECT user_id, ts, event_id,
     CASE WHEN lag(ts) OVER w IS NULL OR
          epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
     THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
 s AS (
   SELECT user_id, ts,
-    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM g)
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL 30 minutes AS session_end,
        CAST(count(*) AS BIGINT) AS n_events
-FROM s GROUP BY user_id, sid""",
+FROM s GROUP BY user_id, sid"""
+
+
+def _session_window_report(df: DataFrame) -> DataFrame:
+    """The native session aggregate, shared by the batch query and the
+    streaming registration (one definition of the operator)."""
+    return (
+        df.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "session_window_agg",
+    _SESSION_ISLANDS_SQL,
     survey="ext: native session_window aggregation — per-session rows "
     "(start, end = last event + gap, count); the oracle derives identical "
     "sessions via the lag/cumsum islands construction, pinning Spark's "
@@ -675,19 +700,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-within-partition. Both forms are kept: lag/cumsum composes
     with arbitrary window logic, session_window is the streaming-safe
     operator."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("win.start").alias("session_start"),
-            F.col("win.end").alias("session_end"),
-            "n_events",
-        )
-    )
+    return _session_window_report(load_table(spark, sf_dir, "events"))
 
 
 # ===========================================================================
@@ -832,7 +845,7 @@ r AS (SELECT doc_id, s,
         row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn,
         count(*) OVER (PARTITION BY doc_id) AS n
       FROM e JOIN dfq USING (s)),
-p AS (SELECT doc_id, s FROM r WHERE rn <= n - ceil({_PPJOIN_T} * n) + 1),
+p AS (SELECT doc_id, s FROM r WHERE rn <= n - ceil({_PPJOIN_T} * n - 1e-9) + 1),
 cand AS (SELECT DISTINCT l.doc_id AS a, r2.doc_id AS b
          FROM p l JOIN p r2 ON l.s = r2.s AND l.doc_id < r2.doc_id),
 j AS (SELECT a, b,
@@ -1211,6 +1224,7 @@ def _run_stream_over_docs(spark: SparkSession, sf_dir: str, build_counts, n_batc
     The driver-side collect here is the *test-harness feeder* (a real
     deployment points the same ``build_counts`` plan at a socket/Kafka/
     DataSource stream); the streaming plan itself is fully distributed."""
+    import shutil
     import tempfile
     import uuid
 
@@ -1234,6 +1248,7 @@ def _run_stream_over_docs(spark: SparkSession, sf_dir: str, build_counts, n_batc
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(src, ignore_errors=True)  # feeder files: one-shot
     return spark.table(name)
 
 
@@ -1315,7 +1330,10 @@ def _run_stream_over_events(
     streaming query over them to completion, one file per micro-batch
     (``maxFilesPerTrigger=1``). The write is the test-harness feeder; the
     streaming plan is the real product surface (a deployment points the
-    same ``build`` at a Kafka/file firehose)."""
+    same ``build`` at a Kafka/file firehose). The feeder directory is
+    removed after the run; the memory-sink result table (one per
+    invocation, bounded by the run count) is the returned frame."""
+    import shutil
     import tempfile
     import uuid
 
@@ -1337,6 +1355,7 @@ def _run_stream_over_events(
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(src, ignore_errors=True)  # feeder files: one-shot
     return spark.table(name)
 
 
@@ -1377,23 +1396,6 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_over_events(spark, sf_dir, build)
 
 
-_SESSION_ISLANDS_SQL = """WITH g AS (
-  SELECT user_id, ts,
-    CASE WHEN lag(ts) OVER w IS NULL OR
-         epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-    THEN 1 ELSE 0 END AS new_sess
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-s AS (
-  SELECT user_id, ts,
-    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
-                        ROWS UNBOUNDED PRECEDING) AS sid
-  FROM g)
-SELECT user_id, min(ts) AS session_start,
-       max(ts) + INTERVAL 30 minutes AS session_end,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM s GROUP BY user_id, sid"""
-
-
 @register(
     "streaming_session_window",
     _SESSION_ISLANDS_SQL,
@@ -1407,23 +1409,12 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     file per trigger): per-user sessions merge inside the state store as
     events arrive — two sessions created in different micro-batches
     collapse when a bridging event lands. Complete-mode sink; the final
-    table must equal ``session_window_agg``'s batch result."""
+    table must equal ``session_window_agg``'s batch result (the plan is
+    literally ``_session_window_report`` — one definition of the
+    operator for both modes)."""
 
     def build(stream: DataFrame) -> DataFrame:
-        return (
-            stream.withWatermark("ts", "3650 days")
-            .groupBy(
-                F.session_window(F.col("ts"), "30 minutes").alias("win"),
-                "user_id",
-            )
-            .agg(F.count(F.lit(1)).alias("n_events"))
-            .select(
-                "user_id",
-                F.col("win.start").alias("session_start"),
-                F.col("win.end").alias("session_end"),
-                "n_events",
-            )
-        )
+        return _session_window_report(stream.withWatermark("ts", "3650 days"))
 
     return _run_stream_over_events(spark, sf_dir, build, mode="complete")
 

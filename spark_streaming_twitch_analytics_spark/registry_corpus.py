@@ -1152,7 +1152,7 @@ hit AS (
 SELECT doc_id, CAST(count(*) AS INT) AS n_bloom_hits
 FROM hit GROUP BY doc_id""",
     survey="ext: bloom-filter decontamination — the eval suite's shingles "
-    f"become a fixed {_BLOOM_M >> 23} MB bit array; the train corpus is "
+    f"become a fixed {_BLOOM_M >> 13} KB bit array; the train corpus is "
     "tested map-side with ONE md5 per shingle (k positions = disjoint "
     "32-bit slices of the digest), zero corpus shuffle before the per-doc "
     "count (deterministic false positives: both engines compute the "
@@ -1377,6 +1377,15 @@ def _gopher_metric_cols() -> list[Column]:
     ]
 
 
+def _gopher_keep_col() -> Column:
+    """AND-fold of every rule — the Python twin of ``_G_KEEP_SQL`` (one
+    definition of the composite gate on each side)."""
+    keep = None
+    for cond in _gopher_rule_cols().values():
+        keep = cond if keep is None else keep & cond
+    return keep
+
+
 def _gopher_rule_cols() -> dict[str, Column]:
     """Rule flags over the NAMED metric columns (post-select)."""
     return {
@@ -1429,13 +1438,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers."""
     d = _docs(spark, sf_dir)
     m = d.select("doc_id", *_gopher_metric_cols())
-    rules = _gopher_rule_cols()
-    keep = None
-    flags = []
-    for name, cond in rules.items():
-        flags.append(cond.cast("int").alias(name))
-        keep = cond if keep is None else keep & cond
-    return m.select("*", *flags, keep.cast("int").alias("keep"))
+    flags = [
+        cond.cast("int").alias(name)
+        for name, cond in _gopher_rule_cols().items()
+    ]
+    return m.select("*", *flags, _gopher_keep_col().cast("int").alias("keep"))
 
 
 # ---------------------------------------------------------------------------
@@ -1664,10 +1671,7 @@ def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape a 100 TB prep run needs."""
     d = _docs(spark, sf_dir)
     m = d.select("doc_id", "source", "text", *_gopher_metric_cols())
-    keep = None
-    for cond in _gopher_rule_cols().values():
-        keep = cond if keep is None else keep & cond
-    quality = m.filter(keep).select("doc_id", "source", "text")
+    quality = m.filter(_gopher_keep_col()).select("doc_id", "source", "text")
     w = Window.partitionBy(F.md5(F.col("text")))
     base = (
         quality.withColumn("canon", F.min("doc_id").over(w))
@@ -1846,7 +1850,7 @@ def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DSIR_B = 256  # hashed feature buckets
-_DSIR_BUCKET_SQL = f"CAST('0x' || md5(token)[1:8] AS BIGINT) % {_DSIR_B}"
+_DSIR_BUCKET_SQL = hash_bucket_sql("token", _DSIR_B)
 
 
 @register(
@@ -1866,8 +1870,8 @@ w AS (
   FROM tb LEFT JOIN tgt USING (b) LEFT JOIN src USING (b) CROSS JOIN tots
   WHERE tb.doc_id % {_DECON_EVAL_MOD} <> 0)
 SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
-       round(avg(lr), 6) AS logratio,
-       CAST(avg(lr) > 0 AS INT) AS selected
+       (floor(avg(lr) * 1000000.0) / 1000000.0) AS logratio,
+       CAST((floor(avg(lr) * 1000000.0) / 1000000.0) > 0 AS INT) AS selected
 FROM w GROUP BY doc_id""",
     survey="ext: DSIR-style importance weighting — hashed-unigram "
     "(256-bucket) target/source distributions with add-1 smoothing; "
@@ -1888,14 +1892,14 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials (bounded by B·tasks on the wire), broadcast back
     onto the token stream — the corpus itself is scored map-side and
     reduced once per doc. Add-1 smoothing keeps empty buckets finite on
-    both engines; log10 values ride the same round-6 policy as
-    ``corpus_unigram_logprob``."""
+    both engines; log10 values are floor-quantized at 6 dp (vectors.quantize, the
+    project's engine-exact policy), and ``selected`` derives from the
+    quantized score so flag and score cannot disagree at a boundary."""
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(X.tokenize(F.col("text"))).alias("token")
     )
-    b = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % _DSIR_B
-    tb = tok.select("doc_id", b.alias("b"))
+    tb = tok.select("doc_id", hash_bucket("token", _DSIR_B).alias("b"))
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     tgt = tb.filter(is_eval).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     src = tb.filter(~is_eval).groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
@@ -1914,8 +1918,13 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tots))
         .select("doc_id", lr.alias("lr"))
     )
+    # floor-quantize (project policy, vectors.quantize) rather than
+    # round: decimal ROUNDING semantics differ across engines; selected
+    # derives from the SAME quantized value so the flag and the reported
+    # score can never disagree at a boundary
+    lr_q = V.quantize(F.avg("lr"), 6)
     return w.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_toks"),
-        F.round(F.avg("lr"), 6).alias("logratio"),
-        (F.avg("lr") > 0).cast("int").alias("selected"),
+        lr_q.alias("logratio"),
+        (lr_q > 0).cast("int").alias("selected"),
     )

@@ -37,6 +37,17 @@ QUERIES = [
     "text_repetition",
     "corpus_decontaminate",
     "corpus_unigram_logprob",
+    "corpus_bloom_decontaminate",
+    "corpus_line_dedup",
+    "text_gopher_rules",
+    "corpus_url_dedup",
+    "dedup_ppjoin_pairs",
+    "corpus_cms_counts",
+    "corpus_hll_distinct",
+    "corpus_dsir_weights",
+    "corpus_e2e_prep",
+    "corpus_fixed_sample",
+    "session_window_agg",
     "embedding_centroids",
     "kmeans_refine_centroids",
     "grouping_sets_orders",
