@@ -70,6 +70,7 @@ HEADLINE = [
     "corpus_fixed_sample",
     "corpus_hll_distinct",
     "corpus_dsir_weights",
+    "corpus_collocations",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

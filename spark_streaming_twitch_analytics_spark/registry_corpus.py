@@ -1928,3 +1928,95 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_q.alias("logratio"),
         (lr_q > 0).cast("int").alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (PMI-ranked bigrams, libm-free deterministic ranking)
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_COUNT = 5
+_COLL_TOPK = 20
+
+
+@register(
+    "corpus_collocations",
+    f"""WITH toks AS (
+  SELECT {X.tokenize_sql('text')} AS t FROM documents),
+uni AS (
+  SELECT u AS w, count(*) AS c FROM (SELECT unnest(t) AS u FROM toks)
+  GROUP BY u),
+bi AS (
+  SELECT b, count(*) AS c_ab
+  FROM (SELECT unnest({X.word_shingles_sql('t', 2)}) AS b FROM toks)
+  GROUP BY b HAVING count(*) >= {_COLL_MIN_COUNT}),
+tot AS (SELECT (SELECT sum(c) FROM uni) AS t1, (SELECT sum(c_ab) FROM bi) AS t2),
+j AS (
+  SELECT b AS bigram, c_ab,
+    ((CAST(c_ab AS DOUBLE) / t2) /
+     ((CAST(ua.c AS DOUBLE) / t1) * (CAST(ub.c AS DOUBLE) / t1))) AS lift
+  FROM bi
+  JOIN uni ua ON ua.w = string_split(b, ' ')[1]
+  JOIN uni ub ON ub.w = string_split(b, ' ')[2]
+  CROSS JOIN tot)
+SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
+       (floor(lift * 1000000.0) / 1000000.0) AS lift
+FROM j ORDER BY lift DESC, bigram ASC LIMIT {_COLL_TOPK}""",
+    survey="ext: collocation mining — top bigrams by PMI-equivalent lift "
+    "p(ab)/(p(a)p(b)); the ranking key is a pure IEEE divide/multiply "
+    "chain (no libm log), so the top-K SET and every displayed value are "
+    "bit-deterministic across engines",
+)
+def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by lift = p(ab) / (p(a)·p(b)) — the monotone
+    transform of PMI (PMI = log lift), kept in ratio space deliberately:
+    divisions and multiplications of exact integer-derived doubles are
+    IEEE-deterministic, while log10's libm rounding is not pinned across
+    engines. That makes both the top-K MEMBERSHIP (ranked on the
+    full-precision lift with a bigram tie-break) and the displayed
+    quantized value engine-exact — the same reasoning as the HLL
+    operator's driver-side ln.
+
+    Scale shape: unigram counts are vocab-bounded and broadcast onto the
+    bigram table; bigram counts are one shuffle with map-side partials
+    and a min-count cut (c_ab ≥ {_COLL_MIN_COUNT}) that drops the long
+    tail before any join; the final top-K is TakeOrderedAndProject."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(X.tokenize(F.col("text")).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(F.explode(X.word_shingles(F.col("t"), 2)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _COLL_MIN_COUNT)
+    )
+    tot = uni.agg(F.sum("c").alias("t1")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("t2"))
+    )
+    parts = F.split(F.col("b"), " ")
+    ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    lift = (F.col("c_ab").cast("double") / F.col("t2")) / (
+        (F.col("ca").cast("double") / F.col("t1"))
+        * (F.col("cb").cast("double") / F.col("t1"))
+    )
+    j = (
+        bi.withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("b").alias("bigram"), "c_ab", lift.alias("lift_full"))
+    )
+    return (
+        j.orderBy(F.col("lift_full").desc(), F.col("bigram").asc())
+        .limit(_COLL_TOPK)
+        .select(
+            "bigram",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            V.quantize(F.col("lift_full"), 6).alias("lift"),
+        )
+    )

@@ -529,3 +529,14 @@ def test_dsir_weights_rank_eval_like_docs_higher(spark):
     # scores vary — the weighting discriminates
     vals = {r["logratio"] for r in rows}
     assert len(vals) > 10
+
+
+def test_collocations_lift_sane(spark):
+    rows = q(spark, "corpus_collocations").collect()
+    assert 0 < len(rows) <= 20
+    from spark_streaming_twitch_analytics_spark.registry_corpus import _COLL_MIN_COUNT
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["c_ab"] >= _COLL_MIN_COUNT
+        assert r["lift"] > 0
