@@ -351,3 +351,63 @@ def test_threshold_decode_positional_with_duplicate_scores(spark, score_rows):
         ).fetchall()
     }
     assert got == want_duck
+
+
+sketch_tokens = st.text(min_size=0, max_size=24).filter(lambda s: "'" not in s)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(sketch_tokens, min_size=1, max_size=24, unique=True))
+def test_sketch_hash_primitives_match_duckdb(spark, texts):
+    """The portable hash primitives behind the Bloom / CMS / HLL sketches
+    must produce IDENTICAL integers on both engines for arbitrary
+    unicode tokens — this is the whole basis of the sketches'
+    exact-parity oracles."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _BLOOM_K,
+        _HLL_M,
+        _HLL_VBITS,
+        _bloom_pos,
+        _bloom_pos_sql,
+        _cms_pos_sql,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "token string")
+    h = F.md5("token")
+    cols = [F.col("token")]
+    for j in range(_BLOOM_K):
+        cols.append(_bloom_pos(h, j).alias(f"bp{j}"))  # CMS uses same slices
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _HLL_M
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % (1 << _HLL_VBITS)
+    rho = F.when(v == 0, F.lit(_HLL_VBITS + 1)).otherwise(
+        _HLL_VBITS + 1 - F.length(F.bin(v))
+    )
+    cols += [bucket.alias("hb"), rho.alias("rho")]
+    got = {r["token"]: tuple(r)[1:] for r in df.select(*cols).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (token VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    sel = ["token"]
+    for j in range(_BLOOM_K):
+        sel.append(_bloom_pos_sql("md5(token)", str(j)))
+    sel.append(f"CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % {_HLL_M}")
+    sel.append(
+        f"CASE WHEN CAST('0x' || substring(md5(token), 9, 8) AS BIGINT)"
+        f" % {1 << _HLL_VBITS} = 0 THEN {_HLL_VBITS + 1}"
+        f" ELSE {_HLL_VBITS + 1} - length(bin(CAST('0x' || substring(md5(token), 9, 8)"
+        f" AS BIGINT) % {1 << _HLL_VBITS})) END"
+    )
+    want = {r[0]: tuple(r)[1:] for r in con.execute(
+        "SELECT " + ", ".join(sel) + " FROM t"
+    ).fetchall()}
+    assert got == want
+    # separately: the CMS position snippet is the same slice family
+    cms = {r[0]: r[1] for r in con.execute(
+        f"SELECT token, {_cms_pos_sql('token', '0')} FROM t"
+    ).fetchall()}
+    for t in texts:
+        assert cms[t] % 1024 == cms[t]  # in range [0, w)
