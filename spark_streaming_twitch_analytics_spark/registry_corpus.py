@@ -1664,11 +1664,11 @@ def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The point is compositionality: every stage is a row predicate or a
     keyed operation on the SAME frame, so Catalyst fuses the quality
-    gate into the scan, the dedup window is the first exchange (keyed
-    on md5(text) — uniform), the decon flag set arrives broadcast
-    (eval-bounded), and the split assignment is again map-side. One
-    pass over the corpus, two shuffles total (dedup + final report) —
-    the shape a 100 TB prep run needs."""
+    gate into the scan, the dedup window is the only FULL-corpus
+    exchange (keyed on md5(text) — uniform), the decon branch shuffles
+    only eval-matching rows (its eval set arrives broadcast), the split
+    assignment is map-side again, and the report aggregate is
+    |splits|×|sources| rows — the shape a 100 TB prep run needs."""
     d = _docs(spark, sf_dir)
     m = d.select("doc_id", "source", "text", *_gopher_metric_cols())
     quality = m.filter(_gopher_keep_col()).select("doc_id", "source", "text")
@@ -1888,10 +1888,11 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood ratio; ``selected`` marks docs that look more
     target- than source-like.
 
-    Scale shape: the two distributions are ``B``-row aggregates with
-    map-side partials (bounded by B·tasks on the wire), broadcast back
-    onto the token stream — the corpus itself is scored map-side and
-    reduced once per doc. Add-1 smoothing keeps empty buckets finite on
+    Scale shape: BOTH distributions come from one corpus pass (a
+    pivoted conditional count — B-row aggregate with map-side partials,
+    bounded by B·tasks on the wire), broadcast back onto the token
+    stream — the corpus is then scored map-side and reduced once per
+    doc: two scans, two shuffles total. Add-1 smoothing keeps empty buckets finite on
     both engines; log10 values are floor-quantized at 6 dp (vectors.quantize, the
     project's engine-exact policy), and ``selected`` derives from the
     quantized score so flag and score cannot disagree at a boundary."""
@@ -1901,10 +1902,15 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tb = tok.select("doc_id", hash_bucket("token", _DSIR_B).alias("b"))
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
-    tgt = tb.filter(is_eval).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    src = tb.filter(~is_eval).groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
-    tots = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
-        src.agg(F.sum("cs").alias("ts"))
+    # BOTH distributions in one corpus pass: a pivoted conditional count
+    # instead of two filtered aggregates (which would scan the corpus
+    # twice — the plan audit caught 3 scans in the two-branch form).
+    counts = tb.groupBy("b").agg(
+        F.count(F.when(is_eval, 1)).alias("ct"),
+        F.count(F.when(~is_eval, 1)).alias("cs"),
+    )
+    tots = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
     )
     lr = F.log10(
         (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tt") + _DSIR_B)
@@ -1913,8 +1919,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         tb.filter(~is_eval)
-        .join(F.broadcast(tgt), "b", "left")
-        .join(F.broadcast(src), "b", "left")
+        .join(F.broadcast(counts), "b", "left")
         .crossJoin(F.broadcast(tots))
         .select("doc_id", lr.alias("lr"))
     )
