@@ -360,6 +360,11 @@ def ppjoin_pairs(
     shd = eager_persist(hashed_shingle_sets(docs, text_col, shingle_n))
     sh = shd.select("doc_id", F.explode("shs").alias("sh"))
     dfq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # deliberately NOT broadcast(dfq): measured equal-or-slower at sf0.1
+    # (the broadcast build is a barrier; the shuffle join overlaps with
+    # the df aggregate), and at web scale a 10⁷-row df table times 1000
+    # executors is real network — AQE picks broadcast when it's actually
+    # small
     e = sh.join(dfq, "sh")
     per_doc = Window.partitionBy("doc_id")
     rn = F.row_number().over(per_doc.orderBy("df", "sh"))
