@@ -1909,8 +1909,13 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(is_eval, 1)).alias("ct"),
         F.count(F.when(~is_eval, 1)).alias("cs"),
     )
+    # sum only positive counts so an ABSENT side yields NULL (matching
+    # the oracle, whose per-side CTE is empty then: SQL sum over an
+    # empty relation is NULL, not 0) — with the side present the zeros
+    # never change the total
     tots = counts.agg(
-        F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
+        F.sum(F.when(F.col("ct") > 0, F.col("ct"))).alias("tt"),
+        F.sum(F.when(F.col("cs") > 0, F.col("cs"))).alias("ts"),
     )
     lr = F.log10(
         (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tt") + _DSIR_B)
@@ -1950,22 +1955,24 @@ _COLL_TOPK = 20
 uni AS (
   SELECT u AS w, count(*) AS c FROM (SELECT unnest(t) AS u FROM toks)
   GROUP BY u),
-bi AS (
+bi_all AS (
   SELECT b, count(*) AS c_ab
   FROM (SELECT unnest({X.word_shingles_sql('t', 2)}) AS b FROM toks)
-  GROUP BY b HAVING count(*) >= {_COLL_MIN_COUNT}),
-tot AS (SELECT (SELECT sum(c) FROM uni) AS t1, (SELECT sum(c_ab) FROM bi) AS t2),
+  GROUP BY b),
+bi AS (SELECT * FROM bi_all WHERE c_ab >= {_COLL_MIN_COUNT}),
+tot AS (SELECT (SELECT sum(c) FROM uni) AS t1,
+               (SELECT sum(c_ab) FROM bi_all) AS t2),
 j AS (
   SELECT b AS bigram, c_ab,
     ((CAST(c_ab AS DOUBLE) / t2) /
-     ((CAST(ua.c AS DOUBLE) / t1) * (CAST(ub.c AS DOUBLE) / t1))) AS lift
+     ((CAST(ua.c AS DOUBLE) / t1) * (CAST(ub.c AS DOUBLE) / t1))) AS lift_full
   FROM bi
   JOIN uni ua ON ua.w = string_split(b, ' ')[1]
   JOIN uni ub ON ub.w = string_split(b, ' ')[2]
   CROSS JOIN tot)
 SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
-       (floor(lift * 1000000.0) / 1000000.0) AS lift
-FROM j ORDER BY lift DESC, bigram ASC LIMIT {_COLL_TOPK}""",
+       (floor(lift_full * 1000000.0) / 1000000.0) AS lift
+FROM j ORDER BY lift_full DESC, bigram ASC LIMIT {_COLL_TOPK}""",
     survey="ext: collocation mining — top bigrams by PMI-equivalent lift "
     "p(ab)/(p(a)p(b)); the ranking key is a pure IEEE divide/multiply "
     "chain (no libm log), so the top-K SET and every displayed value are "
@@ -1985,21 +1992,30 @@ def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram table; bigram counts are one shuffle with map-side partials
     and a min-count cut (c_ab ≥ {_COLL_MIN_COUNT}) that drops the long
     tail before any join; the final top-K is TakeOrderedAndProject."""
+    from .cache import eager_persist
+
     d = _docs(spark, sf_dir)
-    toks = d.select(X.tokenize(F.col("text")).alias("t"))
-    uni = (
+    # persist the tokenized frame: uni and bi_all both consume it, and
+    # without the persist the tokenize pipeline re-scans the corpus per
+    # branch (the plan audit caught the same pattern in DSIR). uni is
+    # persisted too — it feeds both join sides and t1.
+    toks = eager_persist(d.select(X.tokenize(F.col("text")).alias("t")))
+    uni = eager_persist(
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    bi = (
+    bi_all = eager_persist(
         toks.select(F.explode(X.word_shingles(F.col("t"), 2)).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= _COLL_MIN_COUNT)
     )
+    bi = bi_all.filter(F.col("c_ab") >= _COLL_MIN_COUNT)
+    # t2 normalizes by ALL bigram mass, not just min-count survivors —
+    # otherwise every lift is inflated by total/kept and the value is no
+    # longer p(ab)/(p(a)p(b))
     tot = uni.agg(F.sum("c").alias("t1")).crossJoin(
-        bi.agg(F.sum("c_ab").alias("t2"))
+        bi_all.agg(F.sum("c_ab").alias("t2"))
     )
     parts = F.split(F.col("b"), " ")
     ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
