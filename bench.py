@@ -71,6 +71,7 @@ HEADLINE = [
     "corpus_hll_distinct",
     "corpus_dsir_weights",
     "corpus_collocations",
+    "dedup_winnow_pairs",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

@@ -2041,3 +2041,121 @@ def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             V.quantize(F.col("lift_full"), 6).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style; guaranteed substring-match detection)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # k-gram (word shingle) size
+_WIN_W = 4  # winnow window: any shared run of >= w+k-1 tokens shares a print
+
+_WIN_HS_SQL = (
+    f"list_transform({X.word_shingles_sql(X.tokenize_sql('text'), _WIN_K)}, "
+    "s -> CAST('0x' || md5(s)[1:12] AS BIGINT))"
+)
+
+
+def _winnow_mins() -> Column:
+    """Per-window minima over the 48-bit k-gram hash array ``hs``.
+    Guarded: ``F.sequence(1, 0)`` would generate a DESCENDING [1, 0] for
+    docs shorter than the window (Spark's sequence auto-steps -1), so
+    short docs get an explicit empty array — matching the oracle's
+    ``range(0, greatest(..., 0))``."""
+    n_win = F.greatest(F.size("hs") - F.lit(_WIN_W - 1), F.lit(0))
+    return F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WIN_W)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+
+
+def _winnow_hashes() -> Column:
+    return F.transform(
+        X.word_shingles(X.tokenize(F.col("text")), _WIN_K),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+    )
+
+
+@register(
+    "corpus_winnow_fingerprints",
+    f"""WITH h AS (SELECT doc_id, {_WIN_HS_SQL} AS hs FROM documents),
+w AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      list_transform(range(0, greatest(len(hs) - {_WIN_W} + 1, 0)),
+                     i -> list_min(hs[i + 1 : i + {_WIN_W}])))) AS fps
+  FROM h)
+SELECT doc_id, unnest(fps) AS fp FROM w""",
+    survey="ext: winnowing fingerprints (MOSS) — per-window minimum of "
+    "48-bit k-gram hashes; guarantees any shared run of >= w+k-1 tokens "
+    "shares a fingerprint. Pure array ops: zero shuffle, O(len*w)/doc",
+)
+def corpus_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken): slide a window of ``w``
+    consecutive k-gram hashes and keep each window's minimum — the
+    selected set is position-independent, so two docs sharing ANY token
+    run of length ≥ w+k−1 are GUARANTEED to share a fingerprint (the
+    theoretical floor MinHash lacks). The distinct-set output makes the
+    tie-break rule irrelevant (classic winnowing's rightmost-min rule
+    only changes which POSITION is recorded, not the hash set).
+
+    Scale shape: a pure narrow map — hashes, windows, minima, and the
+    distinct are all array ops inside the scan stage; only (doc_id, fp)
+    rows leave the task, ~one per w tokens (the winnowing density
+    guarantee 2/(w+1) bounds output size by construction)."""
+    d = _docs(spark, sf_dir)
+    fps = F.array_sort(F.array_distinct(_winnow_mins()))
+    return (
+        d.select("doc_id", _winnow_hashes().alias("hs"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+
+
+@register(
+    "dedup_winnow_pairs",
+    f"""WITH h AS (SELECT doc_id, {_WIN_HS_SQL} AS hs FROM documents),
+w AS (
+  SELECT doc_id,
+    list_distinct(
+      list_transform(range(0, greatest(len(hs) - {_WIN_W} + 1, 0)),
+                     i -> list_min(hs[i + 1 : i + {_WIN_W}]))) AS fps
+  FROM h),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+p AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+  FROM e l JOIN e r ON l.fp = r.fp AND l.doc_id < r.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, CAST(n_shared AS INT) AS n_shared
+FROM p WHERE n_shared >= 2""",
+    survey="ext: winnowing-blocked near-dup pairs — docs sharing >= 2 "
+    "fingerprints (provable coverage of long shared runs; the MOSS "
+    "plagiarism/clone-detection shape)",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints, with
+    the shared-print count as evidence strength (≥ 2 filters chance
+    collisions of a single popular k-gram). Guarantee inherited from
+    winnowing: any pair sharing a token run of ≥ w+k−1 words appears.
+
+    Scale shape: one equi-join on the fingerprint — bucket sizes are
+    bounded by fingerprint popularity, and because winnowing selects
+    LOCAL minima (not global hot shingles), boilerplate does not
+    concentrate into mega-buckets the way raw-shingle inverted indexes
+    do; the per-pair count is a partial-aggregated groupBy."""
+    d = _docs(spark, sf_dir)
+    e = (
+        d.select("doc_id", _winnow_hashes().alias("hs"))
+        .select("doc_id", F.explode(F.array_distinct(_winnow_mins())).alias("fp"))
+    )
+    a = e.select(F.col("doc_id").alias("a"), "fp")
+    b = e.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

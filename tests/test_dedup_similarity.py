@@ -351,3 +351,36 @@ def test_ppjoin_is_superset_of_minhash_at_threshold(spark):
     assert not missed, f"exact join missed LSH-found pairs: {sorted(missed)[:5]}"
     for k, v in lsh.items():
         assert exact[k] == v
+
+
+def test_winnowing_guarantees_shared_run_detection(spark):
+    """The winnowing guarantee: two docs sharing a token run of
+    >= w+k-1 words MUST share a fingerprint. Planted: a 10-word run
+    embedded in otherwise-different docs (w=4, k=3 -> floor 6)."""
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "completely unrelated prefix words here " + run),
+        (1, run + " and then a totally different ending follows now"),
+        (2, "nothing in common with the planted run at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _winnow_hashes,
+        _winnow_mins,
+    )
+
+    e = docs.select("doc_id", _winnow_hashes().alias("hs")).select(
+        "doc_id", F.explode(F.array_distinct(_winnow_mins())).alias("fp")
+    )
+    fps = {}
+    for r in e.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "docs sharing a 10-word run must share a print"
+    # short/empty docs produce no fingerprints and no errors
+    tiny = spark.createDataFrame([(9, "one two")], "doc_id long, text string")
+    assert (
+        tiny.select("doc_id", _winnow_hashes().alias("hs"))
+        .select(F.explode(_winnow_mins()))
+        .count()
+        == 0
+    )
