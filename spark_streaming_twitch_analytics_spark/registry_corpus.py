@@ -2106,10 +2106,14 @@ def corpus_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct are all array ops inside the scan stage; only (doc_id, fp)
     rows leave the task, ~one per w tokens (the winnowing density
     guarantee 2/(w+1) bounds output size by construction)."""
+    from .operators.skew import fan_out
+
     d = _docs(spark, sf_dir)
     fps = F.array_sort(F.array_distinct(_winnow_mins()))
+    # fan_out: the md5+window stage is CPU-bound; widen an under-split
+    # local scan (no-op at real scale) — measured 2x on the pair query
     return (
-        d.select("doc_id", _winnow_hashes().alias("hs"))
+        fan_out(d).select("doc_id", _winnow_hashes().alias("hs"))
         .select("doc_id", F.explode(fps).alias("fp"))
     )
 
@@ -2145,9 +2149,11 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOCAL minima (not global hot shingles), boilerplate does not
     concentrate into mega-buckets the way raw-shingle inverted indexes
     do; the per-pair count is a partial-aggregated groupBy."""
+    from .operators.skew import fan_out
+
     d = _docs(spark, sf_dir)
     e = (
-        d.select("doc_id", _winnow_hashes().alias("hs"))
+        fan_out(d).select("doc_id", _winnow_hashes().alias("hs"))
         .select("doc_id", F.explode(F.array_distinct(_winnow_mins())).alias("fp"))
     )
     a = e.select(F.col("doc_id").alias("a"), "fp")
