@@ -72,6 +72,7 @@ HEADLINE = [
     "corpus_dsir_weights",
     "corpus_collocations",
     "dedup_winnow_pairs",
+    "corpus_classifier_filter",
     "corpus_unigram_logprob",
     "embedding_centroids",
     "corpus_tfidf_terms",

@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from .constants import DEFAULT_LANG
 from .functions import text as X
 from .functions import vectors as V
+from .functions import scoring as _SCORING
 from .operators import dedup, topk
 from .registry import register
 from .sources.io import hash_bucket, hash_bucket_sql  # noqa: F401
@@ -2164,4 +2165,61 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier-based corpus filtering (the U4 surface applied to documents)
+# ---------------------------------------------------------------------------
+
+_CLF_TARGETS = ("cat_07", "cat_23")  # the topic gate: keep docs scoring high here
+_CLF_TARGETS_SQL = "[" + ", ".join(f"'{c}'" for c in _CLF_TARGETS) + "]"
+
+
+@register(
+    "corpus_classifier_filter",
+    f"""WITH s AS (
+  SELECT doc_id, md5(text) || md5('s' || text) AS h FROM documents),
+sc AS (SELECT doc_id, {_SCORING.hash_scores_sql('h')} AS scores FROM s),
+d AS (SELECT doc_id,
+        {_SCORING.decode_categories_sql('scores')} AS labels
+      FROM sc)
+SELECT doc_id,
+       coalesce(array_to_string(labels, ','), '') AS labels,
+       CAST(len(labels) AS INT) AS n_labels
+FROM d WHERE len(list_intersect(labels, {_CLF_TARGETS_SQL})) > 0""",
+    survey="ext: classifier-gated corpus filter — the reference's scoring "
+    "surface (U4: score array -> positional threshold -> label decode) "
+    "applied as a target-topic document gate; scoring is a narrow map "
+    "(one digest pair per doc), the filter is a pushable predicate",
+)
+def corpus_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-gated filtering, the way production corpora apply quality/
+    topic classifiers (fastText-style): score every doc across the
+    50-class head, keep docs whose decoded labels hit the TARGET topic
+    set (the gate that actually discriminates — an any-class gate is
+    vacuous at threshold 0.5), carrying the full label list for mixing
+    decisions downstream.
+    The deterministic hash scorer stands in for the model (same stub the
+    U4 surface uses — a real classifier slots in behind the same
+    Arrow-batched ``score_udf`` without changing this plan's shape).
+
+    Scale shape: scoring is per-row JVM work inside the scan stage (two
+    md5 calls per doc, bound once via a transform lambda); threshold +
+    decode are array ops; the emptiness filter is a pushable predicate,
+    so the 100 TB corpus reduces map-side with zero shuffles."""
+    d = _docs(spark, sf_dir)
+    from .functions import scoring as _sc
+
+    labels = _sc.decode_categories(_sc.hash_scores(F.col("text")))
+    targets = F.array(*[F.lit(c) for c in _CLF_TARGETS])
+    return (
+        d.select(
+            "doc_id",
+            F.concat_ws(",", labels).alias("labels"),
+            F.size(labels).cast("int").alias("n_labels"),
+            F.size(F.array_intersect(labels, targets)).alias("_hit"),
+        )
+        .filter(F.col("_hit") > 0)
+        .drop("_hit")
     )

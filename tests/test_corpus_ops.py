@@ -540,3 +540,16 @@ def test_collocations_lift_sane(spark):
     for r in rows:
         assert r["c_ab"] >= _COLL_MIN_COUNT
         assert r["lift"] > 0
+
+
+def test_classifier_filter_gates_on_target_topics(spark):
+    rows = q(spark, "corpus_classifier_filter").collect()
+    assert rows
+    from spark_streaming_twitch_analytics_spark.registry_corpus import _CLF_TARGETS
+    d = load_table(spark, SF, "documents")
+    total = d.count()
+    assert 0 < len(rows) < total  # the gate actually discriminates
+    for r in rows:
+        labels = set(r["labels"].split(","))
+        assert labels & set(_CLF_TARGETS)
+        assert r["n_labels"] == len(labels)

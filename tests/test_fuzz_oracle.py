@@ -55,7 +55,7 @@ FUZZ_QUERIES = [
     "text_gopher_rules", "corpus_url_dedup", "dedup_ppjoin_pairs",
     "corpus_cms_counts", "corpus_e2e_prep", "corpus_fixed_sample",
     "corpus_hll_distinct", "corpus_dsir_weights", "corpus_collocations",
-    "corpus_winnow_fingerprints", "dedup_winnow_pairs",
+    "corpus_winnow_fingerprints", "dedup_winnow_pairs", "corpus_classifier_filter",
     "ann_brute_topk", "ann_brute_topk_np", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_centroids", "dedup_embedding_cosine",
     "streaming_wordcount", "streaming_category_count",
