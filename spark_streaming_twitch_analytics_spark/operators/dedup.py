@@ -320,10 +320,9 @@ def hashed_shingle_sets(
     probability at any realistic per-doc shingle count, and set
     cardinalities are preserved, so Jaccard over the hashed sets is
     exact (DuckDB oracles verify against raw string sets)."""
-    shash = F.transform(
-        F.col("sh"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
-    )
+    from ..sources.io import hash48
+
+    shash = F.transform(F.col("sh"), lambda s: hash48(s))
     return shingle_sets(docs, text_col, shingle_n).select(
         "doc_id", shash.alias("shs")
     )

@@ -32,13 +32,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .constants import DEFAULT_LANG
+from .constants import DEFAULT_LANG, sql_str_array
 from .functions import text as X
 from .functions import vectors as V
 from .functions import scoring as _SCORING
 from .operators import dedup, topk
-from .registry import register
-from .sources.io import hash_bucket, hash_bucket_sql  # noqa: F401
+from .registry import _SCORED_CTE, register
+from .sources.io import hash48, hash48_sql, hash_bucket, hash_bucket_sql  # noqa: F401
 from .tables import load_table
 
 _EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+"
@@ -289,7 +289,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = X.tokenize(F.col("text"))
     shash = F.transform(
         F.array_distinct(X.word_shingles(toks, _DECON_SHINGLE_N)),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+        lambda s: hash48(s),
     )
     # widen the sub-128MB single-split scan so the md5 digest stage uses
     # every core (no-op at real scale)
@@ -2053,7 +2053,7 @@ _WIN_W = 4  # winnow window: any shared run of >= w+k-1 tokens shares a print
 
 _WIN_HS_SQL = (
     f"list_transform({X.word_shingles_sql(X.tokenize_sql('text'), _WIN_K)}, "
-    "s -> CAST('0x' || md5(s)[1:12] AS BIGINT))"
+    f"s -> {hash48_sql('s')})"
 )
 
 
@@ -2076,7 +2076,7 @@ def _winnow_mins() -> Column:
 def _winnow_hashes() -> Column:
     return F.transform(
         X.word_shingles(X.tokenize(F.col("text")), _WIN_K),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+        lambda s: hash48(s),
     )
 
 
@@ -2136,14 +2136,20 @@ p AS (
 SELECT a, b, CAST(n_shared AS INT) AS n_shared
 FROM p WHERE n_shared >= 2""",
     survey="ext: winnowing-blocked near-dup pairs — docs sharing >= 2 "
-    "fingerprints (provable coverage of long shared runs; the MOSS "
-    "plagiarism/clone-detection shape)",
+    "fingerprints (MOSS plagiarism/clone-detection shape; the evidence "
+    "cut deliberately trades the single-print guarantee for noise "
+    "suppression — measured 40x pair blowup at >= 1 on this corpus)",
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints, with
-    the shared-print count as evidence strength (≥ 2 filters chance
-    collisions of a single popular k-gram). Guarantee inherited from
-    winnowing: any pair sharing a token run of ≥ w+k−1 words appears.
+    the shared-print count as evidence strength. NOTE the deliberate
+    trade: winnowing guarantees only ONE shared fingerprint per shared
+    run (even a long run can collapse to a single dominating minimum),
+    so the ≥ 2 evidence cut EXCLUDES single-print pairs — measured
+    necessary here (≥ 1 admits 40× the pairs on this corpus, almost all
+    single hot k-grams). The extraction op
+    (``corpus_winnow_fingerprints``) carries the uncut guarantee; use
+    PPJoin/MinHash when a threshold-exact decision is required.
 
     Scale shape: one equi-join on the fingerprint — bucket sizes are
     bounded by fingerprint popularity, and because winnowing selects
@@ -2173,13 +2179,12 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CLF_TARGETS = ("cat_07", "cat_23")  # the topic gate: keep docs scoring high here
-_CLF_TARGETS_SQL = "[" + ", ".join(f"'{c}'" for c in _CLF_TARGETS) + "]"
+_CLF_TARGETS_SQL = sql_str_array(_CLF_TARGETS)
 
 
 @register(
     "corpus_classifier_filter",
-    f"""WITH s AS (
-  SELECT doc_id, md5(text) || md5('s' || text) AS h FROM documents),
+    f"""WITH s AS ({_SCORED_CTE}),
 sc AS (SELECT doc_id, {_SCORING.hash_scores_sql('h')} AS scores FROM s),
 d AS (SELECT doc_id,
         {_SCORING.decode_categories_sql('scores')} AS labels
@@ -2209,17 +2214,25 @@ def corpus_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode are array ops; the emptiness filter is a pushable predicate,
     so the 100 TB corpus reduces map-side with zero shuffles."""
     d = _docs(spark, sf_dir)
-    from .functions import scoring as _sc
-
-    labels = _sc.decode_categories(_sc.hash_scores(F.col("text")))
+    labels = _SCORING.decode_categories(_SCORING.hash_scores(F.col("text")))
     targets = F.array(*[F.lit(c) for c in _CLF_TARGETS])
+    # bind the decoded label array ONCE via a single-element transform
+    # (scoring.py's documented trick — Catalyst does not CSE across the
+    # three consumers, so inlining `labels` per column would score every
+    # row 3-4x; verified 7 md5/row in the naive plan vs 2 optimal)
+    row = F.element_at(
+        F.transform(
+            F.array(labels),
+            lambda l: F.struct(
+                F.concat_ws(",", l).alias("labels"),
+                F.size(l).cast("int").alias("n_labels"),
+                F.size(F.array_intersect(l, targets)).alias("hit"),
+            ),
+        ),
+        1,
+    )
     return (
-        d.select(
-            "doc_id",
-            F.concat_ws(",", labels).alias("labels"),
-            F.size(labels).cast("int").alias("n_labels"),
-            F.size(F.array_intersect(labels, targets)).alias("_hit"),
-        )
-        .filter(F.col("_hit") > 0)
-        .drop("_hit")
+        d.select("doc_id", row.alias("r"))
+        .filter(F.col("r.hit") > 0)
+        .select("doc_id", "r.labels", "r.n_labels")
     )

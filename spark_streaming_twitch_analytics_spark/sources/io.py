@@ -170,6 +170,26 @@ def hash_bucket(col, mod: int, salt: str = ""):
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % mod
 
 
+def hash48(col):
+    """48-bit md5-prefix hash as a BIGINT — the portable long-hash
+    primitive behind shingle/fingerprint keys (join keys and verify
+    arrays carry 8-byte longs instead of strings; 48 bits ≈ zero
+    collision probability at per-doc set sizes, and cardinalities are
+    preserved so Jaccard over hashed sets stays exact). ONE definition:
+    dedup shingles, decontamination, and winnowing all derive from this
+    expression, so a recipe change cannot decorrelate them. SQL twin:
+    :func:`hash48_sql`."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+def hash48_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hash48` (same digest, same integer)."""
+    return f"CAST('0x' || md5({expr})[1:12] AS BIGINT)"
+
+
 def hash_bucket_sql(expr: str, mod: int, salt: str = "") -> str:
     """DuckDB twin of :func:`hash_bucket` (same digest, same bucket)."""
     inner = f"CAST({expr} AS VARCHAR)" + (f" || '{salt}'" if salt else "")
