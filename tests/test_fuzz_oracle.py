@@ -86,7 +86,7 @@ def _random_text(rng: random.Random) -> str:
 
 @pytest.fixture(scope="module")
 def fuzz_dir(spark, tmp_path_factory):
-    rng = random.Random(1311)
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "1311")))
     root = str(tmp_path_factory.mktemp("fuzz_sf"))
     # relational star-schema side rides along un-fuzzed (queries under
     # test only read docs/events/embeddings, but shared CTE helpers may
