@@ -48,6 +48,9 @@ QUERIES = [
     "corpus_e2e_prep",
     "corpus_fixed_sample",
     "session_window_agg",
+    "corpus_collocations",
+    "dedup_winnow_pairs",
+    "corpus_classifier_filter",
     "embedding_centroids",
     "kmeans_refine_centroids",
     "grouping_sets_orders",
