@@ -72,9 +72,60 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-partition partial top-k BEFORE the global window's exchange.
+
+    The global ``Window.partitionBy(q_id)`` top-k in :func:`_topk` shuffles
+    every scored pair; on a brute-force pair matrix that exchange is
+    O(|C|·|Q|) rows and is the scale killer at 100×. The global top-k by a
+    TOTAL order (cos desc NULLS LAST, c_id asc) is contained in the union
+    of per-partition top-ks by the same order, so this stage cuts each
+    input partition down to at most k·|Q| rows inside the narrow map stage
+    — the exchange then carries ≤ k·|Q|·partitions rows, independent of
+    candidate count. Hash-identical by construction: the final window
+    recomputes exact ranks over the (superset-free, since the order is
+    total) surviving rows.
+
+    NULL cos (zero-norm pairs) sorts last, matching ``F.desc``'s
+    NULLS LAST in the final window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def cut_one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = pdf["cos"].to_numpy(dtype=np.float64)
+        return (
+            pdf.assign(_s=np.where(np.isnan(s), -np.inf, s))
+            .sort_values(["q_id", "_s", "c_id"], ascending=[True, False, True], kind="mergesort")
+            .groupby("q_id", sort=False)
+            .head(k)
+            .drop(columns="_s")
+        )
+
+    def cut(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = cut_one(acc)  # re-cut per batch: memory stays ≤ k·|Q| + batch
+        if acc is not None and len(acc):
+            s = acc["cos"].to_numpy(dtype=np.float64)
+            if np.isnan(s).any():
+                # NaN must round-trip as NULL (Spark ranks NaN ABOVE +Inf)
+                acc = acc.assign(cos=pd.Series(s).where(~np.isnan(s), None))
+            yield acc
+
+    return scored.mapInPandas(cut, "q_id long, c_id long, cos double")
+
+
 def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
-    """Exact top-k neighbours per query by cosine (desc, c_id tiebreak)."""
-    return _topk(_scored(_pairs(queries, candidates, None)), k)
+    """Exact top-k neighbours per query by cosine (desc, c_id tiebreak).
+
+    The per-pair scoring stage is narrow (candidates stream, queries
+    broadcast); :func:`_partial_topk` bounds the only exchange at
+    k·|Q|·partitions rows before the global rank window."""
+    return _topk(_partial_topk(_scored(_pairs(queries, candidates, None)), k), k)
 
 
 def lsh_topk(
