@@ -64,6 +64,59 @@ class HashScorer:
         return out
 
 
+class HTTPScorer:
+    """TF-Serving REST scorer (reference ``TFInterface.scala:18-42``).
+
+    The reference POSTs ``{"instances": [text]}`` to
+    ``/v1/models/<name>:predict`` once PER ROW inside a UDF (and notes
+    "Not working with multiple texts" at ``TFInterface.scala:89``). This
+    adapter sends the WHOLE Arrow batch as one request —
+    ``{"instances": [t0, t1, ...]}`` → ``{"predictions": [[...], ...]}``
+    — so a 10k-row batch costs one HTTP round-trip, not 10k.
+
+    ``transport`` is injected for tests: any callable
+    ``(url, payload_bytes) -> response_bytes``. The default uses stdlib
+    ``urllib`` (no extra dependency); tests pass a stub and never touch
+    the network. NULL texts are sent as "" and their score rows replaced
+    with NULL downstream by :func:`score_udf`'s NA handling only if the
+    model echoes them — callers needing HashScorer-identical NULL
+    semantics should keep NULL filtering upstream.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        transport=None,
+        timeout: float = 30.0,
+    ):
+        self.endpoint = endpoint
+        self.timeout = timeout
+        self._transport = transport or self._urllib_transport
+
+    def _urllib_transport(self, url: str, payload: bytes) -> bytes:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=payload, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read()
+
+    def score_batch(self, texts: pd.Series) -> np.ndarray:
+        import json
+
+        instances = ["" if pd.isna(t) else str(t) for t in texts]
+        payload = json.dumps({"instances": instances}).encode("utf-8")
+        raw = self._transport(self.endpoint, payload)
+        preds = json.loads(raw)["predictions"]
+        if len(preds) != len(instances):
+            raise ValueError(
+                f"model returned {len(preds)} predictions for "
+                f"{len(instances)} instances"
+            )
+        return np.asarray(preds, dtype=np.float64).reshape(len(instances), -1)
+
+
 def score_udf(scorer: Scorer):
     """Arrow-batched pandas UDF wrapping any Scorer — the slow-path escape
     hatch for a real model; one scorer call per Arrow batch."""

@@ -110,6 +110,10 @@ def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
             acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
             acc = cut_one(acc)  # re-cut per batch: memory stays ≤ k·|Q| + batch
         if acc is not None and len(acc):
+            # reset first: the sort scrambled the index, and a fresh
+            # RangeIndex series assigned below would ALIGN on it,
+            # permuting cos across rows
+            acc = acc.reset_index(drop=True)
             s = acc["cos"].to_numpy(dtype=np.float64)
             if np.isnan(s).any():
                 # NaN must round-trip as NULL (Spark ranks NaN ABOVE +Inf)

@@ -1253,29 +1253,26 @@ def _run_stream_over_docs(spark: SparkSession, sf_dir: str, build_counts, n_batc
     micro-batch files, run a streaming query over them to completion, and
     return the final state table.
 
-    The driver-side collect here is the *test-harness feeder* (a real
-    deployment points the same ``build_counts`` plan at a socket/Kafka/
-    DataSource stream); the streaming plan itself is fully distributed."""
+    The feeder write is distributed — ``repartition(n_batches).write.text``
+    lands one text part-file per micro-batch straight from the executors
+    (no data crosses the driver), and ``maxFilesPerTrigger=1`` replays
+    them one micro-batch each, like :func:`_run_stream_over_events`. A
+    real deployment points the same ``build_counts`` plan at a
+    socket/Kafka/DataSource stream; the streaming plan is identical."""
     import shutil
     import tempfile
     import uuid
 
-    from .sources.irc import file_line_source, write_batch_file
     from .streaming.wordcount import memory_sink_query
 
     d = _docs(spark, sf_dir)
-    lines = (
-        messages.synth_raw_lines(d)
-        .withColumn("batch", F.spark_partition_id() % n_batches)
-        .collect()
-    )
     src = tempfile.mkdtemp(prefix="irc_stream_")
-    for b in range(n_batches):
-        batch_lines = [r["value"] for r in lines if r["batch"] == b]
-        if batch_lines:
-            write_batch_file(src, batch_lines, b)
+    messages.synth_raw_lines(d).repartition(n_batches).write.mode("overwrite").text(src)
+    stream = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(src)
+    )
     name = f"stream_{uuid.uuid4().hex[:8]}"
-    q = memory_sink_query(build_counts(file_line_source(spark, src)), name, mode=mode)
+    q = memory_sink_query(build_counts(stream), name, mode=mode)
     try:
         q.processAllAvailable()
     finally:
@@ -1348,6 +1345,67 @@ def streaming_stateful_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update-mode sink logs every per-batch revision; the final state per
     # key is the max running count
     return updates.groupBy("word").agg(F.max("cnt").alias("cnt"))
+
+
+def _has_tws_runtime() -> bool:
+    """transformWithStateInPandas needs the protobuf runtime for its
+    state-server protocol (pyspark/sql/streaming/proto/StateMessage_pb2)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@register(
+    "streaming_tws_wordcount",
+    None,  # rows-only: which engine path ran is runtime-dependent (see below)
+    survey="ST4 Spark-4 successor path (transformWithStateInPandas, "
+    "SPARK-49564): runs the real TWS StatefulProcessor when the protobuf "
+    "runtime is present; otherwise the semantically-identical "
+    "applyInPandasWithState twin runs and the `path` column records the "
+    "fallback — so a capable runtime certifies TWS, and an incapable one "
+    "records WHY without a silent skip. Word counts are identical either "
+    "way (both are running counts over the same stream).",
+)
+def streaming_tws_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import countable_words
+    from .operators.messages import format_raw_messages
+    from .streaming.stateful import running_count_tws, running_count_with_expiry
+
+    use_tws = _has_tws_runtime()
+    op = running_count_tws if use_tws else running_count_with_expiry
+
+    def build(raw: DataFrame) -> DataFrame:
+        words = format_raw_messages(raw).select(
+            F.explode(countable_words(F.col("text"), DEFAULT_LANG)).alias("word")
+        )
+        return op(words, idle_timeout_ms=None)
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, "") if use_tws else ""
+    if use_tws:  # TWS supports only the RocksDB state backend
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        updates = _run_stream_over_docs(spark, sf_dir, build, mode="update")
+    finally:
+        if use_tws:
+            if prev:
+                spark.conf.set(conf_key, prev)
+            else:
+                spark.conf.unset(conf_key)
+    return (
+        updates.groupBy("word")
+        .agg(F.max("cnt").alias("cnt"))
+        .withColumn(
+            "path", F.lit("tws" if use_tws else "apiws-fallback:no-protobuf")
+        )
+    )
 
 
 def _run_stream_over_events(
@@ -1468,7 +1526,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact-replica replay: every row fed twice, scattered across files
     return _run_stream_over_events(
-        spark, sf_dir, build, pre=lambda ev: ev.unionAll(ev)
+        spark, sf_dir, build, pre=lambda ev: ev.union(ev)
     )
 
 

@@ -1214,7 +1214,18 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in pos_rows:
         p = r["pos"]
         words[p // _BLOOM_W] |= 1 << (p % _BLOOM_W)
-    blit = F.split(F.lit(",".join(map(str, words))), ",")
+    # the 32k filter words ride a broadcast-joined 1-row frame, NOT a plan
+    # literal: a ~200 KB literal inflates EVERY task binary (visible as
+    # 'Broadcasting large task binary' warnings), while a broadcast
+    # relation ships once per executor. Probe expressions are unchanged —
+    # they just read the `_bw` column the join attaches to every row.
+    from pyspark.sql import types as T
+
+    bw_df = spark.createDataFrame(
+        [(words,)],
+        T.StructType([T.StructField("_bw", T.ArrayType(T.LongType()), False)]),
+    )
+    blit = F.col("_bw")
 
     # pass 2: map-side membership — one md5 per shingle (the transform),
     # then k element_at+mask probes against its hex slices
@@ -1240,6 +1251,7 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-corpus-shuffle property holds where it matters.
     return (
         fan_out(d.filter(~is_eval))
+        .crossJoin(F.broadcast(bw_df))  # 1 row: attaches `_bw` everywhere
         .select("doc_id", n_hits.cast("int").alias("n_bloom_hits"))
         .filter(F.col("n_bloom_hits") > 0)
     )

@@ -10,9 +10,11 @@ from spark_streaming_twitch_analytics_spark.functions import text as X
 from spark_streaming_twitch_analytics_spark.registry_corpus import (
     _CHUNK_STRIDE,
     _CHUNK_WINDOW,
+    _DECON_EVAL_MOD,
     _MIX,
     _MIX_DEFAULT,
     _PACK_BUDGET,
+    _URL_PATHS,
 )
 from spark_streaming_twitch_analytics_spark.tables import load_table
 
@@ -172,10 +174,6 @@ def test_repetition_top_bigram_matches_explode_groupby(spark):
 
 
 def test_decontaminate_never_reports_eval_docs_and_hits_positive(spark):
-    from spark_streaming_twitch_analytics_spark.registry_corpus import (
-        _DECON_EVAL_MOD,
-    )
-
     rows = q(spark, "corpus_decontaminate").collect()
     assert rows
     for r in rows:
@@ -433,7 +431,7 @@ def test_url_dedup_collides_and_blocks(spark):
         assert r["url"].startswith("https://")
         assert r["n_dups"] >= 1
         # canonical is the smallest doc_id mapped to this URL
-        assert r["canonical_id"] % 70 == int(r["url"].rsplit("/", 1)[1])
+        assert r["canonical_id"] % _URL_PATHS == int(r["url"].rsplit("/", 1)[1])
     # the synthesized %70 path forces real collisions at sf>=0.01
     assert any(r["n_dups"] > 1 for r in rows)
 
@@ -472,7 +470,7 @@ def test_e2e_prep_is_consistent_with_its_stages(spark):
     }
     expect = {
         i for i in gopher_keep
-        if i in canon and i % 97 != 0 and i not in flagged
+        if i in canon and i % _DECON_EVAL_MOD != 0 and i not in flagged
     }
     assert total == len(expect)
     splits = {r["split"] for r in rows}
@@ -523,7 +521,7 @@ def test_dsir_weights_rank_eval_like_docs_higher(spark):
     assert rows
     # structural invariants on the real corpus
     for r in rows:
-        assert r["doc_id"] % 97 != 0  # eval docs never scored
+        assert r["doc_id"] % _DECON_EVAL_MOD != 0  # eval docs never scored
         assert r["selected"] in (0, 1)
         assert r["selected"] == int(r["logratio"] > 0)
     # scores vary — the weighting discriminates

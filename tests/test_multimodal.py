@@ -62,6 +62,93 @@ def test_frame_digest_deterministic(spark):
     assert rows[1]["frame_digest"] == hashlib.md5(b"clip#1").hexdigest()
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark's F.round is HALF_UP on the decimal rendering; Python's
+    round() is half-even — they differ exactly at the .5 boundary."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _closed_form_features(text: str):
+    """The payload generator's closed form: payload = utf8(text),
+    features = md5(payload)[:8] bytes / 255 (operators/multimodal.py
+    fake_decoder). Recomputed here independently so the two rows-only
+    registry queries get VALUE checks, not just row counts."""
+    import hashlib
+
+    h = hashlib.md5(text.encode("utf-8")).digest()
+    return [b / 255.0 for b in h[: multimodal.FEATURE_DIM]]
+
+
+def test_multimodal_decode_registry_query_self_oracle(spark):
+    """Value-level oracle for the `multimodal_decode` registry query
+    (rows-only under the driver): expected feat_sum per doc from the
+    generator's closed form must hash-match the Spark result exactly."""
+    import hashlib
+
+    from spark_streaming_twitch_analytics_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    docs_pd = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).toPandas()
+    expect = {}
+    for doc_id, text in zip(docs_pd["doc_id"], docs_pd["text"]):
+        feats = _closed_form_features(text)
+        s = 0.0
+        for x in feats:  # same fold order as F.aggregate's sequential sum
+            s += x
+        mod = ["image", "audio", "video"][doc_id % 3]
+        expect[int(doc_id)] = (mod, _round_half_up(s, 6))
+
+    got = registry.get("multimodal_decode").fn(spark, sf).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        mod, fsum = expect[r["doc_id"]]
+        assert r["modality"] == mod and r["feat_sum"] == fsum, r["doc_id"]
+
+    h_exp = hashlib.md5(str(sorted(expect.items())).encode()).hexdigest()
+    h_got = hashlib.md5(
+        str(sorted((r["doc_id"], (r["modality"], r["feat_sum"])) for r in got)).encode()
+    ).hexdigest()
+    assert h_exp == h_got
+
+
+def test_multimodal_resize_registry_query_self_oracle(spark):
+    """Same closed-form value check for `multimodal_resize`: expected =
+    np.interp resample of the md5 feature vector to 4 points, rounded 8dp
+    (the operator's exact arithmetic, recomputed independently)."""
+    import numpy as np
+
+    from spark_streaming_twitch_analytics_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    docs_pd = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).toPandas()
+    expect = {}
+    for doc_id, text in zip(docs_pd["doc_id"], docs_pd["text"]):
+        v = np.array(_closed_form_features(text))
+        src = np.linspace(0.0, 1.0, num=len(v))
+        dst = np.linspace(0.0, 1.0, num=4)
+        expect[int(doc_id)] = np.round(np.interp(dst, src, v), 8).tolist()
+
+    got = registry.get("multimodal_resize").fn(spark, sf).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        # the registry query projects resized_sum = round(fold-sum, 6);
+        # reproduce the identical sequential fold over the 8dp values
+        s = 0.0
+        for x in expect[r["doc_id"]]:
+            s += x
+        assert r["resized_sum"] == _round_half_up(s, 6), r["doc_id"]
+
+
 def test_resize_features_dim_and_determinism(spark, docs):
     df = multimodal.attach_payload(docs.limit(10))
     a = {r["doc_id"]: r["resized"] for r in multimodal.resize_features(df, 4).collect()}

@@ -405,9 +405,31 @@ def test_sketch_hash_primitives_match_duckdb(spark, texts):
         "SELECT " + ", ".join(sel) + " FROM t"
     ).fetchall()}
     assert got == want
-    # separately: the CMS position snippet is the same slice family
-    cms = {r[0]: r[1] for r in con.execute(
-        f"SELECT token, {_cms_pos_sql('token', '0')} FROM t"
+    # separately: CMS position parity — the Spark-side slice expression
+    # (corpus_cms_counts' pos(): conv(md5[1+8j:8], 16, 10) % _CMS_W) must
+    # land in the SAME counter as the DuckDB twin, per hash row j
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _CMS_D,
+        _CMS_W,
+    )
+
+    cms_cols = [F.col("token")] + [
+        (
+            F.conv(F.substring(F.md5("token"), 1 + 8 * j, 8), 16, 10).cast(
+                "bigint"
+            )
+            % _CMS_W
+        ).alias(f"p{j}")
+        for j in range(_CMS_D)
+    ]
+    cms_spark = {
+        r["token"]: tuple(r)[1:] for r in df.select(*cms_cols).collect()
+    }
+    cms_duck = {r[0]: tuple(r)[1:] for r in con.execute(
+        "SELECT token, "
+        + ", ".join(_cms_pos_sql("token", str(j)) for j in range(_CMS_D))
+        + " FROM t"
     ).fetchall()}
-    for t in texts:
-        assert cms[t] % 1024 == cms[t]  # in range [0, w)
+    assert cms_spark == cms_duck
+    for ps in cms_spark.values():
+        assert all(0 <= p < _CMS_W for p in ps)

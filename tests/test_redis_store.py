@@ -1,0 +1,173 @@
+"""Redis KV store backend: interface parity with the file-backed
+KVTableStore (the reference's actual sink — RedisInterface.scala:9-59).
+
+Layers:
+- store CONTRACT tests parameterized over both backends (the Redis one
+  runs against the file-backed fake client, so no server is needed);
+- executor-side writer unit tests against an in-memory fake;
+- a real-server round-trip, skipped when redis-py or the server is
+  absent (the container ships neither).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from spark_streaming_twitch_analytics_spark.sources.fake_redis import DirFakeRedis
+from spark_streaming_twitch_analytics_spark.sources.kv_store import KVTableStore
+from spark_streaming_twitch_analytics_spark.sources.redis_store import (
+    RedisKVTableStore,
+    _decode_cell,
+    _write_partition,
+)
+
+COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("word", T.StringType()),
+        T.StructField("count", T.LongType()),
+    ]
+)
+
+
+def make_store(kind: str, spark, tmp_path):
+    if kind == "file":
+        return KVTableStore(spark, str(tmp_path / "kv"))
+    root = str(tmp_path / "fredis")
+    return RedisKVTableStore(
+        spark,
+        client_factory=lambda root=root: DirFakeRedis(root),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+
+
+@pytest.fixture(params=["file", "redis"])
+def store(request, spark, tmp_path):
+    return make_store(request.param, spark, tmp_path)
+
+
+def test_contract_missing_table_returns_empty_of_schema(store):
+    out = store.get_table("nope", COUNT_SCHEMA)
+    assert out.count() == 0 and out.schema == COUNT_SCHEMA
+
+
+def test_contract_overwrite_snapshot_replaces_state(store, spark):
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], COUNT_SCHEMA)
+    df2 = spark.createDataFrame([("a", 5)], COUNT_SCHEMA)
+    store.write(df1, "t")
+    store.write(df2, "t")  # overwrite: b must be GONE
+    got = {r["word"]: r["count"] for r in store.get_table("t", COUNT_SCHEMA).collect()}
+    assert got == {"a": 5}
+
+
+def test_contract_append_keeps_existing_rows(store, spark):
+    store.write(spark.createDataFrame([("a", 1)], COUNT_SCHEMA), "t")
+    store.write(spark.createDataFrame([("b", 2)], COUNT_SCHEMA), "t", mode="append")
+    got = {r["word"]: r["count"] for r in store.get_table("t", COUNT_SCHEMA).collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_contract_ttl_expiry_falls_back_to_empty(store, spark):
+    store.write(spark.createDataFrame([("w", 1)], COUNT_SCHEMA), "t", ttl=1)
+    assert store.get_table("t", COUNT_SCHEMA).count() == 1
+    time.sleep(1.2)
+    assert store.get_table("t", COUNT_SCHEMA).count() == 0
+
+
+def test_contract_epoch_lineage_guard(store, spark):
+    df = spark.createDataFrame([("a", 1)], COUNT_SCHEMA)
+    assert store.last_applied_epoch("t") == -1
+    store.write(df, "t", epoch=3, lineage="q1")
+    assert store.last_applied_epoch("t", lineage="q1") == 3
+    # a fresh checkpoint (new lineage) must not be masked by an old epoch
+    assert store.last_applied_epoch("t", lineage="q2") == -1
+
+
+def test_contract_delete_removes_table(store, spark):
+    store.write(spark.createDataFrame([("a", 1)], COUNT_SCHEMA), "t")
+    store.delete("t")
+    assert store.get_table("t", COUNT_SCHEMA).count() == 0
+
+
+# -- redis-specific behavior ------------------------------------------------
+
+
+def test_key_column_upserts_by_key(spark, tmp_path):
+    store = make_store("redis", spark, tmp_path)
+    store.write(
+        spark.createDataFrame([("a", 1), ("b", 2)], COUNT_SCHEMA),
+        "t",
+        mode="append",
+        key_column="word",
+    )
+    store.write(
+        spark.createDataFrame([("a", 9)], COUNT_SCHEMA),
+        "t",
+        mode="append",
+        key_column="word",
+    )
+    got = {r["word"]: r["count"] for r in store.get_table("t", COUNT_SCHEMA).collect()}
+    assert got == {"a": 9, "b": 2}  # append + key.column = upsert, like spark-redis
+
+
+def test_write_partition_one_pipeline_and_row_shape():
+    class CountingFake(DirFakeRedis):
+        pass
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        client = CountingFake(d)
+        rows = [{"word": "x", "count": 1}, {"word": "y", "count": None}]
+        _write_partition(
+            rows, ["word", "count"], lambda: client, "p:", "t", "word", 0
+        )
+        assert client.hgetall("p:t:x") == {"word": "x", "count": "1"}
+        # NULL cells are simply absent fields (Redis hashes have no NULL)
+        assert client.hgetall("p:t:y") == {"word": "y"}
+
+
+def test_decode_cell_round_trips_types():
+    assert _decode_cell("3", T.LongType()) == 3
+    assert _decode_cell("1.5", T.DoubleType()) == 1.5
+    assert _decode_cell("true", T.BooleanType()) is True
+    assert _decode_cell("[1, 2]", T.ArrayType(T.LongType())) == [1, 2]
+    assert _decode_cell(None, T.LongType()) is None
+
+
+def test_store_backends_share_sink_helpers(spark, tmp_path):
+    """The streaming snapshot sink helper must accept either backend
+    (interface parity is the point of the Redis adapter)."""
+    from spark_streaming_twitch_analytics_spark.streaming import wordcount as SW
+
+    for kind in ("file", "redis"):
+        store = make_store(kind, spark, tmp_path / kind)
+        df = spark.createDataFrame([("hi", 2), ("yo", 1)], COUNT_SCHEMA)
+        store.write(df, "wordcount")
+        restored = store.get_table("wordcount", COUNT_SCHEMA)
+        assert {r["word"]: r["count"] for r in restored.collect()} == {
+            "hi": 2,
+            "yo": 1,
+        }
+        assert isinstance(store.checkpoint_dir("wordcount"), str)
+    assert SW is not None
+
+
+def test_real_redis_round_trip(spark, tmp_path):
+    redis = pytest.importorskip("redis")  # absent in this container → skip
+    client = redis.Redis(decode_responses=True)
+    try:
+        client.ping()
+    except Exception:
+        pytest.skip("no redis server on localhost:6379")
+    store = RedisKVTableStore(
+        spark, prefix="sgtest:", checkpoint_root=str(tmp_path / "ckpt")
+    )
+    try:
+        store.write(spark.createDataFrame([("a", 1)], COUNT_SCHEMA), "t")
+        got = store.get_table("t", COUNT_SCHEMA).collect()
+        assert [(r["word"], r["count"]) for r in got] == [("a", 1)]
+    finally:
+        store.delete("t")

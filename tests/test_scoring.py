@@ -48,6 +48,75 @@ def test_duplicate_scores_decode_positionally(spark):
     assert df.head()["cats"] == [ENCODER_CLASSES[0], ENCODER_CLASSES[1]]
 
 
+def test_http_scorer_one_request_per_batch(spark):
+    """HTTPScorer (TF-Serving shape, TFInterface.scala:18-42) must send
+    the WHOLE batch as one {"instances": [...]} request and parse
+    {"predictions": [[...]]} — fixing the reference's per-row POST."""
+    import json
+
+    def stub_transport(url, payload):
+        # the UDF runs in a worker process, so side effects on driver
+        # state are invisible; encode the evidence (request batch size)
+        # INTO every score row instead
+        assert url.endswith(":predict")
+        instances = json.loads(payload)["instances"]
+        preds = [
+            [float(len(instances))] + [(len(t) + i) % 16 / 15.0 for i in range(49)]
+            for t in instances
+        ]
+        return json.dumps({"predictions": preds}).encode()
+
+    scorer = scoring.HTTPScorer(
+        "http://model-server:8501/v1/models/m:predict", transport=stub_transport
+    )
+    df = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(200)], "id long, text string"
+    ).coalesce(1)
+    out = df.select(
+        "id", scoring.score_udf(scorer)(F.col("text")).alias("s")
+    ).collect()
+    assert len(out) == 200 and all(len(r["s"]) == 50 for r in out)
+    # one Arrow batch (coalesce(1), 200 rows < default 10k batch size) →
+    # ONE request carrying all 200 instances: every row saw batch size 200
+    assert all(r["s"][0] == 200.0 for r in out)
+    # values round-trip through the JSON predictions matrix
+    row0 = next(r for r in out if r["id"] == 0)
+    assert row0["s"][1] == (len("text number 0") + 0) % 16 / 15.0
+
+
+def test_http_scorer_rejects_row_count_mismatch():
+    import json
+
+    import pandas as pd
+    import pytest
+
+    def bad_transport(url, payload):
+        return json.dumps({"predictions": [[0.0] * 50]}).encode()
+
+    scorer = scoring.HTTPScorer("http://x/v1/models/m:predict", transport=bad_transport)
+    with pytest.raises(ValueError, match="1 predictions for 3 instances"):
+        scorer.score_batch(pd.Series(["a", "b", "c"]))
+
+
+def test_http_scorer_null_text_sent_as_empty_string():
+    import json
+
+    import pandas as pd
+
+    seen = {}
+
+    def stub(url, payload):
+        seen["instances"] = json.loads(payload)["instances"]
+        return json.dumps(
+            {"predictions": [[0.0] * 50 for _ in seen["instances"]]}
+        ).encode()
+
+    scorer = scoring.HTTPScorer("http://x/v1/models/m:predict", transport=stub)
+    out = scorer.score_batch(pd.Series(["a", None, "c"]))
+    assert seen["instances"] == ["a", "", "c"]
+    assert out.shape == (3, 50)
+
+
 def test_udf_and_native_scores_agree_on_null_text(spark):
     """NULL text must decode identically through both paths: the native
     twin yields an all-NULL score array (md5(NULL) is NULL) → no labels;
