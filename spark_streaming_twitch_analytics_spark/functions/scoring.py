@@ -139,6 +139,78 @@ def score_udf(scorer: Scorer):
 
 
 # ---------------------------------------------------------------------------
+# Model-backed sentiment through the same Scorer protocol
+# ---------------------------------------------------------------------------
+
+SENTIMENT_LABELS = ("neg", "neutral", "pos")
+
+
+def sentiment_label_udf(scorer: Scorer):
+    """Model-backed sentiment: any :class:`Scorer` whose ``score_batch``
+    returns ``(n, 3)`` rows over ``(neg, neutral, pos)`` → argmax label.
+
+    This is the reference's declared-but-never-wired pretrained
+    sentiment pipeline (``pipelines.scala:10-40``,
+    ``PretrainedPipeline("analyze_sentiment")``) re-expressed through the
+    batch Scorer protocol — an :class:`HTTPScorer` pointed at a served
+    sentiment model drops straight in, one request per Arrow batch. The
+    lexicon path (``functions/text.py`` sentiment_score) stays the
+    dependency-free, DuckDB-oracled default; this surface exists so a
+    REAL model is a constructor argument, not a code change.
+
+    Ties resolve to the LOWEST index (numpy argmax), deterministically.
+    NULL text yields a NULL label, matching the lexicon path's
+    null-propagation.
+    """
+
+    @F.pandas_udf(T.StringType())
+    def _label(texts: pd.Series) -> pd.Series:
+        scores = scorer.score_batch(texts)
+        if np.shape(scores)[1] != len(SENTIMENT_LABELS):
+            raise ValueError(
+                f"sentiment scorer must emit {len(SENTIMENT_LABELS)} scores, "
+                f"got {np.shape(scores)[1]}"
+            )
+        idx = np.argmax(scores, axis=1)
+        out = pd.Series([SENTIMENT_LABELS[i] for i in idx])
+        if texts.isna().any():
+            out = out.where(~texts.isna().to_numpy(), None)
+        return out
+
+    return _label
+
+
+class LexiconSentimentScorer:
+    """Scorer-protocol adapter over the same lexicon arithmetic as
+    ``functions/text.py`` sentiment_score — the deterministic stand-in a
+    test can run where a served model isn't available, shaped exactly
+    like the model scorer (3-way score row per text)."""
+
+    def __init__(self, positive: frozenset[str], negative: frozenset[str]):
+        self.positive = positive
+        self.negative = negative
+
+    def score_batch(self, texts: pd.Series) -> np.ndarray:
+        out = np.zeros((len(texts), len(SENTIMENT_LABELS)), dtype=np.float64)
+        for r, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                out[r, 1] = 1.0  # neutral
+                continue
+            s = (
+                sum(w in self.positive for w in toks)
+                - sum(w in self.negative for w in toks)
+            ) / len(toks)
+            if s > 0:
+                out[r, 2] = s
+            elif s < 0:
+                out[r, 0] = -s
+            else:
+                out[r, 1] = 1.0
+        return out
+
+
+# ---------------------------------------------------------------------------
 # Native (JVM-side, oracle-checkable) equivalent of HashScorer
 # ---------------------------------------------------------------------------
 

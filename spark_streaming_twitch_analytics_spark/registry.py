@@ -1089,8 +1089,11 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving it. Real embedding corpora (clustered) sit far higher."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
+    # truth side: the np matmul brute path — hash-identical to the fold
+    # path (asserted in tests/test_dedup_similarity.py) and cheaper, so
+    # the recall meter doesn't pay the exact path's per-pair HOF folds
     return similarity.recall_at_k(
-        similarity.brute_force_topk(queries, emb, 5),
+        similarity.brute_force_topk_np(queries, emb, 5),
         similarity.lsh_topk(queries, emb, 5),
     )
 
@@ -1127,8 +1130,10 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane signs on the same embeddings."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
+    # np truth side: hash-identical to the fold path, cheaper (see
+    # ann_lsh_recall)
     return similarity.recall_at_k(
-        similarity.brute_force_topk(queries, emb, 5),
+        similarity.brute_force_topk_np(queries, emb, 5),
         similarity.ivf_topk(queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2),
     )
 
@@ -1238,6 +1243,35 @@ def sentiment_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(label.alias("sentiment_label"))
         .groupBy("sentiment_label")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "sentiment_model_labels",
+    f"""WITH t AS ({_TOKS_CTE})
+SELECT doc_id,
+CASE WHEN {X.sentiment_score_sql("toks")} > 0 THEN 'pos'
+     WHEN {X.sentiment_score_sql("toks")} < 0 THEN 'neg'
+     ELSE 'neutral' END AS sentiment_label
+FROM t""",
+    survey="N6 model-backed variant: the reference's pretrained sentiment "
+    "pipeline (pipelines.scala:10-40, PretrainedPipeline('analyze_sentiment') "
+    "— declared, never wired) as a Scorer-protocol surface: any served "
+    "model (HTTPScorer) drops in; the lexicon Scorer runs here so the "
+    "label output is DuckDB-oracled. Deliberately an Arrow-UDF plan — "
+    "that IS the model boundary.",
+    tags=("arrow",),
+)
+def sentiment_model_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .constants import SENTIMENT_NEGATIVE, SENTIMENT_POSITIVE
+
+    label = scoring.sentiment_label_udf(
+        scoring.LexiconSentimentScorer(
+            frozenset(SENTIMENT_POSITIVE), frozenset(SENTIMENT_NEGATIVE)
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", label(F.col("text")).alias("sentiment_label")
     )
 
 

@@ -126,6 +126,37 @@ def run_merge_query(
     )
 
 
+def run_upsert_query(
+    counts: DataFrame,
+    store,
+    table: str,
+    checkpoint_dir: str,
+    key_column: str = "word",
+    ttl: int = 0,
+) -> StreamingQuery:
+    """Update-mode + NATIVE KV upsert: each micro-batch appends only the
+    changed keys with ``key_column`` addressing, so the store replaces
+    rows in place — no read-modify-write, no state-sized rewrite. This is
+    the sink the Redis backend exists for (``RedisInterface.scala:13-21``
+    ``key.column`` option ≡ ``RedisKVTableStore.write(key_column=...)``):
+    per-batch cost is O(changed keys) at ANY state size, vs the snapshot
+    sink's O(state) and the merge sink's read+rewrite.
+
+    Requires a store whose ``write`` accepts ``key_column`` (the parquet
+    KVTableStore deliberately does not — a file store has no per-key
+    replace; use :func:`run_merge_query` there)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        store.write(batch_df, table, mode="append", key_column=key_column, ttl=ttl)
+
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_restore_snapshot_query(
     counts: DataFrame,
     store: KVTableStore,

@@ -105,7 +105,12 @@ def test_no_rowwise_python_udf_in_oracle_query_plans(spark):
         assert "BatchEvalPython" not in plan, f"{qd.name} fell off the JVM path"
         if "ArrowEvalPython" in plan:
             arrow_nodes.append(qd.name)
-    allowed = {"dedup_simhash64_hamming", "dedup_simhash_pairs"}
+    allowed = {
+        "dedup_simhash64_hamming",
+        "dedup_simhash_pairs",
+        # the model boundary: a Scorer-protocol pandas_udf IS the point
+        "sentiment_model_labels",
+    }
     assert set(arrow_nodes) <= allowed, (
         f"unexpected Arrow UDF in oracle plans: {sorted(set(arrow_nodes) - allowed)}"
     )

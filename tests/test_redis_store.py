@@ -155,6 +155,75 @@ def test_store_backends_share_sink_helpers(spark, tmp_path):
     assert SW is not None
 
 
+def test_streaming_snapshot_sink_into_redis_backend(spark, tmp_path):
+    """End-to-end: a real Structured Streaming query snapshot-sinks its
+    running word counts into the Redis-backed store (fake client)."""
+    import os
+
+    from spark_streaming_twitch_analytics_spark.sources.irc import (
+        format_privmsg,
+        write_batch_file,
+    )
+    from spark_streaming_twitch_analytics_spark.streaming import wordcount as SW
+
+    store = make_store("redis", spark, tmp_path)
+    src = str(tmp_path / "in")
+    write_batch_file(src, [format_privmsg(1, "u", "c", "apple apple banana")], 1)
+    raw = spark.readStream.format("text").load(src)
+    q = SW.run_snapshot_query(
+        SW.streaming_word_counts(raw),
+        store,
+        "wc",
+        os.path.join(str(tmp_path), "ckpt_snap"),
+    )
+    try:
+        q.processAllAvailable()
+        write_batch_file(src, [format_privmsg(2, "u", "c", "apple cherry")], 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["word"]: r["cnt"]
+        for r in store.get_table("wc", SW.COUNT_SCHEMA).collect()
+    }
+    assert got == {"apple": 3, "banana": 1, "cherry": 1}
+
+
+def test_streaming_upsert_sink_is_per_key(spark, tmp_path):
+    """The native-upsert sink must produce the same final state as the
+    snapshot sink while writing only changed keys per batch."""
+    import os
+
+    from spark_streaming_twitch_analytics_spark.sources.irc import (
+        format_privmsg,
+        write_batch_file,
+    )
+    from spark_streaming_twitch_analytics_spark.streaming import wordcount as SW
+
+    store = make_store("redis", spark, tmp_path)
+    src = str(tmp_path / "in")
+    write_batch_file(src, [format_privmsg(1, "u", "c", "apple apple banana")], 1)
+    raw = spark.readStream.format("text").load(src)
+    q = SW.run_upsert_query(
+        SW.streaming_word_counts(raw),
+        store,
+        "wc",
+        os.path.join(str(tmp_path), "ckpt_up"),
+        key_column="word",
+    )
+    try:
+        q.processAllAvailable()
+        write_batch_file(src, [format_privmsg(2, "u", "c", "apple cherry")], 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["word"]: r["cnt"]
+        for r in store.get_table("wc", SW.COUNT_SCHEMA).collect()
+    }
+    assert got == {"apple": 3, "banana": 1, "cherry": 1}
+
+
 def test_real_redis_round_trip(spark, tmp_path):
     redis = pytest.importorskip("redis")  # absent in this container → skip
     client = redis.Redis(decode_responses=True)

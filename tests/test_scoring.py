@@ -117,6 +117,58 @@ def test_http_scorer_null_text_sent_as_empty_string():
     assert out.shape == (3, 50)
 
 
+def test_http_scorer_drops_into_sentiment_surface(spark):
+    """The model-backed sentiment surface must accept ANY Scorer —
+    including an HTTPScorer against a served 3-class model (the
+    reference's pretrained-pipeline story, pipelines.scala:10-40)."""
+    import json
+
+    def stub(url, payload):
+        instances = json.loads(payload)["instances"]
+        # a fake served model: 'good' → pos, 'bad' → neg, else neutral
+        preds = [
+            [1.0, 0.0, 0.0] if "bad" in t else
+            [0.0, 0.0, 1.0] if "good" in t else [0.0, 1.0, 0.0]
+            for t in instances
+        ]
+        return json.dumps({"predictions": preds}).encode()
+
+    label = scoring.sentiment_label_udf(
+        scoring.HTTPScorer("http://x/v1/models/sentiment:predict", transport=stub)
+    )
+    df = spark.createDataFrame(
+        [(1, "good stream"), (2, "bad lag"), (3, "hello"), (4, None)],
+        "id long, text string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", label("text").alias("l")).collect()}
+    assert got == {1: "pos", 2: "neg", 3: "neutral", 4: None}
+
+
+def test_lexicon_sentiment_scorer_matches_native_sign(spark, docs):
+    """LexiconSentimentScorer's argmax label must equal the native
+    lexicon score's sign on real corpus text (same arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.constants import (
+        SENTIMENT_NEGATIVE,
+        SENTIMENT_POSITIVE,
+    )
+    from spark_streaming_twitch_analytics_spark.functions import text as X
+
+    label = scoring.sentiment_label_udf(
+        scoring.LexiconSentimentScorer(
+            frozenset(SENTIMENT_POSITIVE), frozenset(SENTIMENT_NEGATIVE)
+        )
+    )
+    s = X.sentiment_score(X.tokenize(F.col("text")))
+    native = F.when(s > 0, "pos").when(s < 0, "neg").otherwise("neutral")
+    both = docs.limit(200).select(
+        label("text").alias("model"), native.alias("native")
+    )
+    for r in both.collect():
+        assert r["model"] == r["native"]
+
+
 def test_udf_and_native_scores_agree_on_null_text(spark):
     """NULL text must decode identically through both paths: the native
     twin yields an all-NULL score array (md5(NULL) is NULL) → no labels;

@@ -15,8 +15,8 @@ from spark_streaming_twitch_analytics_spark import registry
 SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "S1": ("custom IRC receiver", "sources/irc.py (file replay, rate map, live Python DataSource)"),
     "S2": ("micro-batch clock", "streaming/wordcount.py run_snapshot_query(batch_interval=...)"),
-    "S3": ("Redis table sink (TTL, overwrite/append)", "sources/kv_store.py write()"),
-    "S4": ("Redis source w/ empty-table fallback", "sources/kv_store.py get_table(); tests/test_streaming.py"),
+    "S3": ("Redis table sink (TTL, overwrite/append)", "sources/kv_store.py write(); sources/redis_store.py RedisKVTableStore (real redis-py backend, key-column upsert); streaming/wordcount.py run_upsert_query"),
+    "S4": ("Redis source w/ empty-table fallback", "sources/kv_store.py get_table(); sources/redis_store.py get_table(); tests/test_streaming.py; tests/test_redis_store.py"),
     "S5": ("CSV source (multiline/quoted/header/schema)", "sources/io.py read_training_csv; tests/test_io_sources.py"),
     "S6": ("coalesce(1) parquet sink", "sources/io.py write_single_parquet (+ extensions: write_clustered_parquet, write_orc/read_orc, write_jsonl, write_training_shards)"),
     "S7": ("console/debug sink", "df.show available; streaming memory sink in streaming/wordcount.py"),
@@ -39,7 +39,7 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "U1": ("clean_disc → regexp_replace chain", "functions/text.py clean_disc"),
     "U2": ("strip [ ] \" ' chars", "functions/text.py strip_listchars"),
     "U3": ("label-whitelist intersect", "operators/training.py (array_intersect + semi-join form)"),
-    "U4": ("model scoring UDF", "functions/scoring.py score_udf (Arrow-batched) + HashScorer"),
+    "U4": ("model scoring UDF", "functions/scoring.py score_udf (Arrow-batched) + HashScorer + HTTPScorer (TF-Serving shape, one request per batch)"),
     "U4b": ("threshold filter (>0.5, positional — indexOf bug fixed)", "functions/scoring.py decode_categories; tests/test_scoring.py"),
     "U4c": ("label decode via 50-class map", "functions/scoring.py label_array; sources/io.py broadcast_label_map"),
     "U5": ("updateFunction running-count state", "streaming/wordcount.py (state store); streaming/stateful.py (arbitrary state)"),
@@ -57,7 +57,7 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "N3": ("StopWordsCleaner (language-keyed, FR-hardcode bug fixed)", "functions/text.py remove_stopwords"),
     "N4": ("Finisher", "not needed — columns already plain"),
     "N5": ("Pipeline fit/transform per batch", "not needed — stateless column exprs, no fit"),
-    "N6": ("sentiment (declared, unwired in reference)", "functions/text.py sentiment_score"),
+    "N6": ("sentiment (declared, unwired in reference)", "functions/text.py sentiment_score; functions/scoring.py sentiment_label_udf (model-backed via Scorer protocol)"),
     "N7": ("text classification surface", "functions/scoring.py"),
     "ST1": ("per-batch RDD↔DF hops", "eliminated — one continuous plan"),
     "ST2": ("DStream.cache branch reuse", "persist() in operators/dedup.py minhash_dedup_pairs"),
