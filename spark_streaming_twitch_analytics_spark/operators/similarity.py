@@ -200,6 +200,102 @@ def ivf_topk(
     return _topk(_scored(_pairs(q, c, ["cell"])), k)
 
 
+def build_lsh_index(
+    candidates: DataFrame, path: str, n_bits: int = 4, dim: int = DIM
+) -> None:
+    """One-time sign-LSH index build: bucket every candidate by its
+    hyperplane-sign code and persist partitioned by bucket. Hyperplanes
+    are md5-derived literals, so the index needs no model artifact —
+    rebuilding with the same ``n_bits`` always lands rows in the same
+    buckets."""
+    c = candidates.withColumn(
+        "bucket", lsh_bucket(as_double(F.col("embedding")), n_bits, dim)
+    )
+    c.select("vec_id", "embedding", "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def query_lsh_index(
+    queries: DataFrame, path: str, k: int, n_bits: int = 4, dim: int = DIM
+) -> DataFrame:
+    """Serve LSH ANN off a persisted :func:`build_lsh_index` layout with
+    partition pruning to the query batch's buckets — same results as the
+    index-free :func:`lsh_topk`, scanning only |query buckets| / 2^bits
+    of the index files."""
+    spark = queries.sparkSession
+    q = queries.withColumn(
+        "bucket", lsh_bucket(as_double(F.col("embedding")), n_bits, dim)
+    )
+    buckets = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+    c = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    return _topk(_scored(_pairs(q, c, ["bucket"])), k)
+
+
+def build_ivf_index(
+    candidates: DataFrame, path: str, n_cells: int = 8, dim: int = DIM
+) -> None:
+    """One-time IVF index build: assign every candidate to its
+    argmax-cosine cell among the deterministic pseudo-centroids and
+    persist partitioned by cell (``partitionBy("cell")``) — the layout
+    every later query batch prunes against. At 100 TB this runs once per
+    corpus snapshot; queries then scan only ``n_probe/n_cells`` of the
+    files (verified by the PartitionFilters plan assertion in
+    ``tests/test_plans.py``)."""
+    from ..functions.vectors import cell_scores
+
+    s = cell_scores(as_double(F.col("embedding")), n_cells, dim)
+    assigned = candidates.withColumn("_cs", s).withColumn(
+        "cell", F.array_position(F.col("_cs"), F.array_max(F.col("_cs"))).cast("int")
+    )
+    assigned.select("vec_id", "embedding", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def query_ivf_index(
+    queries: DataFrame,
+    path: str,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """Serve ANN queries off a persisted :func:`build_ivf_index` layout.
+
+    The query batch's probed cells are collected driver-side (bounded by
+    ``n_probe · |Q|`` ints — the ANN contract keeps queries the small
+    side) and pushed into the index scan as a partition filter, so the
+    read touches only the probed cells' files. Scoring/top-k is then
+    identical to :func:`ivf_topk` — same probes, same tie-break, same
+    quantization — so results match the index-free form exactly."""
+    from ..functions.vectors import cell_scores
+
+    spark = queries.sparkSession
+
+    s = cell_scores(as_double(F.col("embedding")), n_cells, dim)
+    q_assigned = queries.withColumn("_cs", s)
+
+    def masked(prev):
+        return F.transform(
+            prev, lambda x: F.when(x == F.array_max(prev), F.lit(-1e18)).otherwise(x)
+        )
+
+    probe_cols = []
+    cur = F.col("_cs")
+    for _ in range(n_probe):
+        probe_cols.append(F.array_position(cur, F.array_max(cur)).cast("int"))
+        cur = masked(cur)
+    q = q_assigned.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array_distinct(F.array(*probe_cols))).alias("cell"),
+    )
+    cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+    c = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return _topk(_scored(_pairs(q, c, ["cell"])), k)
+
+
 def brute_force_topk_np(
     queries: DataFrame, candidates: DataFrame, k: int, dim: int = DIM
 ) -> DataFrame:

@@ -636,6 +636,40 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_2h",
+    """WITH w AS (
+  SELECT event_type, value,
+    to_timestamp(unnest([
+      CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT),
+      CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT)
+    ])) AS win_start
+  FROM events)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1, 2""",
+    survey="ST7 extension: SLIDING event-time window (2h window, 1h "
+    "slide) — F.window's overlapping-assignment semantics; each event "
+    "lands in exactly window/slide = 2 windows, epoch-aligned. The "
+    "oracle unrolls the two starts per event explicitly.",
+)
+def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "sessionize",
     """WITH g AS (
   SELECT user_id, ts,
@@ -1539,6 +1573,32 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(stream: DataFrame) -> DataFrame:
         return _session_window_report(stream.withWatermark("ts", "3650 days"))
+
+    return _run_stream_over_events(spark, sf_dir, build, mode="complete")
+
+
+@register(
+    "streaming_sliding_window",
+    """WITH w AS (
+  SELECT event_type, value,
+    to_timestamp(unnest([
+      CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT),
+      CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT)
+    ])) AS win_start
+  FROM events)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1, 2""",
+    survey="ST7 extension: STREAMING sliding window (2h/1h) — overlapping "
+    "windows accumulate across micro-batches in the state store; final "
+    "table ≡ the batch events_sliding_2h oracle (watermark past the "
+    "event span so no eviction during replay)",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import sliding_counts
+
+    def build(stream: DataFrame) -> DataFrame:
+        return sliding_counts(stream, watermark="3650 days")
 
     return _run_stream_over_events(spark, sf_dir, build, mode="complete")
 

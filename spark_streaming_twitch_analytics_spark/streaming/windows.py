@@ -35,6 +35,32 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """SLIDING event-time windows: each event contributes to
+    window/slide overlapping windows (epoch-aligned). State per key is
+    window/slide × the tumbling equivalent; the watermark still bounds
+    it. Streaming twin of the batch ``events_sliding_2h`` query — one
+    plan definition serves both modes."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame,
     ts_col: str = "ts",

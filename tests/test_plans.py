@@ -65,30 +65,62 @@ def test_semi_join_is_broadcast_not_shuffle(spark):
 
 
 def test_ivf_partitioned_layout_prunes_cells(spark, tmp_path):
-    """The 100 TB IVF serving shape: candidates written partitionBy(cell)
-    → a probe of one cell must scan ONE partition (partition pruning
-    visible in the plan), not the whole index."""
+    """The 100 TB IVF serving shape via the first-class API: candidates
+    written partitionBy(cell) by build_ivf_index → a probe of one cell
+    must scan ONE partition (partition pruning visible in the plan), not
+    the whole index."""
     from pyspark.sql import functions as F
 
-    from spark_streaming_twitch_analytics_spark.functions.vectors import (
-        as_double,
-        cell_scores,
-    )
+    from spark_streaming_twitch_analytics_spark.operators import similarity
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    s = cell_scores(as_double(F.col("embedding")), 8, 64)
-    assigned = emb.withColumn("_cs", s).withColumn(
-        "cell", F.array_position(F.col("_cs"), F.array_max(F.col("_cs"))).cast("int")
-    )
     path = str(tmp_path / "ivf_index")
-    assigned.select("vec_id", "embedding", "cell").write.partitionBy(
-        "cell"
-    ).parquet(path)
+    similarity.build_ivf_index(emb, path, n_cells=8)
     probe = spark.read.parquet(path).filter(F.col("cell") == 3)
     plan = EX.formatted_plan(probe)
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
     # pruned scan reads strictly fewer files than the full index
     assert probe.count() < spark.read.parquet(path).count()
+
+
+def test_query_ivf_index_matches_index_free_form(spark, tmp_path):
+    """query_ivf_index over the persisted layout must return EXACTLY the
+    rows ivf_topk computes index-free (same probes, tie-break,
+    quantization) — and its scan must carry a cell partition filter."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, path, n_cells=8)
+    via_index = similarity.query_ivf_index(queries, path, k=5, n_cells=8, n_probe=2)
+    free = similarity.ivf_topk(queries, emb, 5, n_cells=8, n_probe=2)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, free.collect())
+    )
+    plan = EX.formatted_plan(via_index)
+    assert "PartitionFilters" in plan
+
+
+def test_query_lsh_index_matches_index_free_form(spark, tmp_path):
+    """Same contract as the IVF index API, for the sign-LSH layout."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "lsh_index")
+    similarity.build_lsh_index(emb, path, n_bits=4)
+    via_index = similarity.query_lsh_index(queries, path, k=5, n_bits=4)
+    free = similarity.lsh_topk(queries, emb, 5, n_bits=4)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, free.collect())
+    )
+    plan = EX.formatted_plan(via_index)
+    assert "PartitionFilters" in plan
 
 
 def test_no_rowwise_python_udf_in_oracle_query_plans(spark):

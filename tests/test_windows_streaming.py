@@ -81,6 +81,52 @@ def test_tumbling_window_emits_on_watermark(spark, tmp_path):
         q.stop()
 
 
+def test_sliding_window_overlapping_assignment(spark, tmp_path):
+    """Each event lands in window/slide = 2 overlapping windows; counts
+    accumulate per window across micro-batches; append-mode emission
+    waits for the watermark to pass each window's end."""
+    from spark_streaming_twitch_analytics_spark.streaming.windows import (
+        sliding_counts,
+    )
+
+    src = str(tmp_path / "ev")
+    write_events(
+        src,
+        1,
+        [
+            ("2024-01-01T10:30:00", "click", 1, 1.0),
+            ("2024-01-01T11:10:00", "click", 2, 2.0),
+        ],
+    )
+    agg = sliding_counts(
+        stream(spark, src), window="2 hours", slide="1 hour", watermark="1 hour"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sliding")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past every open window's end
+        write_events(src, 2, [("2024-01-01T20:00:00", "view", 3, 0.0)])
+        q.processAllAvailable()
+        write_events(src, 3, [("2024-01-01T23:00:00", "view", 3, 0.0)])
+        q.processAllAvailable()
+        rows = {
+            (r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.table("sliding").collect()
+        }
+        # 10:30 event → [09:00,11:00) and [10:00,12:00)
+        # 11:10 event → [10:00,12:00) and [11:00,13:00)
+        assert rows[("2024-01-01 09:00:00", "click")] == (1, 1.0)
+        assert rows[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+        assert rows[("2024-01-01 11:00:00", "click")] == (1, 2.0)
+    finally:
+        q.stop()
+
+
 def test_session_window_groups_by_gap(spark, tmp_path):
     src = str(tmp_path / "ev")
     write_events(
