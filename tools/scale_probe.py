@@ -58,6 +58,8 @@ QUERIES = [
     "corpus_stratified_split",
     "corpus_shuffle_shards",
     "text_sentences",
+    "events_sliding_2h",
+    "sentiment_model_labels",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
