@@ -73,21 +73,23 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Per-partition partial top-k BEFORE the global window's exchange.
+    """Per-partition partial top-k BEFORE the rank window's map-side sort.
 
-    The global ``Window.partitionBy(q_id)`` top-k in :func:`_topk` shuffles
-    every scored pair; on a brute-force pair matrix that exchange is
-    O(|C|·|Q|) rows and is the scale killer at 100×. The global top-k by a
-    TOTAL order (cos desc NULLS LAST, c_id asc) is contained in the union
-    of per-partition top-ks by the same order, so this stage cuts each
-    input partition down to at most k·|Q| rows inside the narrow map stage
-    — the exchange then carries ≤ k·|Q|·partitions rows, independent of
-    candidate count. Hash-identical by construction: the final window
-    recomputes exact ranks over the (superset-free, since the order is
-    total) surviving rows.
+    Two costs sit between scoring and the final rank window: (a) the
+    exchange, and (b) the map-side SORT of each partition's full pair
+    set feeding Spark's ``WindowGroupLimit(Partial)`` (which Spark 4
+    inserts automatically and which already bounds the exchange at
+    k·|Q| rows per partition). This stage removes cost (b): a pandas
+    heap-cut trims each partition to k·|Q| rows in the narrow stage, so
+    the JVM sorts k·|Q| rows instead of the partition's whole pair
+    matrix — the win grows with per-partition pair volume (brute force:
+    all |C|·|Q|/partitions pairs; IVF: |C|·n_probe/n_cells per query).
 
-    NULL cos (zero-norm pairs) sorts last, matching ``F.desc``'s
-    NULLS LAST in the final window.
+    The global top-k by a TOTAL order (cos desc NULLS LAST, c_id asc) is
+    contained in the union of per-partition top-ks by the same order, so
+    the output is hash-identical: the final window recomputes exact
+    ranks over the surviving rows. NULL cos (zero-norm pairs) sorts
+    last, matching ``F.desc``'s NULLS LAST in the final window.
     """
     import numpy as np
     import pandas as pd
@@ -127,8 +129,9 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataF
     """Exact top-k neighbours per query by cosine (desc, c_id tiebreak).
 
     The per-pair scoring stage is narrow (candidates stream, queries
-    broadcast); :func:`_partial_topk` bounds the only exchange at
-    k·|Q|·partitions rows before the global rank window."""
+    broadcast); :func:`_partial_topk` trims each partition to k·|Q| rows
+    before the rank window's sort, and the one exchange carries
+    ≤ k·|Q|·partitions rows (plan-verified)."""
     return _topk(_partial_topk(_scored(_pairs(queries, candidates, None)), k), k)
 
 
@@ -197,7 +200,14 @@ def ivf_topk(
         "embedding",
         F.explode(F.array_distinct(F.array(*probe_cols))).alias("cell"),
     )
-    return _topk(_scored(_pairs(q, c, ["cell"])), k)
+    # partial cut before the rank window: with n_probe cells of 1/n_cells
+    # of the corpus each, per-partition pair volume is large enough that
+    # trimming to k·|Q| rows before the JVM sort wins (measured 1.87s →
+    # 1.62s at sf0.1). Note Spark's own WindowGroupLimit(Partial) already
+    # bounds the EXCHANGE either way — the cut saves the map-side sort of
+    # the full pair set, which is why lsh_topk (small per-bucket pair
+    # volume) deliberately does NOT take it (measured 1.17s → 1.59s).
+    return _topk(_partial_topk(_scored(_pairs(q, c, ["cell"])), k), k)
 
 
 def build_lsh_index(

@@ -2248,3 +2248,73 @@ def corpus_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r.hit") > 0)
         .select("doc_id", "r.labels", "r.n_labels")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (per-column stats — the intake step of any 100 TB pipeline)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS: tuple[tuple[str, bool], ...] = (
+    # (column, is_numeric) over the documents table
+    ("doc_id", True),
+    ("text", False),
+    ("lang", False),
+    ("source", False),
+    ("n_chars", True),
+)
+
+
+@register(
+    "corpus_profile",
+    " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name,
+CAST(count(*) AS BIGINT) AS n_rows,
+CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+{f"round(CAST(min({c}) AS DOUBLE), 4)" if num else "CAST(NULL AS DOUBLE)"} AS min_num,
+{f"round(CAST(max({c}) AS DOUBLE), 4)" if num else "CAST(NULL AS DOUBLE)"} AS max_num
+FROM documents"""
+        for c, num in _PROFILE_COLS
+    ),
+    survey="ext: data profiling — per-column row/null/distinct counts and "
+    "numeric min/max in ONE pass (multi-distinct via Expand), the intake "
+    "health check a training pipeline runs before any processing",
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the documents table.
+
+    All per-column aggregates land in ONE aggregation (Catalyst plans
+    multi-column DISTINCT via a single Expand — one scan, expand factor
+    = number of distinct-aggregated columns, partial aggs bound the
+    shuffle by group cardinality = 1), then the 1-row wide result is
+    unpivoted driver-side into (col_name, stats) rows — 5 rows, no
+    second job over the data. String min/max is deliberately NULL:
+    collation-dependent, engines disagree; numeric min/max is exact."""
+    d = _docs(spark, sf_dir)
+    aggs = []
+    for c, num in _PROFILE_COLS:
+        aggs.append(F.count(F.lit(1)).alias(f"{c}__rows"))
+        aggs.append(F.count(c).alias(f"{c}__nonnull"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+        if num:
+            aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"))
+            aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"))
+    wide = d.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                (F.col(f"{c}__rows") - F.col(f"{c}__nonnull")).alias("n_null"),
+                F.col(f"{c}__dist").alias("n_distinct"),
+                (F.col(f"{c}__min") if num else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.col(f"{c}__max") if num else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+            )
+            for c, num in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")

@@ -144,7 +144,12 @@ def run_upsert_query(
 
     Requires a store whose ``write`` accepts ``key_column`` (the parquet
     KVTableStore deliberately does not — a file store has no per-key
-    replace; use :func:`run_merge_query` there)."""
+    replace; use :func:`run_merge_query` there).
+
+    Replay safety: no epoch guard is needed here (unlike
+    :func:`apply_delta_once`) because update-mode emits each changed
+    key's NEW TOTAL, not a delta — re-upserting a replayed batch writes
+    the same values, so the sink is idempotent by construction."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         store.write(batch_df, table, mode="append", key_column=key_column, ttl=ttl)
