@@ -263,6 +263,27 @@ def build_ivf_index(
     ).partitionBy("cell").parquet(path)
 
 
+def append_to_ivf_index(
+    new_candidates: DataFrame, path: str, n_cells: int = 8, dim: int = DIM
+) -> None:
+    """Incremental index maintenance: assign ONLY the new vectors and
+    append their files into the existing cell partitions — no rewrite of
+    the standing index. Centroids are md5-derived literals, so the same
+    vector lands in the same cell forever; a daily ingest appends its
+    delta and every query batch sees the union. (Compaction of small
+    appended files is an ordinary parquet-maintenance concern, orthogonal
+    to correctness.)"""
+    from ..functions.vectors import cell_scores
+
+    s = cell_scores(as_double(F.col("embedding")), n_cells, dim)
+    assigned = new_candidates.withColumn("_cs", s).withColumn(
+        "cell", F.array_position(F.col("_cs"), F.array_max(F.col("_cs"))).cast("int")
+    )
+    assigned.select("vec_id", "embedding", "cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
 def query_ivf_index(
     queries: DataFrame,
     path: str,

@@ -104,6 +104,28 @@ def test_query_ivf_index_matches_index_free_form(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_append_to_ivf_index_equals_full_build(spark, tmp_path):
+    """Incremental maintenance: build with half the corpus, append the
+    other half — queries over the appended index must return EXACTLY the
+    full-build results (same centroids → same cells forever)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    full_path = str(tmp_path / "ivf_full")
+    inc_path = str(tmp_path / "ivf_inc")
+    similarity.build_ivf_index(emb, full_path, n_cells=8)
+    similarity.build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), inc_path, n_cells=8)
+    similarity.append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), inc_path, n_cells=8
+    )
+    a = sorted(map(tuple, similarity.query_ivf_index(queries, full_path, k=5).collect()))
+    b = sorted(map(tuple, similarity.query_ivf_index(queries, inc_path, k=5).collect()))
+    assert a == b
+
+
 def test_query_lsh_index_matches_index_free_form(spark, tmp_path):
     """Same contract as the IVF index API, for the sign-LSH layout."""
     from pyspark.sql import functions as F
