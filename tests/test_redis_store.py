@@ -129,6 +129,41 @@ def test_write_partition_one_pipeline_and_row_shape():
         assert client.hgetall("p:t:y") == {"word": "y"}
 
 
+def test_cell_codec_roundtrip_property():
+    """hypothesis: decode(encode(v), type-of-v) == v for every value the
+    store can carry (Redis hashes only speak strings, so the codec IS the
+    store's correctness boundary)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_twitch_analytics_spark.sources.redis_store import (
+        _encode_cell,
+    )
+
+    cases = st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62).map(
+            lambda v: (v, T.LongType())
+        ),
+        st.floats(allow_nan=False, allow_infinity=False).map(
+            lambda v: (v, T.DoubleType())
+        ),
+        st.booleans().map(lambda v: (v, T.BooleanType())),
+        st.text(max_size=50).map(lambda v: (v, T.StringType())),
+        st.lists(st.integers(min_value=-1000, max_value=1000), max_size=10).map(
+            lambda v: (v, T.ArrayType(T.LongType()))
+        ),
+        st.none().map(lambda v: (v, T.StringType())),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(case=cases)
+    def check(case):
+        v, dt = case
+        assert _decode_cell(_encode_cell(v), dt) == v
+
+    check()
+
+
 def test_decode_cell_round_trips_types():
     assert _decode_cell("3", T.LongType()) == 3
     assert _decode_cell("1.5", T.DoubleType()) == 1.5
