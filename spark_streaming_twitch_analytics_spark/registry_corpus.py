@@ -2318,3 +2318,66 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling (cap each source by TOKENS, not docs)
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 1000  # tokens admitted per source (greedy prefix in hash order;
+# sized to BIND on the test corpus — a budget the data never reaches would
+# leave the cut branch unexercised)
+
+
+@register(
+    "corpus_token_budget",
+    f"""WITH t AS (
+  SELECT doc_id, source,
+         CAST(len({X.tokenize_sql("text")}) AS INT) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}') AS skey
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_toks,
+         CAST(sum(n_toks) OVER (
+           PARTITION BY source ORDER BY skey, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+  FROM t)
+SELECT doc_id, source, n_toks, cum_toks
+FROM c WHERE cum_toks - n_toks < {_TOKEN_BUDGET}""",
+    survey="ext: token-budget sampling — admit docs per source in salted-"
+    "hash order until the source's TOKEN budget is spent (greedy prefix: "
+    "a doc enters iff the budget was not exhausted before it). The "
+    "token-denominated mix-control knob, complementing corpus_source_"
+    "quota's doc-count cap and corpus_temperature_mix's proportional "
+    "weights. One shuffle on source; the cumulative window is a "
+    "per-partition running sum",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token budget in deterministic pseudo-random
+    order (salted md5 of doc_id — same epoch-shuffle convention as
+    corpus_shuffle_shards, so the admitted set is reproducible AND
+    unbiased by document length, unlike a longest-first rank).
+
+    Boundary semantics: a doc is admitted iff the tokens consumed BEFORE
+    it are under budget — so the budget may be overshot by at most one
+    document, never undershot while eligible docs remain (the standard
+    greedy-prefix contract; an exact-fit variant is corpus_pack_bins\'
+    bin packing)."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(X.tokenize(F.col("text"))).cast("int").alias("n_toks"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT))).alias(
+            "skey"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_toks", F.sum("n_toks").over(w).cast("long"))
+    return c.filter(F.col("cum_toks") - F.col("n_toks") < _TOKEN_BUDGET).select(
+        "doc_id", "source", "n_toks", "cum_toks"
+    )

@@ -551,3 +551,31 @@ def test_classifier_filter_gates_on_target_topics(spark):
         labels = set(r["labels"].split(","))
         assert labels & set(_CLF_TARGETS)
         assert r["n_labels"] == len(labels)
+
+
+def test_token_budget_greedy_prefix_contract(spark):
+    """Per source: every admitted doc started under budget; at most one
+    doc overshoots; and the budget actually binds on this corpus (some
+    docs are cut — a never-binding budget would leave the operator
+    untested)."""
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _TOKEN_BUDGET,
+    )
+
+    rows = q(spark, "corpus_token_budget").collect()
+    assert rows
+    total_docs = load_table(spark, SF, "documents").count()
+    assert len(rows) < total_docs  # the cut happened
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["cum_toks"])
+        for r in rs:
+            assert r["cum_toks"] - r["n_toks"] < _TOKEN_BUDGET, (src, r)
+        assert sum(1 for r in rs if r["cum_toks"] > _TOKEN_BUDGET) <= 1, src
+        # cum_toks is the running sum of the admitted prefix
+        run = 0
+        for r in rs:
+            run += r["n_toks"]
+            assert r["cum_toks"] == run, (src, r)

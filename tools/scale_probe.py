@@ -60,6 +60,8 @@ QUERIES = [
     "text_sentences",
     "events_sliding_2h",
     "sentiment_model_labels",
+    "corpus_token_budget",
+    "corpus_profile",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
