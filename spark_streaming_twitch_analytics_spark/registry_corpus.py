@@ -2381,3 +2381,62 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(F.col("cum_toks") - F.col("n_toks") < _TOKEN_BUDGET).select(
         "doc_id", "source", "n_toks", "cum_toks"
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail by LM score)
+# ---------------------------------------------------------------------------
+
+_PPL_Q = (0.3333333333333333, 0.6666666666666666)  # tercile fractions, exact
+
+
+@register(
+    "corpus_perplexity_buckets",
+    f"""WITH w AS (
+  SELECT doc_id, unnest({X.tokenize_sql('text')}) AS word FROM documents),
+freq AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM freq),
+s AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
+    round(avg(log10(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
+  FROM w JOIN freq USING (word) CROSS JOIN tot GROUP BY doc_id),
+b AS (
+  SELECT round(quantile_cont(avg_logprob, {_PPL_Q[0]}), 6) AS b1,
+         round(quantile_cont(avg_logprob, {_PPL_Q[1]}), 6) AS b2
+  FROM s)
+SELECT doc_id, n_toks, avg_logprob,
+  CASE WHEN avg_logprob >= b2 THEN 'head'
+       WHEN avg_logprob >= b1 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM s CROSS JOIN b""",
+    survey="ext: CCNet-style head/middle/tail bucketing by LM score — "
+    "tercile BOUNDARIES are computed once (exact percentile, rounded "
+    "6dp) and broadcast, then bucketing is a map-side comparison; no "
+    "global ntile sort, so the corpus never funnels through one task",
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket documents head/middle/tail by unigram-LM score (the CCNet
+    recipe: train on head, inspect middle, drop tail). Deliberately NOT
+    a global ``ntile(3)`` — that is a single-partition window sort of
+    the whole corpus; instead the two tercile boundaries are one exact
+    percentile aggregate (partial-agg friendly), rounded to the score's
+    own 6dp grid, broadcast, and compared map-side. Same output, and the
+    only corpus-wide shuffles are the ones the score itself needs."""
+    s = corpus_unigram_logprob(spark, sf_dir)
+    b = s.agg(
+        F.round(F.expr(f"percentile(avg_logprob, {_PPL_Q[0]})"), 6).alias("b1"),
+        F.round(F.expr(f"percentile(avg_logprob, {_PPL_Q[1]})"), 6).alias("b2"),
+    )
+    v = F.col("avg_logprob")
+    return (
+        s.crossJoin(F.broadcast(b))
+        .select(
+            "doc_id",
+            "n_toks",
+            "avg_logprob",
+            F.when(v >= F.col("b2"), "head")
+            .when(v >= F.col("b1"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

@@ -579,3 +579,17 @@ def test_token_budget_greedy_prefix_contract(spark):
         for r in rs:
             run += r["n_toks"]
             assert r["cum_toks"] == run, (src, r)
+
+
+def test_perplexity_buckets_are_ordered_and_cover(spark):
+    """head/middle/tail partition the corpus; scores are totally ordered
+    across buckets (min(head) >= max(middle) boundary contract holds on
+    the rounded grid); and all three buckets are non-trivial."""
+    rows = q(spark, "corpus_perplexity_buckets").collect()
+    by_bucket: dict[str, list[float]] = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by_bucket[r["ppl_bucket"]].append(r["avg_logprob"])
+    assert all(by_bucket.values()), {k: len(v) for k, v in by_bucket.items()}
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+    assert sum(len(v) for v in by_bucket.values()) == len(rows)

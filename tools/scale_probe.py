@@ -62,6 +62,7 @@ QUERIES = [
     "sentiment_model_labels",
     "corpus_token_budget",
     "corpus_profile",
+    "corpus_perplexity_buckets",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
