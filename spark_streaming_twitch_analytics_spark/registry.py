@@ -992,6 +992,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+@register(
+    "dedup_cluster_keep_best",
+    _CLUSTER_EDGES_SQL
+    + f""",
+undirected AS (SELECT a AS src, b AS dst FROM edges
+               UNION SELECT b AS src, a AS dst FROM edges),
+reach AS (
+  SELECT src, dst FROM undirected
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src),
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+  FROM reach GROUP BY src),
+scored AS (
+  SELECT c.doc_id, c.canonical_id,
+         {{q}} AS quality
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+ranked AS (
+  SELECT doc_id, canonical_id, quality,
+         row_number() OVER (PARTITION BY canonical_id
+                            ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM scored)
+SELECT doc_id AS kept_id, canonical_id, quality
+FROM ranked WHERE rn = 1""".format(
+        q=X.quality_score_sql("d.text", X.tokenize_sql("d.text"), DEFAULT_LANG)
+    ),
+    survey="ext: quality-priority dedup keep policy — within each near-dup "
+    "cluster (minhash connected components) keep the HIGHEST-quality "
+    "member, not the lowest id; the keep policy real pipelines want "
+    "(dedup should drop the worse copy). Window is keyed by cluster id — "
+    "clusters are small, so the rank shuffle is bounded by cluster size.",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters keep their best member by quality score (ties
+    by doc_id). Unlike ``dedup_clusters``'s min-id canonical, this
+    implements the keep policy that preserves the highest-quality copy
+    of duplicated content — identical texts tie on quality and fall
+    back to the id, so exact dups behave like ``dedup_keep_canonical``."""
+    from .operators.clusters import connected_components
+
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(d)
+    edges = pairs.filter(F.col("jaccard") >= 0.5).select("a", "b")
+    clusters = connected_components(edges)
+    scored = clusters.join(d, "doc_id").select(
+        "doc_id",
+        "canonical_id",
+        X.quality_score(F.col("text"), X.tokenize(F.col("text")), DEFAULT_LANG).alias(
+            "quality"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("canonical_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("kept_id"), "canonical_id", "quality")
+    )
+
+
 # ===========================================================================
 # 7. Similarity search (extensions)
 # ===========================================================================
