@@ -159,11 +159,18 @@ def main() -> None:
         qd = registry.get(name)
         ts = {}
         for sf_dir, key in ((SRC, "base"), (out, "rep")):
+            def run():
+                # noop sink materializes EVERY column (count() would let
+                # Catalyst prune expensive expressions — bench.py's rule)
+                qd.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
             release_all()
-            qd.fn(spark, sf_dir).count()  # warm
+            run()  # warm
             release_all()
             t = time.time()
-            qd.fn(spark, sf_dir).count()
+            run()
             ts[key] = time.time() - t
         print(
             f"| {name} | {ts['base']:.2f}s | {ts['rep']:.2f}s "
