@@ -137,25 +137,63 @@ def word_shingles_sql(tokens_expr: str, n: int) -> str:
     )
 
 
+def _minhash_digest(s: Column, n_digests: int) -> Column:
+    """``n_digests`` md5 hexes concatenated — enough hash material for
+    4 slices per digest."""
+    parts = [
+        F.md5(s) if i == 0 else F.md5(F.concat(F.lit(f"{i}|"), s))
+        for i in range(n_digests)
+    ]
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def _minhash_digest_sql(s_expr: str, n_digests: int) -> str:
+    parts = [
+        f"md5({s_expr})" if i == 0 else f"md5('{i}|' || {s_expr})"
+        for i in range(n_digests)
+    ]
+    return " || ".join(parts)
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """MinHash over md5-hex strings: ``min(md5(seed || '|' || shingle))``.
+    """MinHash via digest slicing: slice j of the signature is
+    ``min over shingles of substring(digest(shingle), 1+8j, 8)``, where
+    ``digest`` is ⌈num_hashes/4⌉ concatenated md5 hexes. One-two md5
+    calls per shingle supply all ``num_hashes`` hash functions (the same
+    disjoint-slices-of-one-digest trick as the Bloom probes — measured
+    the md5 pass is the engine's top per-row compute cost, and this
+    quarters it vs one salted md5 per hash function).
 
-    Lexicographic min of a uniform hex hash is a valid min-hash and is
-    bit-identical across Spark and DuckDB (both emit lowercase hex md5).
-    Returns array<string> of length ``num_hashes`` (nulls when no shingles).
-    """
-    def one_hash(j: int) -> Column:
-        # NB: a two-arg lambda would be interpreted by PySpark's HOFs as
-        # (element, index) — close over the seed instead.
-        prefix = F.lit(f"{j}|")
-        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(prefix, s))))
+    Lexicographic min of an 8-hex-char slice is min over uniform 32-bit
+    values — a valid min-hash per slice, bit-identical across Spark and
+    DuckDB (both emit lowercase hex md5, both substring 1-based).
+    Returns array<string> of length ``num_hashes`` (nulls when no
+    shingles)."""
+    n_digests = (num_hashes + 3) // 4
 
-    return F.array(*[one_hash(j) for j in range(num_hashes)])
+    # bind the digest array ONCE per row (no CSE across HOF lambdas:
+    # referencing the transform per slice would recompute every md5
+    # num_hashes times — the exact cost this formulation removes)
+    hs = F.transform(shingles, lambda s: _minhash_digest(s, n_digests))
+
+    def sig_from(h: Column) -> Column:
+        def slice_min(j: int) -> Column:
+            # NB single-arg lambda: a two-arg lambda (even with a default)
+            # is read by PySpark HOFs as (element, index)
+            start = 1 + 8 * j
+            return F.array_min(F.transform(h, lambda x: F.substring(x, start, 8)))
+
+        return F.array(*[slice_min(j) for j in range(num_hashes)])
+
+    return F.element_at(F.transform(F.array(hs), sig_from), 1)
 
 
 def minhash_signature_sql(shingles_expr: str, num_hashes: int) -> str:
+    n_digests = (num_hashes + 3) // 4
+    digest = _minhash_digest_sql("s", n_digests)
     parts = ", ".join(
-        f"list_min(list_transform({shingles_expr}, s -> md5('{j}|' || s)))"
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> substring({digest}, {1 + 8 * j}, 8)))"
         for j in range(num_hashes)
     )
     return f"[{parts}]"
