@@ -2440,3 +2440,47 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus checksum (order-independent integrity fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_checksum",
+    f"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+CAST(bit_xor(CAST('0x' || md5(text)[1:12] AS BIGINT)) AS BIGINT) AS content_xor,
+CAST(bit_xor(CAST('0x' || md5(CAST(doc_id AS VARCHAR) || '|' || text)[1:12] AS BIGINT)) AS BIGINT)
+  AS keyed_xor
+FROM documents""",
+    survey="ext: order-independent corpus fingerprint — row count, byte "
+    "total, and XOR of 48-bit content hashes (plus a doc_id-keyed "
+    "variant that also detects row re-assignment). XOR is commutative/"
+    "associative and overflow-free, so the fingerprint is identical "
+    "under any partitioning, ordering, or engine — the cheap attestation "
+    "a pipeline records before/after every shuffle, rewrite, or "
+    "migration to prove no rows were lost, duplicated, or mutated. One "
+    "scan, one 1-row aggregate, zero data shuffled beyond partial "
+    "aggregates.",
+)
+def corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity fingerprint of the documents table. ``content_xor``
+    detects content changes regardless of row order or layout;
+    ``keyed_xor`` additionally changes when texts are swapped BETWEEN
+    doc_ids (pure content XOR is invariant to that); ``n_docs`` guards
+    the XOR's one blind spot (an even number of identical-row
+    insertions/deletions cancels out)."""
+    from .sources.io import hash48
+
+    d = _docs(spark, sf_dir)
+    keyed = F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length(F.encode(F.col("text"), "utf-8")))
+        .cast("long")
+        .alias("total_bytes"),
+        F.bit_xor(hash48(F.col("text"))).alias("content_xor"),
+        F.bit_xor(hash48(keyed)).alias("keyed_xor"),
+    )
