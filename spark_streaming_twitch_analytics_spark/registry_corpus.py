@@ -2484,3 +2484,67 @@ def corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(hash48(F.col("text"))).alias("content_xor"),
         F.bit_xor(hash48(keyed)).alias("keyed_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup coverage report (the summary every dedup pipeline run emits)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_dedup_report",
+    f"""WITH g AS (
+  SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+         CAST(count(*) AS BIGINT) AS n_dups
+  FROM documents GROUP BY md5(text)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT n_docs,
+  CAST(count(*) AS BIGINT) AS n_distinct_texts,
+  CAST(count(*) FILTER (WHERE n_dups > 1) AS BIGINT) AS n_dup_groups,
+  CAST(sum(n_dups - 1) AS BIGINT) AS n_removable,
+  CAST(max(n_dups) AS BIGINT) AS largest_group,
+  (floor((CAST(sum(n_dups - 1) AS DOUBLE) / n_docs) * 1000000.0)
+     / 1000000.0) AS dup_fraction
+FROM g CROSS JOIN tot GROUP BY n_docs""",
+    survey="ext: dedup coverage report — distinct texts, dup-group count, "
+    "removable-row count, largest group, and the dup fraction, in one "
+    "pass over the exact-dup groups (single digest shuffle + a 1-row "
+    "broadcast total). The run summary a dedup job logs before anyone "
+    "trusts its output.",
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup coverage summary: how much of the corpus is duplicated,
+    how many groups, how big the worst offender is. The fraction is
+    floor-quantized to 6dp (engine-exact integer ratio)."""
+    from .operators.dedup import exact_dup_groups
+
+    d = _docs(spark, sf_dir)
+    g = exact_dup_groups(d)
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_texts"),
+            F.sum(F.when(F.col("n_dups") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_groups"),
+            F.sum(F.col("n_dups") - 1).cast("long").alias("n_removable"),
+            F.max("n_dups").cast("long").alias("largest_group"),
+            (
+                F.floor(
+                    (F.sum(F.col("n_dups") - 1).cast("double") / F.first("n_docs"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("dup_fraction"),
+        )
+        .select(
+            "n_docs",
+            "n_distinct_texts",
+            "n_dup_groups",
+            "n_removable",
+            "largest_group",
+            "dup_fraction",
+        )
+    )
