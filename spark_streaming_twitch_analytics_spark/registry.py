@@ -2307,3 +2307,53 @@ from . import registry_tpch  # noqa: E402,F401  (registration import)
 # ===========================================================================
 
 from . import registry_corpus  # noqa: E402,F401  (registration import)
+
+
+@register(
+    "corpus_near_dedup_report",
+    _CLUSTER_EDGES_SQL
+    + """,
+undirected AS (SELECT a AS src, b AS dst FROM edges
+               UNION SELECT b AS src, a AS dst FROM edges),
+reach AS (
+  SELECT src, dst FROM undirected
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src),
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+  FROM reach GROUP BY src),
+sizes AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM clusters GROUP BY canonical_id)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(sum(n_members) AS BIGINT) AS n_docs_clustered,
+  CAST(sum(n_members - 1) AS BIGINT) AS n_removable,
+  CAST(max(n_members) AS BIGINT) AS largest_cluster
+FROM sizes""",
+    survey="ext: near-dup coverage report — cluster count, docs swept into "
+    "clusters, removable rows, and worst cluster size over the minhash "
+    "connected components; the near-dup counterpart of "
+    "corpus_dedup_report's exact summary (together they are the dedup "
+    "run's before/after ledger).",
+)
+def corpus_near_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary of the near-dup cluster structure (jaccard ≥ 0.5 minhash
+    components): how many clusters, how many docs they sweep in, how
+    many rows dedup would remove, and the largest cluster — the scale
+    red-flag (a mega-cluster means boilerplate is defeating shingling)."""
+    from .operators.clusters import connected_components
+
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(d)
+    edges = pairs.filter(F.col("jaccard") >= 0.5).select("a", "b")
+    sizes = (
+        connected_components(edges)
+        .groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_docs_clustered"),
+        F.sum(F.col("n_members") - 1).cast("long").alias("n_removable"),
+        F.max("n_members").cast("long").alias("largest_cluster"),
+    )

@@ -58,7 +58,7 @@ FUZZ_QUERIES = [
     "corpus_winnow_fingerprints", "dedup_winnow_pairs", "corpus_classifier_filter",
     "corpus_profile", "corpus_token_budget", "corpus_perplexity_buckets",
     "sentiment_model_labels", "events_sliding_2h", "dedup_cluster_keep_best",
-    "corpus_checksum", "corpus_dedup_report",
+    "corpus_checksum", "corpus_dedup_report", "corpus_near_dedup_report",
     "ann_brute_topk", "ann_brute_topk_np", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_centroids", "dedup_embedding_cosine",
     "streaming_wordcount", "streaming_category_count",
