@@ -63,6 +63,8 @@ QUERIES = [
     "corpus_token_budget",
     "corpus_profile",
     "corpus_perplexity_buckets",
+    "corpus_checksum",
+    "corpus_dedup_report",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
