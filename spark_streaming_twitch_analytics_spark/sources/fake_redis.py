@@ -6,8 +6,13 @@ Why file-backed rather than a dict: the store's write path runs
 ``foreachPartition`` inside Spark's Python WORKER processes, so an
 in-memory fake in the driver would never see the writes. One file per
 Redis key (named by key digest, key stored inside) makes concurrent
-partition writers safe the same way Redis is: distinct keys touch
-distinct files; same-key writes are last-wins via ``os.replace``.
+partition writers touching DISTINCT keys safe (distinct files). Known
+divergence from real Redis: ``hset`` here is a read-modify-replace of
+the whole record, so two writers hset-ing the SAME key concurrently are
+last-wins and may lose the other's fields, where Redis would atomically
+merge them. Test workloads therefore keep writers distinctly keyed
+(the store's writer deletes+rewrites whole rows, so it never relies on
+field-level merge).
 
 This mirrors the public ``fakeredis`` idea (a standard test pattern for
 redis-py code) without adding a dependency; it exists for tests and
@@ -24,8 +29,12 @@ import time
 
 
 class DirFakeRedis:
-    def __init__(self, root: str):
+    def __init__(self, root: str, clock=time.time):
+        # ``clock`` governs TTL expiry checks; injectable so tests can
+        # advance time instead of sleeping (worker-side instances keep
+        # the real clock — only the driver's reader needs to time-travel)
         self.root = root
+        self._clock = clock
         os.makedirs(root, exist_ok=True)
 
     def _path(self, key: str) -> str:
@@ -37,7 +46,7 @@ class DirFakeRedis:
                 rec = json.load(f)
         except Exception:
             return None
-        if rec.get("expire_at") and time.time() > rec["expire_at"]:
+        if rec.get("expire_at") and self._clock() > rec["expire_at"]:
             return None
         return rec
 
@@ -73,7 +82,7 @@ class DirFakeRedis:
         rec = self._load(key)
         if rec is None:
             return False
-        rec["expire_at"] = time.time() + ttl
+        rec["expire_at"] = self._clock() + ttl
         self._store(key, rec)
         return True
 
@@ -86,7 +95,7 @@ class DirFakeRedis:
                     rec = json.load(f)
             except Exception:
                 continue
-            if rec.get("expire_at") and time.time() > rec["expire_at"]:
+            if rec.get("expire_at") and self._clock() > rec["expire_at"]:
                 continue
             if fnmatch.fnmatch(rec["key"], match):
                 yield rec["key"]

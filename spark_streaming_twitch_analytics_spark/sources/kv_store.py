@@ -48,9 +48,12 @@ def checkpoint_lineage(checkpoint_dir: str) -> str:
 
 
 class KVTableStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, clock=time.time):
+        # ``clock`` (driver-side only: TTL anchor + expiry check) is
+        # injectable so tests can advance time instead of sleeping
         self.spark = spark
         self.root = root
+        self._clock = clock
         os.makedirs(root, exist_ok=True)
 
     def _table_root(self, table: str) -> str:
@@ -114,7 +117,7 @@ class KVTableStore:
             # never-expires (and written_at only refreshes when the
             # caller re-states a ttl, keeping the original anchor)
             if ttl is not None:
-                meta.update({"written_at": time.time(), "ttl": ttl})
+                meta.update({"written_at": self._clock(), "ttl": ttl})
             new_meta = meta
         else:
             version = f"v{(int(meta['version'][1:]) + 1) if meta else 0}"
@@ -122,7 +125,7 @@ class KVTableStore:
                 os.path.join(self._table_root(table), version)
             )
             new_meta = {
-                "written_at": time.time(),
+                "written_at": self._clock(),
                 "ttl": 0 if ttl is None else ttl,
                 "version": version,
             }
@@ -148,7 +151,7 @@ class KVTableStore:
             if meta is None:
                 raise LookupError(f"table {table} missing")
             ttl = meta.get("ttl", 0)
-            if ttl and time.time() > meta["written_at"] + ttl:
+            if ttl and self._clock() > meta["written_at"] + ttl:
                 raise LookupError(f"table {table} expired (ttl={ttl})")
             df = self.spark.read.schema(schema).parquet(
                 os.path.join(self._table_root(table), meta["version"])

@@ -38,6 +38,17 @@ from pyspark.sql import types as T
 _META_SUFFIX = ":__meta__"
 
 
+def _check_table_name(table: str) -> None:
+    """':' is the key-space delimiter (``{prefix}{table}:{key}``): a table
+    name containing it would make table ``a`` 's scan pattern ``a:*`` also
+    match table ``a:b`` 's rows. Reject it up front, mirroring spark-redis'
+    unambiguous table-prefix handling."""
+    if ":" in table:
+        raise ValueError(
+            f"table name {table!r} must not contain ':' (key-space delimiter)"
+        )
+
+
 def _encode_cell(v) -> str | None:
     if v is None:
         return None
@@ -158,6 +169,7 @@ class RedisKVTableStore:
         snapshot (``SaveMode.Overwrite``); append = add/upsert rows.
         TTL is per Redis key, exactly the connector's ``option("ttl")``.
         """
+        _check_table_name(table)
         if mode != "append":
             self.delete(table, keep_meta=True)
         fields = [f.name for f in df.schema.fields]
@@ -183,14 +195,20 @@ class RedisKVTableStore:
         ``Try(...).getOrElse`` contract of ``RedisInterface.scala:43-55``.
         TTL expiry needs no store-side check: expired keys simply no
         longer match the scan."""
+        _check_table_name(table)
         try:
             client = self._client
             pattern = f"{self.prefix}{table}:*"
-            keys = [
-                k
-                for k in client.scan_iter(match=pattern, count=1000)
-                if not k.endswith(_META_SUFFIX)
-            ]
+            # SCAN is at-least-once (a concurrent rehash can yield the same
+            # key twice), so dedupe; sorting keeps the row order — and
+            # therefore createDataFrame's partition layout — deterministic.
+            keys = sorted(
+                {
+                    k
+                    for k in client.scan_iter(match=pattern, count=1000)
+                    if not k.endswith(_META_SUFFIX)
+                }
+            )
             pipe = client.pipeline(transaction=False)
             for k in keys:
                 pipe.hgetall(k)
@@ -212,6 +230,7 @@ class RedisKVTableStore:
             return self.spark.createDataFrame([], schema)
 
     def delete(self, table: str, keep_meta: bool = False) -> None:
+        _check_table_name(table)
         try:
             client = self._client
             for k in list(client.scan_iter(match=f"{self.prefix}{table}:*", count=1000)):

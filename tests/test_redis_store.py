@@ -69,10 +69,28 @@ def test_contract_append_keeps_existing_rows(store, spark):
     assert got == {"a": 1, "b": 2}
 
 
-def test_contract_ttl_expiry_falls_back_to_empty(store, spark):
-    store.write(spark.createDataFrame([("w", 1)], COUNT_SCHEMA), "t", ttl=1)
+@pytest.mark.parametrize("kind", ["file", "redis"])
+def test_contract_ttl_expiry_falls_back_to_empty(kind, spark, tmp_path):
+    # Injected clock instead of wall-clock sleeps: on a loaded host more
+    # than the TTL can elapse between write and first read (Spark job
+    # launch included), which made the sleep version flaky.
+    now = time.time()
+    offset = [0.0]
+    clock = lambda: now + offset[0]  # noqa: E731
+    if kind == "file":
+        store = KVTableStore(spark, str(tmp_path / "kv"), clock=clock)
+    else:
+        root = str(tmp_path / "fredis")
+        store = RedisKVTableStore(
+            spark,
+            # driver-side client time-travels; executor writers keep the
+            # real clock (expire_at is anchored at write time regardless)
+            client_factory=lambda root=root: DirFakeRedis(root, clock=clock),
+            checkpoint_root=str(tmp_path / "ckpt"),
+        )
+    store.write(spark.createDataFrame([("w", 1)], COUNT_SCHEMA), "t", ttl=30)
     assert store.get_table("t", COUNT_SCHEMA).count() == 1
-    time.sleep(1.2)
+    offset[0] = 31.0
     assert store.get_table("t", COUNT_SCHEMA).count() == 0
 
 
@@ -110,6 +128,41 @@ def test_key_column_upserts_by_key(spark, tmp_path):
     )
     got = {r["word"]: r["count"] for r in store.get_table("t", COUNT_SCHEMA).collect()}
     assert got == {"a": 9, "b": 2}  # append + key.column = upsert, like spark-redis
+
+
+def test_table_name_with_colon_rejected(spark, tmp_path):
+    """':' delimits the key space — a table named 'a:b' would be swept up
+    by table 'a's scan pattern, so it's rejected up front."""
+    store = make_store("redis", spark, tmp_path)
+    df = spark.createDataFrame([("a", 1)], COUNT_SCHEMA)
+    with pytest.raises(ValueError, match="delimiter"):
+        store.write(df, "a:b")
+    with pytest.raises(ValueError, match="delimiter"):
+        store.get_table("a:b", COUNT_SCHEMA)
+    with pytest.raises(ValueError, match="delimiter"):
+        store.delete("a:b")
+
+
+def test_get_table_dedupes_at_least_once_scan(spark, tmp_path):
+    """Real SCAN can yield a key twice during a rehash; the reader must
+    not return duplicate rows."""
+
+    class DupScanFake(DirFakeRedis):
+        def scan_iter(self, match="*", count=1000):
+            keys = list(super().scan_iter(match=match, count=count))
+            yield from keys + keys  # every key twice
+
+    root = str(tmp_path / "fredis")
+    store = RedisKVTableStore(
+        spark,
+        client_factory=lambda root=root: DupScanFake(root),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    store.write(spark.createDataFrame([("a", 1), ("b", 2)], COUNT_SCHEMA), "t")
+    got = sorted(
+        (r["word"], r["count"]) for r in store.get_table("t", COUNT_SCHEMA).collect()
+    )
+    assert got == [("a", 1), ("b", 2)]
 
 
 def test_write_partition_one_pipeline_and_row_shape():

@@ -169,6 +169,43 @@ def test_lexicon_sentiment_scorer_matches_native_sign(spark, docs):
         assert r["model"] == r["native"]
 
 
+def test_lexicon_sentiment_scorer_edge_cases(spark):
+    """The three divergences flaged in review: (1) a positive score that
+    rounds to 0 at 4dp must label 'neutral' like the round(...,4) twins;
+    (2) NBSP must NOT split tokens (Java/RE2 \\s is ASCII-only — Python's
+    str.split would split it); (3) NULL text → NULL label, matching the
+    oracle's explicit NULL branch."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.constants import (
+        SENTIMENT_NEGATIVE,
+        SENTIMENT_POSITIVE,
+    )
+    from spark_streaming_twitch_analytics_spark.functions import text as X
+
+    label = scoring.sentiment_label_udf(
+        scoring.LexiconSentimentScorer(
+            frozenset(SENTIMENT_POSITIVE), frozenset(SENTIMENT_NEGATIVE)
+        )
+    )
+    tiny = "good " + "x " * 20000  # 1/20001 rounds to 0.0000 at 4dp
+    nbsp = "good bad ok"  # one token 'good\xa0bad' — hits neither lexicon
+    df = spark.createDataFrame(
+        [(1, tiny), (2, nbsp), (3, None)], "id long, text string"
+    )
+    s = X.sentiment_score(X.tokenize(F.col("text")))
+    native = F.when(F.col("text").isNull(), None).when(s > 0, "pos").when(
+        s < 0, "neg"
+    ).otherwise("neutral")
+    rows = df.select(
+        "id", label("text").alias("model"), native.alias("native")
+    ).collect()
+    got = {r["id"]: (r["model"], r["native"]) for r in rows}
+    assert got[1] == ("neutral", "neutral")
+    assert got[2] == ("neutral", "neutral")
+    assert got[3] == (None, None)
+
+
 def test_udf_and_native_scores_agree_on_null_text(spark):
     """NULL text must decode identically through both paths: the native
     twin yields an all-NULL score array (md5(NULL) is NULL) → no labels;
