@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_brute_topk_np",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "text_quality",
     "text_fingerprint",
     "text_redact_pii",

@@ -129,6 +129,154 @@ def cell_scores_sql(vec_expr: str, n_cells: int, dim: int) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
+def pq_codebook(m_idx: int, n_codes: int, subdim: int) -> list[list[float]]:
+    """Deterministic product-quantization codebook for subspace
+    ``m_idx``: ``n_codes`` unit-norm centroids of ``subdim`` dims.
+
+    Raw weights are the same md5-hexdigit construction as
+    :func:`centroid_weights` (range [-8, 7], salt ``pq{m}_{code}_{i}``),
+    then unit-normalized IN PYTHON so both engines receive identical
+    double literals (``repr`` round-trips doubles exactly). Components
+    are rounded to 6 decimal digits after normalizing — the codebook is
+    pseudo-random anyway, and short literals keep the generated SQL/
+    codegen text ~3× smaller (Janino compile time scales with source
+    size). Near-equal-norm centroids make argmax-dot assignment
+    equivalent to argmin-L2 — the standard PQ encode — without
+    computing norms per row."""
+    import hashlib
+    import math
+
+    out = []
+    for code in range(n_codes):
+        w = [
+            int(hashlib.md5(f"pq{m_idx}_{code}_{i}".encode()).hexdigest()[0], 16) - 8
+            for i in range(subdim)
+        ]
+        n = math.sqrt(sum(x * x for x in w)) or 1.0
+        out.append([round(x / n, 6) for x in w])
+    return out
+
+
+def _pq_scores_spark_expr(vec_sql: str, m_idx: int, n_codes: int, subdim: int) -> str:
+    """Spark-SQL text for the subspace-``m_idx`` score array: one dot of
+    the m-th subvector against every codebook centroid.
+
+    The dots are UNROLLED scalar chains, not HOF folds: the encode stage
+    evaluates n_sub·n_codes (128) dots per row, and HOF lambdas are
+    interpreted per-call while scalar arithmetic stays in whole-stage
+    codegen — the opposite tradeoff from the dim-64 pair-stage dot,
+    where one fold per pair beats a 64-term expression (see :func:`dot`).
+    Built as SQL TEXT for a single ``F.expr`` call, not a Python Column
+    tree: composing the ~1000 terms through the Column API costs one
+    py4j round-trip per operator — measured 15.9s of DRIVER time just to
+    build the sf0.1 query's DataFrame, vs milliseconds for one parsed
+    string. Elements are cast to double one scalar at a time (an
+    array-level cast argument would be inlined and re-evaluated per
+    element — 1024 64-element array casts per row); float→double is
+    exact, and the left-fold ADD ORDER ((0 + t₁) + t₂) + … matches the
+    DuckDB twin term-for-term, so values agree bit-for-bit. Literals are
+    ``repr``-rendered with the ``D`` double suffix (centroid components
+    are unit-vector scale, so repr never needs exponent form)."""
+    off = m_idx * subdim
+    dots = []
+    for cent in pq_codebook(m_idx, n_codes, subdim):
+        acc = "0.0D"
+        for i in range(subdim):
+            acc = f"({acc} + (CAST({vec_sql}[{off + i}] AS DOUBLE) * {cent[i]!r}D))"
+        dots.append(acc)
+    return "array(" + ", ".join(dots) + ")"
+
+
+def pq_codes(vec_sql: str, n_sub: int, n_codes: int, dim: int) -> Column:
+    """PQ encoding of the array column named by ``vec_sql`` (a Spark-SQL
+    expression string, 0-based indexing): per subspace, the 1-based index
+    of the argmax-dot (== argmin-L2, centroids are unit-norm) centroid.
+    ``array<int>`` of length ``n_sub`` — the compact row an index stores
+    instead of the raw vector (n_sub small ints vs dim floats)."""
+    subdim = dim // n_sub
+    parts = []
+    for m in range(n_sub):
+        s = _pq_scores_spark_expr(vec_sql, m, n_codes, subdim)
+        parts.append(f"CAST(array_position({s}, array_max({s})) AS INT)")
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def pq_dtabs(vec_sql: str, n_sub: int, n_codes: int, dim: int) -> Column:
+    """Query-side ADC lookup tables over the array column named by
+    ``vec_sql``: array of ``n_sub`` arrays of ``n_codes`` dots. The
+    approximate similarity of a candidate encoded as ``codes`` is the
+    sum of ``dtabs[m][codes[m]]`` — n_sub lookups and adds per pair
+    instead of a dim-length dot product."""
+    subdim = dim // n_sub
+    return F.expr(
+        "array("
+        + ", ".join(
+            _pq_scores_spark_expr(vec_sql, m, n_codes, subdim)
+            for m in range(n_sub)
+        )
+        + ")"
+    )
+
+
+def pq_adc_score(dtabs: Column, codes: Column, n_sub: int = 8) -> Column:
+    """ADC sum: ((0 + dtabs[1][codes[1]]) + dtabs[2][codes[2]]) + … —
+    the PQ approximation of cosine·|q| (a per-query positive scale, so
+    per-query rankings match the unscaled form).
+
+    Statically unrolled (n_sub is tiny and fixed), NOT a zip_with +
+    aggregate fold: this runs once per candidate PAIR, and the two
+    interpreted HOF calls cost ~12µs/pair (measured +5.5s on 400k pairs
+    at sf0.1) while the unrolled scalar chain stays in whole-stage
+    codegen. Addition order is identical to the DuckDB ``list_reduce``
+    twin, so values match bit-for-bit."""
+    acc = F.lit(0.0)
+    for m in range(1, n_sub + 1):
+        acc = acc + F.element_at(F.element_at(dtabs, m), F.element_at(codes, m))
+    return acc
+
+
+def _pq_sub_expr(vec_expr: str, m_idx: int, subdim: int) -> str:
+    lo, hi = m_idx * subdim + 1, (m_idx + 1) * subdim
+    return f"({vec_expr}[{lo}:{hi}])"
+
+
+def pq_subspace_scores_sql(vec_expr: str, m_idx: int, n_codes: int, subdim: int) -> str:
+    sub = _pq_sub_expr(vec_expr, m_idx, subdim)
+    parts = []
+    for cent in pq_codebook(m_idx, n_codes, subdim):
+        w = "[" + ", ".join(repr(x) for x in cent) + "]"
+        parts.append(dot_sql(sub, w, subdim))
+    return "[" + ", ".join(parts) + "]"
+
+
+def pq_codes_sql(vec_expr: str, n_sub: int, n_codes: int, dim: int) -> str:
+    subdim = dim // n_sub
+    parts = []
+    for m in range(n_sub):
+        s = pq_subspace_scores_sql(vec_expr, m, n_codes, subdim)
+        parts.append(f"CAST(list_position({s}, list_max({s})) AS INT)")
+    return "[" + ", ".join(parts) + "]"
+
+
+def pq_dtabs_sql(vec_expr: str, n_sub: int, n_codes: int, dim: int) -> str:
+    subdim = dim // n_sub
+    return (
+        "["
+        + ", ".join(
+            pq_subspace_scores_sql(vec_expr, m, n_codes, subdim)
+            for m in range(n_sub)
+        )
+        + "]"
+    )
+
+
+def pq_adc_score_sql(dtabs_expr: str, codes_expr: str, n_sub: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n_sub} + 1), "
+        f"m -> {dtabs_expr}[m][{codes_expr}[m]])), (acc, x) -> acc + x)"
+    )
+
+
 def lsh_bucket(vec: Column, n_bits: int, dim: int) -> Column:
     """Sign-of-dot-product LSH bucket id in [0, 2^n_bits)."""
     acc = F.lit(0)

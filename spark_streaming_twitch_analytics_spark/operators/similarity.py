@@ -419,6 +419,141 @@ def brute_force_topk_np(
     return _topk(reduced, k)
 
 
+def _pq_encode(
+    candidates: DataFrame, n_sub: int, n_codes: int, dim: int
+) -> DataFrame:
+    """(c_id, codes) for every candidate: argmax-dot code per subspace.
+
+    Two stacked selects on purpose: the first materializes each
+    subspace's score array ONCE as a column; the second takes
+    argmax(array) referencing that column twice. Inlining the score
+    array into ``array_position(s, array_max(s))`` would duplicate the
+    128-term dot expression per reference (CollapseProject keeps the
+    stages apart precisely because the aliases are non-cheap and
+    multiply referenced), doubling the codegen mass for zero work
+    saved."""
+    from ..functions.vectors import _pq_scores_spark_expr
+
+    subdim = dim // n_sub
+    scored = candidates.select(
+        F.col("vec_id").alias("c_id"),
+        *[
+            F.expr(_pq_scores_spark_expr("embedding", m, n_codes, subdim)).alias(
+                f"_pqs{m}"
+            )
+            for m in range(n_sub)
+        ],
+    )
+    return scored.select(
+        "c_id",
+        F.array(
+            *[
+                F.array_position(
+                    F.col(f"_pqs{m}"), F.array_max(F.col(f"_pqs{m}"))
+                ).cast("int")
+                for m in range(n_sub)
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = DIM,
+) -> DataFrame:
+    """Product-quantization ANN: asymmetric-distance (ADC) top-k.
+
+    Candidates are ENCODED once — per subspace, the argmax-dot (==
+    argmin-L2: the codebook centroids are unit-norm, see
+    ``pq_codebook``) code among ``n_codes`` deterministic centroids —
+    so the index row is ``n_sub`` small ints instead of ``dim`` floats
+    (64 B → 8 B here: the 100 TB story is a corpus-sized index that fits
+    in a fraction of the raw embedding footprint). Queries compute one
+    lookup table of ``n_sub × n_codes`` dots; each pair then costs
+    ``n_sub`` table lookups + adds instead of a ``dim``-length dot.
+
+    The ADC score folds dot(q_sub_m, centroid[codes[m]]) over subspaces —
+    the PQ approximation of the query-candidate cosine numerator against
+    the candidate's quantized unit reconstruction (ranking per query is
+    scale-invariant in both sides' norms). Approximation quality is
+    measured, not assumed: ``ann_pq_recall`` reports recall@k vs the
+    exact path. Same pair shape as :func:`brute_force_topk` (queries
+    broadcast, candidates narrow), so :func:`_partial_topk` bounds the
+    exchange at k·|Q| rows per partition.
+    """
+    from ..functions.vectors import pq_adc_score, pq_dtabs
+
+    from .skew import fan_out
+
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        pq_dtabs("embedding", n_sub, n_codes, dim).alias("qd"),
+    )
+    c = _pq_encode(fan_out(candidates), n_sub, n_codes, dim)
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        quantize(pq_adc_score(F.col("qd"), F.col("codes")), 6).alias("cos"),
+    )
+    return (
+        _topk(_partial_topk(scored, k), k)
+        .select("q_id", "c_id", F.col("cos").alias("pq_sim"), "rn")
+    )
+
+
+def build_pq_index(
+    candidates: DataFrame,
+    path: str,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = DIM,
+) -> None:
+    """One-time PQ index build: encode every candidate to its
+    ``n_sub``-int code array and persist ONLY (vec_id, codes) — the
+    8-byte-per-vector layout ADC serving scans instead of the raw
+    embeddings. Codebooks are md5-derived literals, so re-encoding is
+    reproducible and the index needs no model artifact."""
+    _pq_encode(candidates, n_sub, n_codes, dim).select(
+        F.col("c_id").alias("vec_id"), "codes"
+    ).write.mode("overwrite").parquet(path)
+
+
+def query_pq_index(
+    queries: DataFrame,
+    path: str,
+    k: int,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = DIM,
+) -> DataFrame:
+    """Serve ADC top-k off a persisted :func:`build_pq_index` layout —
+    scans codes only (no embedding column touched), same scores and
+    tie-break as the index-free :func:`pq_topk`."""
+    from ..functions.vectors import pq_adc_score, pq_dtabs
+
+    spark = queries.sparkSession
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        pq_dtabs("embedding", n_sub, n_codes, dim).alias("qd"),
+    )
+    c = spark.read.parquet(path).select(F.col("vec_id").alias("c_id"), "codes")
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        quantize(pq_adc_score(F.col("qd"), F.col("codes")), 6).alias("cos"),
+    )
+    return (
+        _topk(_partial_topk(scored, k), k)
+        .select("q_id", "c_id", F.col("cos").alias("pq_sim"), "rn")
+    )
+
+
 def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:
     """Recall of an approximate ranking against the exact one: both are
     (q_id, c_id, ...) top-k frames; recall = |approx ∩ exact| / |exact|

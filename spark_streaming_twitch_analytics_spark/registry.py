@@ -1243,6 +1243,71 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_SUB, _PQ_CODES = 8, 16
+_PQ_ENC_SQL = f"""pqc AS (SELECT vec_id AS c_id,
+  {V.pq_codes_sql("v", _PQ_SUB, _PQ_CODES, 64)} AS codes FROM e),
+pqq AS (SELECT vec_id AS q_id,
+  {V.pq_dtabs_sql("v", _PQ_SUB, _PQ_CODES, 64)} AS qd
+  FROM e WHERE vec_id % 10 = 0),
+pscored AS (SELECT q_id, c_id,
+  {V.quantize_sql(V.pq_adc_score_sql("qd", "codes", _PQ_SUB), 6)} AS pq_sim
+  FROM pqc, pqq WHERE c_id <> q_id)"""
+
+
+@register(
+    "ann_pq_topk",
+    f"""WITH e AS ({_EMB_CTE}),
+{_PQ_ENC_SQL}
+{topk.top_k_per_group_sql("SELECT * FROM pscored", ["q_id"], "pq_sim", 5, ["c_id"])}""",
+    survey="ext: product-quantization ANN (asymmetric-distance top-k over "
+    "8×16 deterministic unit-norm codebooks) — the compressed-index path: "
+    "candidates stored as 8 small ints instead of 64 floats",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k. The index row is the candidate's 8 codes
+    (argmin-L2 per subspace against unit-norm md5 codebooks); each pair
+    costs 8 table lookups instead of a 64-dim dot. At 100 TB the codes
+    table is 1/32 the embedding bytes — the whole index stays scannable
+    where raw vectors would not be."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.pq_topk(queries, emb, 5, n_sub=_PQ_SUB, n_codes=_PQ_CODES)
+
+
+_PQ_RECALL_SQL = f"""WITH e AS ({_EMB_CTE}),
+{_PQ_ENC_SQL},
+pt AS ({topk.top_k_per_group_sql("SELECT * FROM pscored", ["q_id"], "pq_sim", 5, ["c_id"])}),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+bscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, q WHERE c.vec_id <> q_id),
+bt AS ({topk.top_k_per_group_sql("SELECT * FROM bscored", ["q_id"], "cos", 5, ["c_id"])}),
+m AS (SELECT CAST(count(*) AS BIGINT) AS matched
+  FROM bt JOIN pt ON bt.q_id = pt.q_id AND bt.c_id = pt.c_id),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bt)
+SELECT matched, total,
+  (floor((CAST(matched AS DOUBLE) / total) * 1000000.0) / 1000000.0) AS recall
+FROM m, t"""
+
+
+@register(
+    "ann_pq_recall",
+    _PQ_RECALL_SQL,
+    survey="ext: ANN evaluation — recall@5 of the PQ/ADC path vs exact "
+    "brute-force top-k (same engine-exact integer ratio as the LSH/IVF "
+    "recall meters). Quantization error is measured, not assumed: this is "
+    "the gate before shipping the 1/32-size compressed index",
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ/ADC vs exact cosine top-k — quantifies what the
+    32× index compression costs in neighbour fidelity on THIS corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.recall_at_k(
+        similarity.brute_force_topk_np(queries, emb, 5),
+        similarity.pq_topk(queries, emb, 5, n_sub=_PQ_SUB, n_codes=_PQ_CODES),
+    )
+
+
 # ===========================================================================
 # 8. Text analysis (extensions)
 # ===========================================================================

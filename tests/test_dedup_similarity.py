@@ -384,3 +384,51 @@ def test_winnowing_guarantees_shared_run_detection(spark):
         .count()
         == 0
     )
+
+
+def test_pq_topk_finds_planted_twin(planted_vecs):
+    """ADC over the 8x16 codebook must rank the near-identical twin (and
+    the exact copy) at the top for the planted query: identical vectors
+    get identical codes, so their ADC scores tie at the maximum."""
+    got = similarity.pq_topk(
+        planted_vecs.filter(F.col("vec_id") == 0), planted_vecs, k=2
+    ).collect()
+    ids = {r["c_id"] for r in got}
+    assert 3 in ids  # exact copy: same codes, tied top ADC score
+    assert 1 in ids  # near-twin: quantizes to the same codes
+
+
+def test_pq_encode_deterministic_and_bounded(spark):
+    """Codes are stable across runs and every code is in [1, n_codes]."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["c_id"]: r["codes"] for r in similarity._pq_encode(emb, 8, 16, 64).collect()}
+    b = {r["c_id"]: r["codes"] for r in similarity._pq_encode(emb, 8, 16, 64).collect()}
+    assert a == b and len(a) == emb.count()
+    assert all(len(c) == 8 and all(1 <= x <= 16 for x in c) for c in a.values())
+
+
+def test_query_pq_index_matches_index_free_form(spark, tmp_path):
+    """Serving off the persisted codes-only layout must return EXACTLY the
+    index-free pq_topk rows — same scores, same tie-breaks."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "pq_index")
+    similarity.build_pq_index(emb, path)
+    live = sorted(map(tuple, similarity.pq_topk(q, emb, 5).collect()))
+    served = sorted(map(tuple, similarity.query_pq_index(q, path, 5).collect()))
+    assert live == served and len(live) == 5 * q.count()
+
+
+def test_pq_recall_sane_and_nontrivial(spark):
+    """Recall@5 of PQ/ADC vs exact must be a valid ratio and beat zero —
+    the planted structure in real corpora lifts it far higher, but even
+    unclustered synthetic embeddings must retrieve SOME true neighbours."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    row = similarity.recall_at_k(
+        similarity.brute_force_topk_np(q, emb, 5),
+        similarity.pq_topk(q, emb, 5),
+    ).head()
+    assert row["total"] == 5 * q.count()
+    assert 0 < row["matched"] <= row["total"]
+    assert 0.0 < row["recall"] <= 1.0
