@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "dedup_semantic",
     "text_quality",
     "text_fingerprint",
     "text_redact_pii",
@@ -84,6 +85,8 @@ HEADLINE = [
     "ann_ivf_recall",
     "corpus_stratified_split",
     "corpus_shuffle_shards",
+    "corpus_bm25_topk",
+    "events_anomaly_zscore",
 ]
 
 

@@ -157,65 +157,37 @@ def pq_codebook(m_idx: int, n_codes: int, subdim: int) -> list[list[float]]:
     return out
 
 
-def _pq_scores_spark_expr(vec_sql: str, m_idx: int, n_codes: int, subdim: int) -> str:
-    """Spark-SQL text for the subspace-``m_idx`` score array: one dot of
-    the m-th subvector against every codebook centroid.
+def pq_scores_np(V, m_idx: int, n_codes: int, subdim: int):
+    """Subspace-``m_idx`` PQ scores for a float64 matrix ``V`` of shape
+    (n, dim): an (n, ``n_codes``) array of dots of each row's m-th
+    subvector against every codebook centroid.
 
-    The dots are UNROLLED scalar chains, not HOF folds: the encode stage
-    evaluates n_sub·n_codes (128) dots per row, and HOF lambdas are
-    interpreted per-call while scalar arithmetic stays in whole-stage
-    codegen — the opposite tradeoff from the dim-64 pair-stage dot,
-    where one fold per pair beats a 64-term expression (see :func:`dot`).
-    Built as SQL TEXT for a single ``F.expr`` call, not a Python Column
-    tree: composing the ~1000 terms through the Column API costs one
-    py4j round-trip per operator — measured 15.9s of DRIVER time just to
-    build the sf0.1 query's DataFrame, vs milliseconds for one parsed
-    string. Elements are cast to double one scalar at a time (an
-    array-level cast argument would be inlined and re-evaluated per
-    element — 1024 64-element array casts per row); float→double is
-    exact, and the left-fold ADD ORDER ((0 + t₁) + t₂) + … matches the
-    DuckDB twin term-for-term, so values agree bit-for-bit. Literals are
-    ``repr``-rendered with the ``D`` double suffix (centroid components
-    are unit-vector scale, so repr never needs exponent form)."""
+    Accumulation is a LEFT FOLD over the sub-dimensions — vectorized
+    across rows, sequential over dims — so every element is computed as
+    ``((0.0 + v₀·w₀) + v₁·w₁) + …``, bit-identical to the DuckDB twin's
+    ``list_reduce`` fold (:func:`pq_subspace_scores_sql`). A BLAS matmul
+    would reassociate the sum and could flip an argmax between
+    near-tied centroid scores; this form makes code assignment EXACTLY
+    equal on both engines (ties included), not merely
+    quantization-close.
+
+    Why numpy and not a Catalyst expression: the 8×16 unrolled dot
+    chains total ~1000 scalar terms; fused into any whole-stage codegen
+    method they push Janino past its 64 KB bytecode-per-method ceiling,
+    and Spark silently runs the entire stage INTERPRETED — measured 7.9s
+    vs 0.9s for ann_pq_topk at sf0.1, with no placement of exchange
+    boundaries rescuing compilation. An Arrow-batched fold (64
+    vectorized ops per subspace-batch) keeps encode off the interpreter
+    at every scale and is itself a codegen barrier for the pair join."""
+    import numpy as np
+
     off = m_idx * subdim
-    dots = []
-    for cent in pq_codebook(m_idx, n_codes, subdim):
-        acc = "0.0D"
-        for i in range(subdim):
-            acc = f"({acc} + (CAST({vec_sql}[{off + i}] AS DOUBLE) * {cent[i]!r}D))"
-        dots.append(acc)
-    return "array(" + ", ".join(dots) + ")"
-
-
-def pq_codes(vec_sql: str, n_sub: int, n_codes: int, dim: int) -> Column:
-    """PQ encoding of the array column named by ``vec_sql`` (a Spark-SQL
-    expression string, 0-based indexing): per subspace, the 1-based index
-    of the argmax-dot (== argmin-L2, centroids are unit-norm) centroid.
-    ``array<int>`` of length ``n_sub`` — the compact row an index stores
-    instead of the raw vector (n_sub small ints vs dim floats)."""
-    subdim = dim // n_sub
-    parts = []
-    for m in range(n_sub):
-        s = _pq_scores_spark_expr(vec_sql, m, n_codes, subdim)
-        parts.append(f"CAST(array_position({s}, array_max({s})) AS INT)")
-    return F.expr("array(" + ", ".join(parts) + ")")
-
-
-def pq_dtabs(vec_sql: str, n_sub: int, n_codes: int, dim: int) -> Column:
-    """Query-side ADC lookup tables over the array column named by
-    ``vec_sql``: array of ``n_sub`` arrays of ``n_codes`` dots. The
-    approximate similarity of a candidate encoded as ``codes`` is the
-    sum of ``dtabs[m][codes[m]]`` — n_sub lookups and adds per pair
-    instead of a dim-length dot product."""
-    subdim = dim // n_sub
-    return F.expr(
-        "array("
-        + ", ".join(
-            _pq_scores_spark_expr(vec_sql, m, n_codes, subdim)
-            for m in range(n_sub)
-        )
-        + ")"
-    )
+    cb = pq_codebook(m_idx, n_codes, subdim)
+    acc = np.zeros((V.shape[0], n_codes))
+    for i in range(subdim):
+        w = np.array([cb[c][i] for c in range(n_codes)])
+        acc = acc + V[:, off + i : off + i + 1] * w[None, :]
+    return acc
 
 
 def pq_adc_score(dtabs: Column, codes: Column, n_sub: int = 8) -> Column:

@@ -422,38 +422,77 @@ def brute_force_topk_np(
 def _pq_encode(
     candidates: DataFrame, n_sub: int, n_codes: int, dim: int
 ) -> DataFrame:
-    """(c_id, codes) for every candidate: argmax-dot code per subspace.
+    """(c_id, codes) for every candidate: argmax-dot code per subspace,
+    1-based like the DuckDB twin's ``list_position``.
 
-    Two stacked selects on purpose: the first materializes each
-    subspace's score array ONCE as a column; the second takes
-    argmax(array) referencing that column twice. Inlining the score
-    array into ``array_position(s, array_max(s))`` would duplicate the
-    128-term dot expression per reference (CollapseProject keeps the
-    stages apart precisely because the aliases are non-cheap and
-    multiply referenced), doubling the codegen mass for zero work
-    saved."""
-    from ..functions.vectors import _pq_scores_spark_expr
+    Arrow-batched numpy, not a Catalyst expression: the unrolled
+    codebook dots blow Janino's 64 KB method ceiling and de-optimize
+    the whole fused stage to interpreted row evaluation (see
+    :func:`..functions.vectors.pq_scores_np` for the measurement). The
+    fold order inside ``pq_scores_np`` is bit-identical to the SQL
+    twin, so argmax ties resolve identically on both engines
+    (``np.argmax`` and ``list_position(s, list_max(s))`` both take the
+    FIRST maximum)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import pq_scores_np
 
     subdim = dim // n_sub
-    scored = candidates.select(
-        F.col("vec_id").alias("c_id"),
-        *[
-            F.expr(_pq_scores_spark_expr("embedding", m, n_codes, subdim)).alias(
-                f"_pqs{m}"
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            for m in range(n_sub)
-        ],
+            codes = np.empty((len(pdf), n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                s = pq_scores_np(V, m, n_codes, subdim)
+                codes[:, m] = s.argmax(axis=1) + 1
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": codes.tolist(),
+                }
+            )
+
+    from .skew import fan_out
+
+    return fan_out(candidates.select("vec_id", "embedding")).mapInPandas(
+        enc, "c_id long, codes array<int>"
     )
-    return scored.select(
-        "c_id",
-        F.array(
-            *[
-                F.array_position(
-                    F.col(f"_pqs{m}"), F.array_max(F.col(f"_pqs{m}"))
-                ).cast("int")
-                for m in range(n_sub)
-            ]
-        ).alias("codes"),
+
+
+def _pq_query_frame(
+    queries: DataFrame, n_sub: int, n_codes: int, dim: int
+) -> DataFrame:
+    """(q_id, qd) for every query: the ADC lookup tables — ``n_sub``
+    arrays of ``n_codes`` subspace dots — computed driver-side with the
+    same bit-exact fold as :func:`_pq_encode` and shipped back as a
+    small DataFrame for the broadcast side of the pair join (the ANN
+    contract: queries are the small side, same assumption as
+    :func:`brute_force_topk_np`'s driver collect)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import pq_scores_np
+
+    spark = queries.sparkSession
+    subdim = dim // n_sub
+    q_pd = queries.select("vec_id", "embedding").toPandas()
+    schema = "q_id long, qd array<array<double>>"
+    if len(q_pd) == 0:
+        return spark.createDataFrame([], schema)
+    V = np.array([np.asarray(v, dtype=np.float64) for v in q_pd["embedding"]])
+    tabs = [pq_scores_np(V, m, n_codes, subdim) for m in range(n_sub)]
+    qd = [[tabs[m][r].tolist() for m in range(n_sub)] for r in range(len(q_pd))]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"q_id": q_pd["vec_id"].to_numpy(dtype=np.int64), "qd": qd}
+        ),
+        schema,
     )
 
 
@@ -485,15 +524,10 @@ def pq_topk(
     broadcast, candidates narrow), so :func:`_partial_topk` bounds the
     exchange at k·|Q| rows per partition.
     """
-    from ..functions.vectors import pq_adc_score, pq_dtabs
+    from ..functions.vectors import pq_adc_score
 
-    from .skew import fan_out
-
-    q = queries.select(
-        F.col("vec_id").alias("q_id"),
-        pq_dtabs("embedding", n_sub, n_codes, dim).alias("qd"),
-    )
-    c = _pq_encode(fan_out(candidates), n_sub, n_codes, dim)
+    q = _pq_query_frame(queries, n_sub, n_codes, dim)
+    c = _pq_encode(candidates, n_sub, n_codes, dim)
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
     scored = pairs.select(
         "q_id",
@@ -534,13 +568,10 @@ def query_pq_index(
     """Serve ADC top-k off a persisted :func:`build_pq_index` layout —
     scans codes only (no embedding column touched), same scores and
     tie-break as the index-free :func:`pq_topk`."""
-    from ..functions.vectors import pq_adc_score, pq_dtabs
+    from ..functions.vectors import pq_adc_score
 
     spark = queries.sparkSession
-    q = queries.select(
-        F.col("vec_id").alias("q_id"),
-        pq_dtabs("embedding", n_sub, n_codes, dim).alias("qd"),
-    )
+    q = _pq_query_frame(queries, n_sub, n_codes, dim)
     c = spark.read.parquet(path).select(F.col("vec_id").alias("c_id"), "codes")
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
     scored = pairs.select(
@@ -573,4 +604,84 @@ def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:
         quantize(F.col("matched").cast("double") / F.col("total"), 6).alias(
             "recall"
         ),
+    )
+
+
+def semantic_dedup(
+    candidates: DataFrame,
+    threshold: float,
+    n_cells: int = 8,
+    dim: int = DIM,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    embeddings are clustered (here: assigned to their argmax-score cell
+    among ``n_cells`` deterministic pseudo-centroids, the same index
+    family as :func:`ivf_topk`), then pairwise cosine is computed ONLY
+    within a cell; of any pair above ``threshold`` the member MORE
+    similar to its centroid is dropped (the paper's keep-least-typical
+    rule), deterministically tie-broken on vec_id.
+
+    Returns the full keep-list: (vec_id, cell, centroid_score, kept).
+
+    Scale shape: the expensive step is the within-cell self-join — work
+    is sum(cell_size^2), never the global n^2. At 100 TB the cell count
+    grows with the corpus (SemDeDup uses ~sqrt(n) k-means clusters) so
+    cell sizes stay bounded; the join is an integer equi-join on cell,
+    so it shuffles once on a uniform key. The drop-set is a distinct of
+    losers (<= n rows, typically tiny), joined back as a left join the
+    optimizer can broadcast.
+
+    Reference analogue: none (the reference has no embedding ops);
+    extension family per SURVEY §2 ext rows.
+    """
+    from ..functions.vectors import cell_scores
+
+    s = cell_scores(as_double(F.col("embedding")), n_cells, dim)
+    ac = (
+        candidates.withColumn("_cs", s)
+        .select(
+            "vec_id",
+            as_double(F.col("embedding")).alias("v"),
+            norm(as_double(F.col("embedding")), dim).alias("n"),
+            F.array_position(F.col("_cs"), F.array_max(F.col("_cs")))
+            .cast("int")
+            .alias("cell"),
+            quantize(F.array_max(F.col("_cs")), 6).alias("centroid_score"),
+        )
+    )
+    a = ac.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("n").alias("an"),
+        "cell",
+        F.col("centroid_score").alias("a_cs"),
+    )
+    b = ac.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("n").alias("bn"),
+        "cell",
+        F.col("centroid_score").alias("b_cs"),
+    )
+    denom = F.col("an") * F.col("bn")
+    cos = F.when(denom != 0, quantize(dot(F.col("av"), F.col("bv"), dim) / denom, 6))
+    losers = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(cos >= threshold)
+        # a loses when it is MORE typical (higher centroid score) than b;
+        # exact-equal scores fall back to the id order
+        .filter(
+            (F.col("a_cs") > F.col("b_cs"))
+            | ((F.col("a_cs") == F.col("b_cs")) & (F.col("a_id") > F.col("b_id")))
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_lost", F.lit(True))
+    )
+    return ac.join(losers, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "centroid_score",
+        F.coalesce(F.col("_lost") == F.lit(False), F.lit(True)).alias("kept"),
     )

@@ -1308,6 +1308,39 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_CELLS = 8
+_SEMDEDUP_TAU = 0.4  # synthetic embeddings top out near cos 0.51 (see
+# dedup_embedding_cosine); production near-dup would use ~0.95
+
+
+@register(
+    "dedup_semantic",
+    f"""WITH e AS ({_EMB_CTE}),
+sc AS (SELECT vec_id, v, {V.cell_scores_sql("v", _SEMDEDUP_CELLS, 64)} AS cs FROM e),
+ac AS (SELECT vec_id, v,
+  CAST(list_position(cs, list_max(cs)) AS INT) AS cell,
+  {V.quantize_sql("list_max(cs)", 6)} AS centroid_score FROM sc),
+losers AS (SELECT DISTINCT a.vec_id
+  FROM ac a JOIN ac b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE {V.cosine_sql("a.v", "b.v", 64)} >= {_SEMDEDUP_TAU}
+    AND (a.centroid_score > b.centroid_score OR
+         (a.centroid_score = b.centroid_score AND a.vec_id > b.vec_id)))
+SELECT ac.vec_id, cell, centroid_score,
+       losers.vec_id IS NULL AS kept
+FROM ac LEFT JOIN losers ON ac.vec_id = losers.vec_id""",
+    survey="ext: SemDeDup semantic deduplication — cluster embeddings "
+    "(deterministic IVF pseudo-centroids), pairwise cosine ONLY within a "
+    "cell, drop the more-typical member of any pair above the threshold. "
+    "Work is sum(cell^2), never global n^2; the cell count grows with the "
+    "corpus (~sqrt(n) clusters) so cell sizes stay bounded at 100 TB",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep-list over the embeddings table.
+    Extension family — the reference has no embedding operators."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, _SEMDEDUP_TAU, n_cells=_SEMDEDUP_CELLS)
+
+
 # ===========================================================================
 # 8. Text analysis (extensions)
 # ===========================================================================
@@ -1932,6 +1965,63 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+_ZSCORE_TAU = 2.5
+
+
+@register(
+    "events_anomaly_zscore",
+    f"""WITH b AS (SELECT event_id, event_type, value,
+  CAST(floor(value * 100) AS BIGINT) AS xc FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(xc) AS BIGINT) AS s1, CAST(sum(xc * xc) AS BIGINT) AS s2
+  FROM b GROUP BY event_type),
+z AS (SELECT event_id, b.event_type, value,
+  (CAST(xc AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+  sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS zs
+  FROM b JOIN s ON b.event_type = s.event_type)
+SELECT event_id, event_type, value, {V.quantize_sql("zs", 4)} AS z
+FROM z WHERE abs(zs) >= {_ZSCORE_TAU}""",
+    survey="ext: per-group z-score outlier detection — values are "
+    "integer-quantized (cents) BEFORE aggregation so the per-group sums "
+    "are exact integers and mean/std are bit-identical row-local doubles "
+    "on every engine (no float fold-order hazard at the filter boundary); "
+    "group stats are a 5-row broadcast joined back map-side",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly flagging: the data-quality gate a
+    telemetry/training pipeline runs before aggregation. Sums integer
+    cents (exact, engine-order-independent) rather than raw doubles:
+    mean/variance derive row-locally from (n, Σx, Σx²), so the |z| ≥ τ
+    cut is engine-exact. At 1e16+ cents² per group the Σx² accumulator
+    would need DECIMAL — at this value range that is beyond 100 TB.
+    Extension family (no reference analogue)."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 100).cast("long").alias("xc"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("s1"),
+        F.sum(F.col("xc") * F.col("xc")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        F.col("n") * (F.col("n") - F.lit(1))
+    ).cast("double")
+    zs = (F.col("xc").cast("double") - mean) / F.sqrt(var)
+    return (
+        b.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id", "event_type", "value", zs.alias("zs")
+        )
+        .filter(F.abs(F.col("zs")) >= _ZSCORE_TAU)
+        .select("event_id", "event_type", "value", V.quantize(F.col("zs"), 4).alias("z"))
     )
 
 

@@ -747,6 +747,114 @@ def corpus_tfidf_top_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson/Sparck Jones, public) — the ranking
+# function behind corpus search / retrieval-based decontamination
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "query", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    pivots = ",\n   ".join(
+        f"max(CASE WHEN term = '{t}' THEN contrib END) AS c{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    total = " + ".join(f"coalesce(c{i}, 0.0)" for i in range(len(_BM25_TERMS)))
+    return f"""WITH t AS (
+  SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+tf AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE term IN ({terms}) GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (SELECT doc_id, term,
+  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+  (tf * {k1 + 1.0}) / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS contrib
+  FROM tf JOIN dfreq USING (term), stats),
+pd AS (SELECT doc_id,
+   {pivots}
+   FROM sc GROUP BY 1)
+SELECT doc_id, {V.quantize_sql(total, 4)} AS bm25 FROM pd
+ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}"""
+
+
+@register(
+    "corpus_bm25_topk",
+    _bm25_sql(),
+    survey="ext: BM25 document ranking for a fixed query-term set — "
+    "tokenize once, filter to query terms BEFORE the shuffle (the explode "
+    "collapses to <= |terms| rows per doc map-side), per-term df and the "
+    "(n_docs, avgdl) scalar join back as broadcasts, per-doc scores fold "
+    "in fixed term order (engine-exact), global top-K via sort+limit "
+    "(TakeOrderedAndProject — no full sort materialization)",
+)
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-K retrieval over the documents table. The per-doc
+    score folds per-term contributions in the FIXED literal term order
+    (a max-pivot per term, then one expression-level sum), so the double
+    is bit-identical on both engines — no cross-row float accumulation.
+    Extension family; the reference has no retrieval scoring."""
+    d = _docs(spark, sf_dir)
+    k1, b = _BM25_K1, _BM25_B
+    toks = d.select("doc_id", X.tokenize(F.col("text")).alias("toks"))
+    dl = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), "toks"
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    t = dl.select("doc_id", "dl", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = t.groupBy("doc_id", "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    sc = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", "term", contrib.alias("contrib"))
+    )
+    pivots = [
+        F.max(F.when(F.col("term") == t_, F.col("contrib"))).alias(f"c{i}")
+        for i, t_ in enumerate(_BM25_TERMS)
+    ]
+    pd_ = sc.groupBy("doc_id").agg(*pivots)
+    total = sum(
+        (F.coalesce(F.col(f"c{i}"), F.lit(0.0)) for i in range(len(_BM25_TERMS))),
+        start=F.lit(0.0),
+    )
+    # expression builds as ((((0.0 + c0) + c1) + c2) + c3) — same fold
+    # order as the SQL's left-assoc "+" chain after its leading coalesce;
+    # the leading 0.0 is additive identity, bit-exact for finite doubles.
+    # floor-quantize (not round): the top-K boundary compares this value
+    return (
+        pd_.select("doc_id", V.quantize(total, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-source quota (domain cap) — C4/RefinedWeb-style mix control
 # ---------------------------------------------------------------------------
 

@@ -593,3 +593,48 @@ def test_perplexity_buckets_are_ordered_and_cover(spark):
     assert min(by_bucket["head"]) >= max(by_bucket["middle"])
     assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
     assert sum(len(v) for v in by_bucket.values()) == len(rows)
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    # planted: doc 0 saturates every query term, doc 1 has one hit in a
+    # long document, doc 2 has none (must be absent from the ranking)
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _BM25_TERMS,
+        corpus_bm25_topk,
+    )
+    import spark_streaming_twitch_analytics_spark.registry_corpus as RC
+
+    rows = [
+        (0, " ".join(_BM25_TERMS * 3)),
+        (1, "query " + "filler " * 60),
+        (2, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = RC._docs
+    RC._docs = lambda s, d: df
+    try:
+        got = corpus_bm25_topk(spark, "unused").collect()
+    finally:
+        RC._docs = orig
+    by_id = {r["doc_id"]: r["bm25"] for r in got}
+    assert set(by_id) == {0, 1}  # termless doc never scores
+    assert by_id[0] > by_id[1] > 0
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark):
+    from spark_streaming_twitch_analytics_spark import registry as R
+
+    rows = [(i, "click", 10.0) for i in range(40)] + [(99, "click", 500.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    import spark_streaming_twitch_analytics_spark.tables as T
+
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, n: df
+        R.load_table = T.load_table  # registry binds the name at import
+        got = R.get("events_anomaly_zscore").fn(spark, "unused").collect()
+    finally:
+        T.load_table = orig
+        R.load_table = orig
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["z"] > 2.5  # the spike is the positive outlier

@@ -432,3 +432,23 @@ def test_pq_recall_sane_and_nontrivial(spark):
     assert row["total"] == 5 * q.count()
     assert 0 < row["matched"] <= row["total"]
     assert 0.0 < row["recall"] <= 1.0
+
+
+def test_semantic_dedup_drops_more_typical_twin(planted_vecs):
+    got = {r["vec_id"]: r for r in similarity.semantic_dedup(planted_vecs, 0.99).collect()}
+    assert len(got) == 4  # full keep-list, one row per vector
+    # 0/1/3 share a direction (cos ~1): they land in the same argmax cell,
+    # so exactly one of the near-dup set survives
+    same_cell = {i for i in (0, 1, 3) if got[i]["cell"] == got[0]["cell"]}
+    kept_in_group = [i for i in same_cell if got[i]["kept"]]
+    assert len(kept_in_group) == 1
+    # the survivor is the LEAST typical (lowest centroid score, ties → low id)
+    survivor = min(same_cell, key=lambda i: (got[i]["centroid_score"], i))
+    assert kept_in_group == [survivor]
+    # the dissimilar vector is never dropped by this group
+    assert got[2]["kept"]
+
+
+def test_semantic_dedup_no_pairs_above_threshold_keeps_all(planted_vecs):
+    out = similarity.semantic_dedup(planted_vecs.filter(F.col("vec_id").isin(0, 2)), 0.99)
+    assert all(r["kept"] for r in out.collect())
