@@ -1811,6 +1811,102 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SW_ANOM_TAU = 2.0
+
+
+@register(
+    "streaming_window_anomaly",
+    f"""WITH b AS (SELECT event_id, event_type, value,
+  CAST(floor(value * 100) AS BIGINT) AS xc,
+  strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS win_start
+  FROM events),
+s AS (SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(xc) AS BIGINT) AS s1, CAST(sum(xc * xc) AS BIGINT) AS s2
+  FROM b GROUP BY 1, 2),
+z AS (SELECT event_id, b.event_type, b.win_start, value,
+  (CAST(xc AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+  sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS zs
+  FROM b JOIN s ON b.win_start = s.win_start AND b.event_type = s.event_type
+  WHERE n >= 2 AND n * s2 - s1 * s1 > 0)
+SELECT event_id, event_type, win_start, value, {V.quantize_sql("zs", 4)} AS z
+FROM z WHERE abs(zs) >= {_SW_ANOM_TAU}""",
+    survey="ext: STREAMING windowed anomaly detection — per (1h tumbling "
+    "window, event_type) moment sums accumulate in the state store as "
+    "exact INTEGERS (values are cent-quantized before aggregation, so the "
+    "final stats are split-invariant: any micro-batch replay yields the "
+    "same sums bit-for-bit), then the closed-window stats table scores "
+    "the events batch-side — the stats-stream + scoring-scan topology a "
+    "production telemetry monitor runs; result ≡ the all-batch oracle",
+)
+def streaming_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed z-score outliers where the window statistics come from a
+    REAL stream (one file per micro-batch): stateful tumbling-window
+    aggregation of (n, Σx, Σx²) integer moments, complete-mode snapshot,
+    then a batch join scores every event against its own window's
+    closed stats. Streaming ≡ batch because integer sums are associative
+    and the watermark outlives the replay. Two-pass by construction —
+    z-scores need the window CLOSED before any event in it can be
+    scored; the streaming stats table is exactly the first pass."""
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "3650 days")
+            .withColumn("xc", F.floor(F.col("value") * 100).cast("long"))
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("xc").alias("s1"),
+                F.sum(F.col("xc") * F.col("xc")).alias("s2"),
+            )
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                "event_type",
+                "n",
+                "s1",
+                "s2",
+            )
+        )
+
+    stats = _run_stream_over_events(spark, sf_dir, build, mode="complete")
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 100).cast("long").alias("xc"),
+        F.date_format(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 3600)
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("win_start"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        F.col("n") * (F.col("n") - F.lit(1))
+    ).cast("double")
+    zs = (F.col("xc").cast("double") - mean) / F.sqrt(var)
+    return (
+        b.join(stats, ["win_start", "event_type"])
+        .filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        )
+        .select("event_id", "event_type", "win_start", "value", zs.alias("zs"))
+        .filter(F.abs(F.col("zs")) >= _SW_ANOM_TAU)
+        .select(
+            "event_id",
+            "event_type",
+            "win_start",
+            "value",
+            V.quantize(F.col("zs"), 4).alias("z"),
+        )
+    )
+
+
 # ===========================================================================
 # 10. Relational breadth extensions: set ops, distinct, rollup, pivot,
 # as-of / range joins, percentiles — capabilities a user of any analytics

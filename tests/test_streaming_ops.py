@@ -137,3 +137,22 @@ def test_registered_interval_join_is_split_invariant(spark):
     ]
     assert runs[0] == runs[1]
     assert runs[0]  # non-trivial: matches exist at this SF
+
+
+def test_streaming_window_anomaly_is_split_invariant_and_thresholded(spark):
+    """Every emitted row exceeds the threshold, and a full replay
+    (fresh feeder files + fresh state store) reproduces the anomaly
+    set bit-for-bit — the streamed window moments are exact integers,
+    so the state outcome does not depend on the run."""
+    from spark_streaming_twitch_analytics_spark import registry
+
+    rows = registry.get("streaming_window_anomaly").fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows  # non-trivial at this SF
+    assert all(abs(r["z"]) >= 2.0 for r in rows)
+    # full replay (fresh feeder + fresh memory sink): identical set
+    again = registry.get("streaming_window_anomaly").fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}

@@ -74,6 +74,7 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "ext-relational": ("set ops/rollup/pivot/as-of/range/percentiles/windows", "registry.py §10; operators/asof.py"),
     "ext-tpch": ("all 22 TPC-H query shapes (adapted to the testdata schema)", "registry.py §5; registry_tpch.py"),
     "ext-corpus": ("training-corpus prep: sampling/mixing/chunking/packing/redaction/keep-lists/statistics", "registry.py §12; registry_corpus.py; sources/io.py write_training_shards (epoch-shuffle layout writer); streaming/ingest.py (stream≡batch ingestion, tests/test_streaming_ingest.py)"),
+    "ext-anomaly": ("per-group / windowed z-score outlier detection (engine-exact integer moments)", "registry.py events_anomaly_zscore / streaming_window_anomaly"),
 }
 
 
@@ -120,6 +121,7 @@ def main() -> None:
         if q.name.startswith("corpus_")
         or q.name in ("text_redact_pii", "dedup_keep_canonical")
     ]
+    by_id["ext-anomaly"] = ["events_anomaly_zscore", "streaming_window_anomaly"]
     by_id["ext-relational"] = [
         "set_ops", "drop_duplicates", "rollup_orders", "pivot_events",
         "asof_join_events", "range_join_buckets", "quantiles_exact",

@@ -65,6 +65,10 @@ QUERIES = [
     "corpus_perplexity_buckets",
     "corpus_checksum",
     "corpus_dedup_report",
+    "dedup_semantic",
+    "corpus_bm25_topk",
+    "events_anomaly_zscore",
+    "ann_pq_topk",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
