@@ -1063,6 +1063,58 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 10**12
+_PR_ITERS = 4
+
+
+def _pagerank_sql() -> str:
+    base = (_PR_SCALE * 15) // 100
+    ctes = [
+        """undirected AS (SELECT a AS src, b AS dst FROM edges
+               UNION SELECT b AS src, a AS dst FROM edges)""",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM undirected GROUP BY 1)",
+        f"r0 AS (SELECT src AS node, d, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)",
+    ]
+    for t in range(_PR_ITERS):
+        ctes.append(
+            f"""r{t + 1} AS (
+  SELECT deg.src AS node, deg.d,
+         CAST({base} + sum((r{t}.r * 85) // (100 * r{t}.d)) AS BIGINT) AS r
+  FROM undirected u JOIN r{t} ON u.src = r{t}.node
+  JOIN deg ON deg.src = u.dst
+  GROUP BY 1, 2)"""
+        )
+    return (
+        _CLUSTER_EDGES_SQL
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, d AS degree, r AS rank FROM r{_PR_ITERS}"
+    )
+
+
+@register(
+    "dedup_pagerank_centrality",
+    _pagerank_sql(),
+    survey="ext: deterministic integer PageRank over the minhash near-dup "
+    "graph — centrality-based canonical selection (the most central member "
+    "of a boilerplate family is its best representative). All flows are "
+    "BIGINT ((r*85) div (100*deg) per edge, restart (scale*15) div 100), "
+    "so per-node sums are order-independent and the K-round result is "
+    "bit-identical on both engines — no float fold hazard. Per round: one "
+    "keyed join + one keyed groupBy, bounded by the dup-graph size",
+)
+def dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-round integer PageRank over the near-dup edge set (minhash
+    pairs, jaccard >= 0.5 — the same graph ``dedup_clusters`` components
+    are built from). Extension family; iterative-algorithm showcase
+    alongside label propagation."""
+    from .operators.clusters import pagerank_int
+
+    pairs = dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
+    edges = pairs.filter(F.col("jaccard") >= 0.5).select("a", "b")
+    return pagerank_int(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+
+
 # ===========================================================================
 # 7. Similarity search (extensions)
 # ===========================================================================

@@ -855,6 +855,57 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-weighted sampling (Efraimidis–Spirakis, public) — sample documents
+# with probability proportional to token count, the weighting pretraining
+# mixtures actually use
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_N = 50
+_WSAMPLE_SALT = "wsample"
+
+
+@register(
+    "corpus_token_weighted_sample",
+    f"""WITH t AS (SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents),
+k AS (SELECT doc_id, CAST(len(toks) + 1 AS BIGINT) AS w,
+  ({hash48_sql(f"CAST(doc_id AS VARCHAR) || '{_WSAMPLE_SALT}'")} + 1)
+    / 281474976710656.0 AS u
+  FROM t)
+SELECT doc_id, w, {V.quantize_sql("ln(u) / w", 8)} AS skey
+FROM k ORDER BY skey DESC, doc_id LIMIT {_WSAMPLE_N}""",
+    survey="ext: weighted sampling without replacement (Efraimidis–"
+    "Spirakis top-K keys) — inclusion probability proportional to token "
+    "count, fully deterministic: the uniform draw is the salted md5 "
+    "hash48 of the doc id (an exact integer ratio), the key ln(u)/w is "
+    "row-local double math floor-quantized at 8dp, and the top-K is "
+    "sort+limit (TakeOrderedAndProject: per-partition K-heaps, no global "
+    "sort). Reproducible on any engine/partitioning — the property a "
+    "training-mix sampler must have for re-runs to build the same corpus",
+)
+def corpus_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted deterministic sample of ``_WSAMPLE_N`` docs: the
+    Efraimidis–Spirakis scheme ranks by u^(1/w) (equivalently ln(u)/w),
+    here with u derived from the salted hash48 so every engine draws the
+    same 'randomness'. Long docs are proportionally more likely — the
+    standard token-budget-aware corpus subsample."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", X.tokenize(F.col("text")).alias("toks"))
+    w = (F.size("toks") + F.lit(1)).cast("long")
+    u = (
+        hash48(F.concat(F.col("doc_id").cast("string"), F.lit(_WSAMPLE_SALT)))
+        + F.lit(1)
+    ) / F.lit(281474976710656.0)
+    k = toks.select("doc_id", w.alias("w"), u.alias("u"))
+    return (
+        k.select(
+            "doc_id", "w", V.quantize(F.log(F.col("u")) / F.col("w"), 8).alias("skey")
+        )
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(_WSAMPLE_N)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-source quota (domain cap) — C4/RefinedWeb-style mix control
 # ---------------------------------------------------------------------------
 

@@ -638,3 +638,37 @@ def test_anomaly_zscore_flags_planted_outlier(spark):
         R.load_table = orig
     assert [r["event_id"] for r in got] == [99]
     assert got[0]["z"] > 2.5  # the spike is the positive outlier
+
+
+def test_token_weighted_sample_prefers_long_docs_and_is_monotone(spark):
+    import spark_streaming_twitch_analytics_spark.registry_corpus as RC
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        corpus_token_weighted_sample,
+    )
+
+    # 200 docs competing for 50 slots: even ids 50 tokens, odd ids 2
+    rows = [
+        (i, ("tok " * (50 if i % 2 == 0 else 2)).strip()) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = RC._docs
+    RC._docs = lambda s, d: df
+    try:
+        got = corpus_token_weighted_sample(spark, "unused").collect()
+        # monotonicity: same doc ids with LONGER text must not lower any key
+        df2 = spark.createDataFrame(
+            [(i, ("tok " * 100).strip()) for i in range(200)],
+            "doc_id long, text string",
+        )
+        RC._docs = lambda s, d: df2
+        boosted = {
+            r["doc_id"]: r["skey"]
+            for r in corpus_token_weighted_sample(spark, "unused").collect()
+        }
+    finally:
+        RC._docs = orig
+    keys = {r["doc_id"]: r["skey"] for r in got}
+    long_docs = sum(1 for i in keys if i % 2 == 0)
+    assert long_docs > len(keys) - long_docs  # token-weighting visible
+    # same u (same id+salt), larger w => key can only move toward 0
+    assert all(boosted[i] >= keys[i] for i in keys if i in boosted)

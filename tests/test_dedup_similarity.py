@@ -452,3 +452,21 @@ def test_semantic_dedup_drops_more_typical_twin(planted_vecs):
 def test_semantic_dedup_no_pairs_above_threshold_keeps_all(planted_vecs):
     out = similarity.semantic_dedup(planted_vecs.filter(F.col("vec_id").isin(0, 2)), 0.99)
     assert all(r["kept"] for r in out.collect())
+
+
+def test_pagerank_int_center_of_star_ranks_highest_and_is_deterministic(spark):
+    from spark_streaming_twitch_analytics_spark.operators.clusters import pagerank_int
+
+    # star: 0 is the hub of 1,2,3; 4-5 an isolated pair
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 5)], "a long, b long"
+    )
+    got = {r["doc_id"]: r for r in pagerank_int(edges).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    assert got[0]["degree"] == 3
+    # the hub out-ranks every leaf; the isolated pair is symmetric
+    assert all(got[0]["rank"] > got[i]["rank"] for i in (1, 2, 3))
+    assert got[4]["rank"] == got[5]["rank"]
+    # bit-exact repeatability (integer flows: no fold-order hazard)
+    again = {r["doc_id"]: r["rank"] for r in pagerank_int(edges).collect()}
+    assert again == {k: v["rank"] for k, v in got.items()}
