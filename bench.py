@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "dedup_semantic",
+    "ann_ivfpq_topk",
     "text_quality",
     "text_fingerprint",
     "text_redact_pii",

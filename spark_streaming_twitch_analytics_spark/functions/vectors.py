@@ -190,6 +190,23 @@ def pq_scores_np(V, m_idx: int, n_codes: int, subdim: int):
     return acc
 
 
+def cell_scores_np(V, n_cells: int, dim: int):
+    """Numpy twin of :func:`cell_scores` for a float64 matrix ``V`` of
+    shape (n, dim): (n, ``n_cells``) IVF assignment scores with the same
+    LEFT-FOLD accumulation as the Column/SQL forms (vectorized across
+    rows, sequential over dims) — bit-identical, so argmax cell
+    assignment and value-masked probe selection agree exactly with the
+    engine-side expressions."""
+    import numpy as np
+
+    cents = [centroid_weights(c, dim) for c in range(n_cells)]
+    acc = np.zeros((V.shape[0], n_cells))
+    for i in range(dim):
+        w = np.array([float(cents[c][i]) for c in range(n_cells)])
+        acc = acc + V[:, i : i + 1] * w[None, :]
+    return acc
+
+
 def pq_adc_score(dtabs: Column, codes: Column, n_sub: int = 8) -> Column:
     """ADC sum: ((0 + dtabs[1][codes[1]]) + dtabs[2][codes[2]]) + … —
     the PQ approximation of cosine·|q| (a per-query positive scale, so

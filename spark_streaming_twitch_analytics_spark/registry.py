@@ -1360,6 +1360,78 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_SQL = f"""WITH e AS ({_EMB_CTE}),
+{_IVF_SQL_ASSIGN},
+{_IVF_SQL_PROBES}
+pqc AS (SELECT vec_id AS c_id, cell,
+  {V.pq_codes_sql("v", _PQ_SUB, _PQ_CODES, 64)} AS codes FROM ac),
+pqq AS (SELECT q_id, cell,
+  {V.pq_dtabs_sql("qv", _PQ_SUB, _PQ_CODES, 64)} AS qd FROM qp),
+pscored AS (SELECT q_id, c_id,
+  {V.quantize_sql(V.pq_adc_score_sql("qd", "codes", _PQ_SUB), 6)} AS pq_sim
+  FROM pqc JOIN pqq USING (cell) WHERE c_id <> q_id)"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    _IVFPQ_SQL
+    + f"""
+{topk.top_k_per_group_sql("SELECT * FROM pscored", ["q_id"], "pq_sim", 5, ["c_id"])}""",
+    survey="ext: IVF+PQ composed ANN — the standard large-scale serving "
+    "shape (inverted-file coarse pruning to n_probe/n_cells of the "
+    "corpus, then asymmetric-distance scoring over 8-byte codes): scan "
+    "volume and per-candidate bytes shrink MULTIPLICATIVELY. Probe "
+    "selection and code assignment are the same bit-exact folds as the "
+    "standalone IVF and PQ paths, so the composition needed no new "
+    "determinism machinery",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse pruning + PQ/ADC scoring (the FAISS IVFPQ shape,
+    public): queries meet only their probed cells' candidates and pay 8
+    table lookups per pair; the serving layout is (cell, codes) — both
+    partition-pruned AND 1/32 the raw bytes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.ivfpq_topk(
+        queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2,
+        n_sub=_PQ_SUB, n_codes=_PQ_CODES,
+    )
+
+
+@register(
+    "ann_ivfpq_recall",
+    _IVFPQ_SQL
+    + f""",
+pt AS ({topk.top_k_per_group_sql("SELECT * FROM pscored", ["q_id"], "pq_sim", 5, ["c_id"])}),
+bq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+bscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, bq WHERE c.vec_id <> q_id),
+bt AS ({topk.top_k_per_group_sql("SELECT * FROM bscored", ["q_id"], "cos", 5, ["c_id"])}),
+m AS (SELECT CAST(count(*) AS BIGINT) AS matched
+  FROM bt JOIN pt ON bt.q_id = pt.q_id AND bt.c_id = pt.c_id),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bt)
+SELECT matched, total,
+  (floor((CAST(matched AS DOUBLE) / total) * 1000000.0) / 1000000.0) AS recall
+FROM m, t""",
+    survey="ext: ANN evaluation — recall@5 of the composed IVF+PQ path vs "
+    "exact brute-force top-k: probe loss and quantization loss PRICED "
+    "TOGETHER, the number that decides whether the composed index is "
+    "shippable for a given corpus",
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF+PQ vs exact cosine top-k (np truth side, like the
+    other recall meters)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.recall_at_k(
+        similarity.brute_force_topk_np(queries, emb, 5),
+        similarity.ivfpq_topk(
+            queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2,
+            n_sub=_PQ_SUB, n_codes=_PQ_CODES,
+        ),
+    )
+
+
 _SEMDEDUP_CELLS = 8
 _SEMDEDUP_TAU = 0.4  # synthetic embeddings top out near cos 0.51 (see
 # dedup_embedding_cosine); production near-dup would use ~0.95

@@ -470,3 +470,32 @@ def test_pagerank_int_center_of_star_ranks_highest_and_is_deterministic(spark):
     # bit-exact repeatability (integer flows: no fold-order hazard)
     again = {r["doc_id"]: r["rank"] for r in pagerank_int(edges).collect()}
     assert again == {k: v["rank"] for k, v in got.items()}
+
+
+def test_ivfpq_topk_finds_planted_twin(planted_vecs):
+    """The composed IVF+PQ path must keep the exact copy and the
+    near-twin in the probed cells AND rank them top: identical vectors
+    share a cell and codes, so their ADC scores tie at the max."""
+    got = similarity.ivfpq_topk(
+        planted_vecs.filter(F.col("vec_id") == 0), planted_vecs, k=2
+    ).collect()
+    ids = {r["c_id"] for r in got}
+    assert 3 in ids  # exact copy
+    assert 1 in ids  # near twin
+
+
+def test_ivfpq_subset_of_pq_candidates(spark):
+    """IVF pruning only REMOVES candidates: every IVF+PQ neighbour of a
+    query must carry the same ADC score the unpruned PQ path assigns."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    full = {
+        (r["q_id"], r["c_id"]): r["pq_sim"]
+        for r in similarity.pq_topk(q, emb, 50).collect()
+    }
+    pruned = similarity.ivfpq_topk(q, emb, 5).collect()
+    assert pruned
+    for r in pruned:
+        key = (r["q_id"], r["c_id"])
+        if key in full:  # same pair reachable in both: identical score
+            assert full[key] == r["pq_sim"]
