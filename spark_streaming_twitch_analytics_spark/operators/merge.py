@@ -114,3 +114,66 @@ SELECT {cols} FROM ({base_rel}) b
 WHERE NOT EXISTS (SELECT 1 FROM __latest l WHERE {on})
 UNION ALL
 SELECT {cols} FROM __latest WHERE {op_col} <> '{delete_op}'"""
+
+
+def scd2_history(
+    events: DataFrame,
+    keys: list[str],
+    attr_col: str,
+    seq_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an append-only
+    change log: collapse consecutive no-change rows per key, then emit
+    one versioned row per surviving change with a [valid_from, valid_to)
+    interval (open-ended for the current version).
+
+    Counterpart of the reference's overwrite-only table updates
+    (``RedisInterface.scala:9-31`` keeps only the latest state): this
+    keeps the full audit history, the shape every warehouse dimension
+    load needs.
+
+    Scale: both windows (the change-detection lag and the interval
+    lead/version) partition by the SAME keys, so Catalyst reuses one
+    exchange — a single shuffle of the change log regardless of history
+    depth. No driver state; skewed keys fall to AQE.
+    """
+    order = [F.col(c).asc() for c in (ts_col, *seq_cols)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(attr_col)).over(w)
+    changed = events.withColumn("__prev", prev).filter(
+        F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev"))
+    )
+    return changed.select(
+        *keys,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        F.lead(F.col(ts_col)).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+
+
+def scd2_history_sql(
+    events_rel: str,
+    keys: list[str],
+    attr_col: str,
+    seq_cols: list[str],
+    ts_col: str,
+) -> str:
+    """DuckDB twin of :func:`scd2_history` (same change-collapse and
+    interval semantics; `is_current` boolean on both engines)."""
+    ks = ", ".join(keys)
+    order = ", ".join([ts_col, *seq_cols])
+    return f"""
+WITH __o AS (
+  SELECT *, lag({attr_col}) OVER (PARTITION BY {ks} ORDER BY {order}) AS __prev
+  FROM ({events_rel})),
+__chg AS (
+  SELECT * FROM __o WHERE __prev IS NULL OR {attr_col} <> __prev)
+SELECT {ks}, {attr_col},
+  {ts_col} AS valid_from,
+  lead({ts_col}) OVER (PARTITION BY {ks} ORDER BY {order}) AS valid_to,
+  lead({ts_col}) OVER (PARTITION BY {ks} ORDER BY {order}) IS NULL AS is_current,
+  CAST(row_number() OVER (PARTITION BY {ks} ORDER BY {order}) AS INT) AS version
+FROM __chg"""

@@ -802,3 +802,44 @@ def ivfpq_topk(
         _topk(_partial_topk(scored, k), k)
         .select("q_id", "c_id", F.col("cos").alias("pq_sim"), "rn")
     )
+
+
+def ivfpq_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    m: int = 25,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = DIM,
+) -> DataFrame:
+    """Two-stage serving: an IVF+PQ shortlist of ``m`` candidates per
+    query over 8-byte codes, then an EXACT cosine re-rank of only the
+    shortlist — the standard production ANN pattern (the compressed
+    index answers *which m*, the full vectors answer *in what order*).
+
+    At 100 TB: stage 1 never touches a raw vector (codes only,
+    partition-pruned cells); stage 2 gathers exactly m·|Q| full vectors
+    via a broadcast-hash join of the (small by contract) shortlist
+    against the vector table — a single streamed pass, no pair-matrix
+    shuffle. Recall is inherited from the shortlist (re-ranking cannot
+    lose a true neighbour the shortlist kept), so ``ann_ivfpq_recall``
+    at k=m upper-bounds this path's recall@k.
+    """
+    short = ivfpq_topk(
+        queries, candidates, m, n_cells, n_probe, n_sub, n_codes, dim
+    ).select("q_id", "c_id")
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        norm(as_double(F.col("embedding")), dim).alias("qn"),
+    )
+    c = candidates.select(
+        F.col("vec_id").alias("c_id"),
+        as_double(F.col("embedding")).alias("cv"),
+        norm(as_double(F.col("embedding")), dim).alias("cn"),
+    )
+    pairs = c.join(F.broadcast(short), "c_id").join(F.broadcast(q), "q_id")
+    return _topk(_scored(pairs), k)

@@ -384,6 +384,33 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_user_history",
+    merge.scd2_history_sql(
+        "SELECT user_id, ts, event_id, event_type FROM events",
+        keys=["user_id"],
+        attr_col="event_type",
+        seq_cols=["event_id"],
+        ts_col="ts",
+    ),
+    survey="ext: SCD2 temporal versioning — collapse an append-only "
+    "change log into type-2 dimension rows with [valid_from, valid_to) "
+    "intervals and a current flag; one shuffle total (both windows "
+    "share the key partitioning, exchange reused)",
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's event_type as a slowly-changing attribute: versioned
+    interval history instead of the reference's latest-only snapshot."""
+    ev = load_table(spark, sf_dir, "events")
+    return merge.scd2_history(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        keys=["user_id"],
+        attr_col="event_type",
+        seq_cols=["event_id"],
+        ts_col="ts",
+    )
+
+
+@register(
     "topk_words_per_lang",
     topk.top_k_per_group_sql(
         messages.word_counts_sql("text", "documents", extra_keys=["lang"]),
@@ -1429,6 +1456,32 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2,
             n_sub=_PQ_SUB, n_codes=_PQ_CODES,
         ),
+    )
+
+
+@register(
+    "ann_ivfpq_rerank",
+    _IVFPQ_SQL
+    + f""",
+pt AS (SELECT q_id, c_id FROM ({topk.top_k_per_group_sql("SELECT * FROM pscored", ["q_id"], "pq_sim", 25, ["c_id"])})),
+rr AS (SELECT pt.q_id, pt.c_id, {V.cosine_sql("q.v", "c.v", 64)} AS cos
+  FROM pt JOIN e q ON q.vec_id = pt.q_id JOIN e c ON c.vec_id = pt.c_id)
+{topk.top_k_per_group_sql("SELECT * FROM rr", ["q_id"], "cos", 5, ["c_id"])}""",
+    survey="ext: two-stage ANN serving — IVF+PQ shortlist (m=25, 8-byte "
+    "codes, partition-pruned cells) then EXACT cosine re-rank of only "
+    "the shortlist: full vectors are gathered for m·|Q| rows via a "
+    "broadcast join, never scanned wholesale; the re-rank restores "
+    "exact ordering within the shortlist so quantization error cannot "
+    "reorder the final top-k",
+)
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ shortlist → exact-cosine re-rank (the production two-stage
+    serving shape; shortlist recall upper-bounds final recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.ivfpq_rerank(
+        queries, emb, 5, m=25, n_cells=_IVF_CELLS, n_probe=2,
+        n_sub=_PQ_SUB, n_codes=_PQ_CODES,
     )
 
 

@@ -2707,3 +2707,56 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_fraction",
         )
     )
+
+
+_HOT_N = 8
+_HOT_TOPK = 20
+
+
+@register(
+    "corpus_hot_ngrams",
+    f"""WITH toks AS (
+  SELECT doc_id, {X.tokenize_sql('text')} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest({X.word_shingles_sql('t', _HOT_N)}) AS ngram FROM toks),
+agg AS (
+  SELECT ngram, CAST(count(*) AS BIGINT) AS occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sh GROUP BY ngram)
+SELECT ngram, occurrences, n_docs FROM agg
+WHERE occurrences >= 2
+ORDER BY occurrences DESC, ngram ASC LIMIT {_HOT_TOPK}""",
+    survey="ext: memorization audit — the most-repeated long n-grams "
+    f"corpus-wide ({_HOT_N}-gram occurrence + distinct-doc counts): the "
+    "standard pre-training check for boilerplate and verbatim "
+    "memorization risk (repeated spans are what models memorize first)",
+)
+def corpus_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top repeated 8-gram spans with occurrence and doc-frequency
+    counts — the 'what will the model memorize' report. Long shingles
+    (8 words) make repeats evidence of boilerplate/duplication rather
+    than chance collocation.
+
+    Scale shape: the shingle explode is narrow and pipelined; the
+    occurrences≥2 cut happens in the SAME aggregate that computes the
+    counts (partial map-side combine shrinks the exchange — hapax
+    shingles, the overwhelming majority, never survive the partial
+    agg's second pass); the top-K is TakeOrderedAndProject, no global
+    sort. One shuffle on the shingle key (md5-uniform in practice —
+    shingle text itself hashes fine)."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            X.word_shingles(X.tokenize(F.col("text")), _HOT_N)
+        ).alias("ngram"),
+    )
+    agg = (
+        sh.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("occurrences") >= 2)
+    )
+    return agg.orderBy(F.desc("occurrences"), F.asc("ngram")).limit(_HOT_TOPK)
