@@ -1,0 +1,132 @@
+"""Bucketed-table layout — shuffle-free co-located joins.
+
+The reference joins only driver-small tables (the running-count merge,
+``ProcessingWorkSheet.sc``), so it never needed layout-aware joins. At
+100 TB the fact-fact join (orders ⋈ lineitem) is THE dominant shuffle:
+both sides move over the network every time the join runs. Bucketing is
+Spark's answer — write each side pre-hash-partitioned (and pre-sorted)
+by the join key ONCE, and every subsequent join on that key is a
+SortMergeJoin with NO Exchange under it, verified in
+``tests/test_plans.py``. (Local per-bucket Sorts remain: Spark 3+
+stopped trusting bucket sort order —
+``spark.sql.legacy.bucketedTableScanOutputOrdering`` defaults false —
+but a per-partition sort is CPU-local; the network shuffle is what the
+layout eliminates, and that is the 100 TB cost.)
+
+Layout contract: the writer repartitions by the bucket
+key into ``n_buckets`` tasks. Spark's ``repartition(n, col)`` and its
+bucket assignment use the same hash family (pmod of Murmur3), so each
+write task holds exactly one bucket's rows → exactly one file per
+bucket. On a real cluster the same holds per partition of a
+date-partitioned table; the build cost is one shuffle each, amortized
+over every later join/aggregate on the key (the classic
+write-once/join-many trade).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _slug(sf_dir: str) -> str:
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    base_name: str,
+    sf_dir: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> str:
+    """Write ``df`` as a bucketed+sorted catalog table (idempotent per
+    session; a stale on-disk copy from a previous process is
+    overwritten). Returns the catalog table name.
+
+    The catalog entry is session-scoped (in-memory catalog); the data
+    files live under the system temp dir keyed by the sf_dir, so
+    different scale factors never collide.
+    """
+    table = f"ssta_b_{_slug(sf_dir)}_{base_name}"
+    if spark.catalog.tableExists(table):
+        return table
+    loc = os.path.join(
+        tempfile.gettempdir(), f"ssta_bucketed_{_slug(sf_dir)}", base_name
+    )
+    (
+        df.repartition(n_buckets, F.col(bucket_col))  # 1 file per bucket
+        .write.mode("overwrite")
+        .option("path", loc)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+    return table
+
+
+def bucketed_priority_revenue(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> DataFrame:
+    """orders ⋈ lineitem on the order key over the bucketed layout,
+    aggregated per order priority.
+
+    The merge hint pins SortMergeJoin (a broadcast join would be
+    trivially shuffle-free and prove nothing); with both sides bucketed
+    by the join key, the ONLY Exchange in the plan is the 5-group
+    final aggregate's — the join itself moves no bytes. Revenue accumulates as exact integer cents
+    (order-invariant), so the result is layout-independent — the same
+    answer the unbucketed plan gives, which is exactly what the DuckDB
+    oracle checks.
+    """
+    from ..tables import load_table
+
+    ob = ensure_bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "orders",
+        sf_dir,
+        "o_orderkey",
+        n_buckets,
+    )
+    lb = ensure_bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "lineitem",
+        sf_dir,
+        "l_orderkey",
+        n_buckets,
+    )
+    o = spark.table(ob)
+    li = spark.table(lb)
+    joined = o.hint("merge").join(
+        li, o.o_orderkey == li.l_orderkey
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.floor(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                        * 100
+                        + F.lit(0.5)
+                    )
+                ).cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("revenue"),
+        )
+        .select("o_orderpriority", "n_orders", "n_lines", "revenue")
+    )

@@ -2796,3 +2796,27 @@ def corpus_near_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_members") - 1).cast("long").alias("n_removable"),
         F.max("n_members").cast("long").alias("largest_cluster"),
     )
+
+
+@register(
+    "bucketed_join_priority_revenue",
+    """SELECT o_orderpriority,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority""",
+    survey="ext: bucketed co-located fact-fact join — both sides written "
+    "bucketed by the join key once (one file per bucket), then "
+    "SortMergeJoin with NO Exchange under the join (plan-asserted in "
+    "tests/test_plans.py): the layout that amortizes the 100 TB "
+    "orders-lineitem shuffle across every later join on the key",
+)
+def bucketed_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once bucketed layout, join-many shuffle-free: the result is
+    layout-independent (exact integer-cents revenue), which the plain
+    unbucketed oracle SQL verifies."""
+    from .operators.bucketed import bucketed_priority_revenue
+
+    return bucketed_priority_revenue(spark, sf_dir)

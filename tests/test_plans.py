@@ -189,3 +189,25 @@ def test_sentence_split_is_a_narrow_map(spark):
     assert EX.has_operator(df, "Generate")  # posexplode
     schema = EX.read_schemas(df)[0]
     assert "lang" not in schema  # unused columns pruned
+
+
+def test_bucketed_join_moves_no_data(spark):
+    """Both sides bucketed by the join key → SortMergeJoin whose inputs
+    need NO Exchange (the 100 TB win: the fact-fact join moves zero
+    bytes over the network). Local per-bucket Sorts remain — Spark 3+
+    stopped propagating bucket sort order
+    (spark.sql.legacy.bucketedTableScanOutputOrdering defaults false),
+    and a per-partition sort is CPU, not shuffle. The only Exchange in
+    the whole plan is the 5-group final aggregate's."""
+    df = q(spark, "bucketed_join_priority_revenue")
+    plan = EX.formatted_plan(df)
+    assert EX.has_operator(df, "SortMergeJoin")
+    assert "Bucketed: true" in plan
+    assert EX.count_operator(df, "Exchange") == 1  # only the tiny group-by
+    # and that one exchange sits ABOVE the join (aggregate side): node
+    # numbers grow leaf→root, so the exchange's number must exceed the
+    # join's (an exchange feeding the join would number below it)
+    import re
+
+    num = lambda op: int(re.search(rf"{op}[^(\n]*\((\d+)\)", plan).group(1))
+    assert num("Exchange") > num("SortMergeJoin")
