@@ -53,6 +53,11 @@ HEADLINE = [
     "ann_pq_topk",
     "dedup_semantic",
     "ann_ivfpq_topk",
+    "ann_ivfpq_rerank",
+    "corpus_bpe_merges",
+    "corpus_hot_ngrams",
+    "scd2_user_history",
+    "bucketed_join_priority_revenue",
     "text_quality",
     "text_fingerprint",
     "text_redact_pii",

@@ -1,0 +1,170 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction.
+
+The LLM-pipeline operator the tokenizer story was missing: learn the
+merge table itself from the corpus, not just count tokens with a fixed
+regex. This is the classic Sennrich et al. 2016 algorithm in its
+scalable formulation — train on the DISTINCT-WORD FREQUENCY table, not
+the raw corpus:
+
+- the corpus is scanned ONCE (tokenize → word counts, one shuffle);
+  every merge iteration afterwards touches only the vocabulary table
+  (≪ corpus: bounded by ``top_words``), so iteration cost is
+  independent of corpus size — the property that makes BPE training
+  feasible at 100 TB;
+- each iteration is one distributed aggregate: explode each word's
+  adjacent symbol pairs weighted by the word's count, partial-agg
+  (map-side combine over the vocab-bounded pair space), take the
+  argmax pair. Only that single (a, b, count) row crosses to the
+  driver per iteration — the same bounded-whitelist pattern as the
+  reference's top-100 collect (``ProcessingWorkSheet.sc:113-114``);
+- the merge application is a per-row left fold (greedy left-to-right,
+  the exact Sennrich semantics — "aaa" under (a,a) → ["aa","a"]),
+  expressed as ``F.aggregate`` over the symbol string on Spark and the
+  bit-identical ``list_reduce`` on DuckDB. No Python in the row path.
+
+Symbols are kept as a ``\\x1f``-joined string per word: the separator
+cannot occur inside a symbol ([a-z]+ words), so "last symbol equals a"
+is exactly "acc == a OR acc ends with sep||a", and merging appends
+``b`` WITHOUT the separator — turning the trailing symbol ``a`` into
+``ab`` in O(1) per step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # unit separator: never appears in [a-z]+ symbols
+
+
+def word_freqs(docs: DataFrame, top_words: int = 2000) -> DataFrame:
+    """(word, wcnt): lowercase [a-z]+ word frequencies, capped at the
+    ``top_words`` most frequent (count desc, word asc — a total order,
+    so the cap is deterministic). The cap is TakeOrderedAndProject (no
+    global sort); the result is repartitioned so the per-iteration
+    pair aggregates parallelize."""
+    w = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
+    )
+    return (
+        w.orderBy(F.desc("wcnt"), F.asc("word"))
+        .limit(top_words)
+        .repartition("word")
+    )
+
+
+def word_freqs_sql(docs_rel: str, top_words: int = 2000) -> str:
+    """DuckDB twin of :func:`word_freqs`."""
+    return f"""
+SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM ({docs_rel}))
+GROUP BY word ORDER BY wcnt DESC, word ASC LIMIT {top_words}"""
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent symbol-pair counts weighted by word count."""
+    syms = F.split("s", SEP)
+    pairs = F.transform(
+        F.slice(syms, 1, F.size(syms) - 1),
+        lambda x, i: F.struct(
+            x.alias("a"), F.element_at(syms, i + F.lit(2)).alias("b")
+        ),
+    )
+    return (
+        state.select(F.explode(pairs).alias("p"), "wcnt")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
+    )
+
+
+def _apply_merge(state: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right merge of the pair (a, b) in every word."""
+    syms = F.split("s", SEP)
+    al, bl, sepl = F.lit(a), F.lit(b), F.lit(SEP)
+    merged = F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.element_at(syms, 1),
+        lambda acc, x: F.when(
+            ((acc == al) | acc.endswith(F.concat(sepl, al))) & (x == bl),
+            F.concat(acc, bl),  # fuse into the trailing symbol: a → ab
+        ).otherwise(F.concat(acc, sepl, x)),
+    )
+    return state.select(merged.alias("s"), "wcnt")
+
+
+def bpe_train(words: DataFrame, n_merges: int = 12) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a (word, wcnt) table.
+
+    Returns one row per learned merge: (it, a, b, merged, cnt). Each
+    iteration collects exactly ONE row (the argmax pair under the total
+    order cnt desc, a asc, b asc) and re-persists the vocab-bounded
+    symbol table; lineage never grows past one iteration.
+    """
+    spark = words.sparkSession
+    state = words.select(
+        F.concat_ws(SEP, F.split("word", "")).alias("s"), "wcnt"
+    ).persist()
+    merges: list[tuple] = []
+    try:
+        for it in range(1, n_merges + 1):
+            top = (
+                _pair_counts(state)
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:  # vocabulary fully merged — nothing left to learn
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+            merges.append((it, a, b, a + b, cnt))
+            new_state = _apply_merge(state, a, b).persist()
+            new_state.count()  # materialize before dropping the parent
+            state.unpersist()
+            state = new_state
+    finally:
+        state.unpersist()
+    return spark.createDataFrame(
+        merges, "it int, a string, b string, merged string, cnt long"
+    )
+
+
+def bpe_train_sql(words_rel: str, n_merges: int = 12) -> str:
+    """DuckDB twin of :func:`bpe_train`: the same iterations unrolled as
+    CTE pairs (p_i: weighted pair counts; m_i: argmax pair; w_i: merged
+    state via the bit-identical ``list_reduce`` left fold)."""
+    parts = [
+        f"""WITH w0 AS (
+  SELECT array_to_string(
+    [substr(word, CAST(i AS INT) + 1, 1) for i in range(0, length(word))],
+    '{SEP}') AS s, wcnt
+  FROM ({words_rel}))"""
+    ]
+    outs = []
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+  SELECT pr.a AS a, pr.b AS b, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+    SELECT unnest([{{'a': sy[CAST(i AS INT)], 'b': sy[CAST(i AS INT) + 1]}}
+                   for i in range(1, length(sy))]) AS pr, wcnt
+    FROM (SELECT string_split(s, '{SEP}') AS sy, wcnt FROM {prev}))
+  GROUP BY 1, 2),
+m{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT list_reduce(string_split(s, '{SEP}'),
+    (acc, x) -> CASE WHEN (acc = m{i}.a OR ends_with(acc, '{SEP}' || m{i}.a))
+                      AND x = m{i}.b
+                THEN acc || m{i}.b ELSE acc || '{SEP}' || x END) AS s, wcnt
+  FROM {prev}, m{i})"""
+        )
+        outs.append(
+            f"SELECT CAST({i} AS INT) AS it, a, b, a || b AS merged, cnt FROM m{i}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(outs)

@@ -36,6 +36,7 @@ from .constants import DEFAULT_LANG, sql_str_array
 from .functions import text as X
 from .functions import vectors as V
 from .functions import scoring as _SCORING
+from .operators import bpe as _BPE
 from .operators import dedup, topk
 from .registry import _SCORED_CTE, register
 from .sources.io import hash48, hash48_sql, hash_bucket, hash_bucket_sql  # noqa: F401
@@ -2760,3 +2761,29 @@ def corpus_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("occurrences") >= 2)
     )
     return agg.orderBy(F.desc("occurrences"), F.asc("ngram")).limit(_HOT_TOPK)
+
+
+_BPE_MERGES = 12
+_BPE_TOP_WORDS = 2000
+
+
+@register(
+    "corpus_bpe_merges",
+    _BPE.bpe_train_sql(
+        _BPE.word_freqs_sql("SELECT text FROM documents", _BPE_TOP_WORDS),
+        _BPE_MERGES,
+    ),
+    survey="ext: distributed BPE vocabulary induction (Sennrich 2016) — "
+    "learn the tokenizer's merge table from the corpus: one corpus scan "
+    "builds the distinct-word frequency table, then every merge "
+    "iteration is a single vocab-bounded distributed aggregate whose "
+    "cost is independent of corpus size; exactly one argmax row crosses "
+    "to the driver per iteration",
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 12 BPE merges over the top-2000-word frequency table; the
+    DuckDB oracle replays the identical iterations (same greedy
+    left-fold merge, same argmax tie-break) as unrolled CTEs."""
+    return _BPE.bpe_train(
+        _BPE.word_freqs(_docs(spark, sf_dir), _BPE_TOP_WORDS), _BPE_MERGES
+    )

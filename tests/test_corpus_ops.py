@@ -672,3 +672,49 @@ def test_token_weighted_sample_prefers_long_docs_and_is_monotone(spark):
     assert long_docs > len(keys) - long_docs  # token-weighting visible
     # same u (same id+salt), larger w => key can only move toward 0
     assert all(boosted[i] >= keys[i] for i in keys if i in boosted)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_learns_sennrich_example(spark):
+    """The classic example from the BPE paper: with low/lower/newest/
+    widest frequencies, the first merge must be (e, s) — the pair
+    appearing in newest+widest (6+3=9), beating (l,o)=7."""
+    from spark_streaming_twitch_analytics_spark.operators import bpe
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, wcnt long",
+    )
+    got = bpe.bpe_train(words, n_merges=3).collect()
+    assert (got[0]["a"], got[0]["b"], got[0]["cnt"]) == ("e", "s", 9)
+    assert got[1]["merged"] == "est" and got[1]["cnt"] == 9
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] — greedy
+    non-overlapping from the left, the Sennrich semantics — so the
+    SECOND learned merge on an all-a corpus is (aa, aa), not (a, aa)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.operators import bpe
+
+    words = spark.createDataFrame([("aaaa", 3)], "word string, wcnt long")
+    got = bpe.bpe_train(words, n_merges=2).collect()
+    assert (got[0]["a"], got[0]["b"]) == ("a", "a")
+    # after [aa, aa], the only remaining pair is (aa, aa)
+    assert (got[1]["a"], got[1]["b"]) == ("aa", "aa")
+    # single-symbol words end training cleanly (no pairs -> no row 3)
+    done = bpe.bpe_train(words, n_merges=9)
+    assert done.count() <= 3
+
+
+def test_bpe_stops_when_fully_merged(spark):
+    from spark_streaming_twitch_analytics_spark.operators import bpe
+
+    words = spark.createDataFrame([("ab", 1)], "word string, wcnt long")
+    got = bpe.bpe_train(words, n_merges=5).collect()
+    assert len(got) == 1  # one merge fuses the whole word; then no pairs
