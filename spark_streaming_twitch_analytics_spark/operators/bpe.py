@@ -84,11 +84,12 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(state: DataFrame, a: str, b: str) -> DataFrame:
-    """Greedy left-to-right merge of the pair (a, b) in every word."""
-    syms = F.split("s", SEP)
+def _merge_fold(s, a: str, b: str):
+    """Column: the symbol string ``s`` with pair (a, b) greedily merged
+    left-to-right."""
+    syms = F.split(s, SEP)
     al, bl, sepl = F.lit(a), F.lit(b), F.lit(SEP)
-    merged = F.aggregate(
+    return F.aggregate(
         F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
         F.element_at(syms, 1),
         lambda acc, x: F.when(
@@ -96,7 +97,11 @@ def _apply_merge(state: DataFrame, a: str, b: str) -> DataFrame:
             F.concat(acc, bl),  # fuse into the trailing symbol: a → ab
         ).otherwise(F.concat(acc, sepl, x)),
     )
-    return state.select(merged.alias("s"), "wcnt")
+
+
+def _apply_merge(state: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right merge of the pair (a, b) in every word."""
+    return state.select(_merge_fold(F.col("s"), a, b).alias("s"), "wcnt")
 
 
 def bpe_train(words: DataFrame, n_merges: int = 12) -> DataFrame:
@@ -135,6 +140,15 @@ def bpe_train(words: DataFrame, n_merges: int = 12) -> DataFrame:
     )
 
 
+def _fold_case_sql(m: str) -> str:
+    """SQL: the merge left fold guarded for an empty merge row (NULL a)."""
+    return f"""CASE WHEN {m}.a IS NULL THEN s ELSE
+  list_reduce(string_split(s, '{SEP}'),
+    (acc, x) -> CASE WHEN (acc = {m}.a OR ends_with(acc, '{SEP}' || {m}.a))
+                      AND x = {m}.b
+                THEN acc || {m}.b ELSE acc || '{SEP}' || x END) END"""
+
+
 def bpe_train_sql(words_rel: str, n_merges: int = 12) -> str:
     """DuckDB twin of :func:`bpe_train`: the same iterations unrolled as
     CTE pairs (p_i: weighted pair counts; m_i: argmax pair; w_i: merged
@@ -158,13 +172,84 @@ def bpe_train_sql(words_rel: str, n_merges: int = 12) -> str:
   GROUP BY 1, 2),
 m{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
 w{i} AS MATERIALIZED (
-  SELECT list_reduce(string_split(s, '{SEP}'),
-    (acc, x) -> CASE WHEN (acc = m{i}.a OR ends_with(acc, '{SEP}' || m{i}.a))
-                      AND x = m{i}.b
-                THEN acc || m{i}.b ELSE acc || '{SEP}' || x END) AS s, wcnt
-  FROM {prev}, m{i})"""
+  -- LEFT JOIN ON TRUE: an empty m_i (vocab fully merged) passes the
+  -- state through unchanged, matching the Spark loop's break
+  SELECT {_fold_case_sql(f"m{i}")} AS s, wcnt
+  FROM {prev} LEFT JOIN m{i} ON TRUE)"""
         )
         outs.append(
             f"SELECT CAST({i} AS INT) AS it, a, b, a || b AS merged, cnt FROM m{i}"
         )
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(doc_id, n_words, n_tokens): tokenize every document with a
+    learned merge table.
+
+    Scale shape: merges are applied to the DISTINCT-word table once
+    (vocab-bounded, narrow folds, no Python), then per-word token
+    counts broadcast-join back onto the exploded corpus — the corpus
+    itself is scanned once and never carries symbol strings. This is
+    how production tokenizer costing works: encode the vocabulary,
+    weight by word frequency.
+    """
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    state = doc_words.select("word").distinct().select(
+        "word", F.concat_ws(SEP, F.split("word", "")).alias("s")
+    )
+    for a, b in merges:
+        state = state.select("word", _merge_fold(F.col("s"), a, b).alias("s"))
+    enc = state.select(
+        "word", F.size(F.split("s", SEP)).cast("long").alias("word_tokens")
+    )
+    return (
+        doc_words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_encode_sql(
+    docs_rel: str, n_merges: int = 12, top_words: int = 2000
+) -> str:
+    """DuckDB twin of train-then-encode: the training chain of
+    :func:`bpe_train_sql` extended with encode CTEs e_0..e_n over the
+    distinct-word table, then the per-doc rollup."""
+    train = bpe_train_sql(word_freqs_sql(docs_rel, top_words), n_merges)
+    train_ctes = train[: train.rindex("\nSELECT CAST(1 AS INT)")]
+    # train_ctes ends with the last w_i CTE; strip the trailing output
+    # UNION (we only need m_1..m_n here)
+    parts = [
+        train_ctes,
+        f"""dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM ({docs_rel})),
+e0 AS (
+  SELECT word, array_to_string(
+    [substr(word, CAST(i AS INT) + 1, 1) for i in range(0, length(word))],
+    '{SEP}') AS s
+  FROM (SELECT DISTINCT word FROM dw))""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT word, {_fold_case_sql(f"m{i}")} AS s
+  FROM e{i - 1} LEFT JOIN m{i} ON TRUE)"""
+        )
+    body = f"""enc AS (
+  SELECT word, CAST(len(string_split(s, '{SEP}')) AS BIGINT) AS word_tokens
+  FROM e{n_merges})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(word_tokens) AS BIGINT) AS n_tokens
+FROM dw JOIN enc USING (word)
+GROUP BY doc_id"""
+    return ",\n".join(parts) + ",\n" + body

@@ -2820,3 +2820,118 @@ def bucketed_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     from .operators.bucketed import bucketed_priority_revenue
 
     return bucketed_priority_revenue(spark, sf_dir)
+
+
+@register(
+    "events_funnel",
+    """WITH f1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+f2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+f3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT step, n_users FROM (
+  SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM f1
+  UNION ALL
+  SELECT '2_click', CAST(count(*) AS BIGINT) FROM f2
+  UNION ALL
+  SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM f3)""",
+    survey="ext: ordered funnel analysis — users reaching view → click "
+    "→ purchase IN ORDER (each step's earliest time must precede the "
+    "next step's event): three aggregates and two joins, all keyed on "
+    "user_id, so the exchange is planned once and reused",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: min-timestamp cascade per user. Every
+    stage groups/joins on user_id — one shuffle key end-to-end; at
+    100 TB the funnel is a co-partitioned pipeline, not three scans."""
+    ev = load_table(spark, sf_dir, "events")
+    f1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    f2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(f1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    f3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(f2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        f1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("step"), "n_users"
+        ),
+        f2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("2_click").alias("step"), "n_users"
+        ),
+        f3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("3_purchase").alias("step"), "n_users"
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+@register(
+    "events_retention",
+    """WITH first_seen AS (
+  -- DuckDB date_trunc('week') yields DATE; cast to TIMESTAMP to render
+  -- identically to Spark's timestamp-typed date_trunc
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+  FROM events)
+SELECT cohort_week,
+  CAST((epoch(w) - epoch(cohort_week)) / 604800 AS INT) AS week_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM act JOIN first_seen USING (user_id)
+GROUP BY 1, 2""",
+    survey="ext: cohort retention matrix — users bucketed by first-seen "
+    "week, counted per later activity-week offset: the standard "
+    "product-analytics rollup; week arithmetic stays in exact integer "
+    "epoch seconds (both engines truncate weeks to Monday)",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: first-seen week × activity-week offset
+    → distinct users. Cohort assignment is an aggregate on user_id;
+    activity dedup is a distinct on (user_id, week); the final join is
+    user-keyed — the whole matrix is two shuffles on uniform keys."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        act.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp("w")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

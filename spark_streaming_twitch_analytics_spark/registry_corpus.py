@@ -2787,3 +2787,26 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BPE.bpe_train(
         _BPE.word_freqs(_docs(spark, sf_dir), _BPE_TOP_WORDS), _BPE_MERGES
     )
+
+
+@register(
+    "corpus_bpe_encode",
+    _BPE.bpe_encode_sql(
+        "SELECT doc_id, text FROM documents", _BPE_MERGES, _BPE_TOP_WORDS
+    ),
+    survey="ext: BPE tokenization with the LEARNED merge table — encode "
+    "the distinct-word vocabulary once (vocab-bounded folds, no "
+    "Python), broadcast per-word token counts back onto the exploded "
+    "corpus: per-document token counts under the trained tokenizer, "
+    "the number every context-length and packing decision needs",
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 12 merges, then tokenize every document with them:
+    (doc_id, n_words, n_tokens). The corpus is scanned once; merges are
+    applied only to the distinct-word table."""
+    d = _docs(spark, sf_dir)
+    merges_df = _BPE.bpe_train(
+        _BPE.word_freqs(d, _BPE_TOP_WORDS), _BPE_MERGES
+    )
+    merges = [(r["a"], r["b"]) for r in merges_df.collect()]  # ≤12 rows
+    return _BPE.bpe_encode(d, merges)
