@@ -116,25 +116,30 @@ def bpe_train(words: DataFrame, n_merges: int = 12) -> DataFrame:
     state = words.select(
         F.concat_ws(SEP, F.split("word", "")).alias("s"), "wcnt"
     ).persist()
+    parent = None  # previous generation, unpersisted one step late
     merges: list[tuple] = []
     try:
         for it in range(1, n_merges + 1):
+            # this collect is the iteration's ONLY job: it materializes
+            # `state` into its cache (recomputing at most one fold from
+            # the still-cached parent) AND returns the argmax pair
             top = (
                 _pair_counts(state)
                 .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
                 .limit(1)
                 .collect()
             )
+            if parent is not None:
+                parent.unpersist()
             if not top:  # vocabulary fully merged — nothing left to learn
                 break
             a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
             merges.append((it, a, b, a + b, cnt))
-            new_state = _apply_merge(state, a, b).persist()
-            new_state.count()  # materialize before dropping the parent
-            state.unpersist()
-            state = new_state
+            parent, state = state, _apply_merge(state, a, b).persist()
     finally:
         state.unpersist()
+        if parent is not None:
+            parent.unpersist()
     return spark.createDataFrame(
         merges, "it int, a string, b string, merged string, cnt long"
     )

@@ -2935,3 +2935,193 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "streaming_static_enrich",
+    """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2""",
+    survey="ext-ST: stream-static enrichment join — the micro-batch "
+    "stream joins a broadcast dimension (customer segments) inside the "
+    "streaming plan, then keeps running per-(segment, type) counts in "
+    "complete mode; the static side ships once per executor, the "
+    "stream side never shuffles for the join",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (Structured Streaming's dimension-enrichment
+    idiom, the streaming analogue of the reference's broadcast label
+    map, ``SparkRunner.scala`` broadcast usage): events stream ⋈
+    broadcast(customer) → running counts. The batch oracle computes the
+    same join/aggregate — stream-static inner joins are stateless, so
+    final complete-mode counts ≡ the batch answer."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(
+                F.broadcast(cust), stream.user_id == cust.c_custkey
+            )
+            .groupBy("c_mktsegment", "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return _run_stream_over_events(spark, sf_dir, build, mode="complete")
+
+
+_BASKET_TOPK = 20
+
+
+@register(
+    "orders_basket_pairs",
+    f"""WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+pc AS (SELECT pkey, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY pkey),
+n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM op),
+pairs AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY 1, 2),
+j AS (
+  SELECT p1, p2, pair_cnt,
+    ((CAST(pair_cnt AS DOUBLE) * n_orders) /
+     (CAST(c1.c AS DOUBLE) * c2.c)) AS lift_full
+  FROM pairs JOIN pc c1 ON c1.pkey = p1 JOIN pc c2 ON c2.pkey = p2
+  CROSS JOIN n)
+SELECT p1, p2, pair_cnt,
+  (floor(lift_full * 1000000.0) / 1000000.0) AS lift
+FROM j ORDER BY pair_cnt DESC, p1 ASC, p2 ASC LIMIT {_BASKET_TOPK}""",
+    survey="ext: market-basket pair mining (Apriori level 2) — parts "
+    "co-purchased in one order, with support counts and lift; the "
+    "self-join is BLOCKED by order key (work ∝ Σ order_size², bounded "
+    "per order), never an all-pairs product; lift stays in ratio space "
+    "(IEEE divide/multiply of exact integers) so ranking and values "
+    "are engine-exact",
+)
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining over order baskets: the per-order self-join
+    is the bucketed-expansion pattern (like MinHash bands) — candidate
+    volume is Σ per-order-size², not |parts|²; part totals broadcast
+    back onto the pair table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    pc = op.groupBy("pkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = op.agg(F.countDistinct("okey").alias("n_orders"))
+    a = op.select("okey", F.col("pkey").alias("p1"))
+    b = op.select("okey", F.col("pkey").alias("p2"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    c1 = pc.select(F.col("pkey").alias("p1"), F.col("c").alias("c1"))
+    c2 = pc.select(F.col("pkey").alias("p2"), F.col("c").alias("c2"))
+    j = (
+        pairs.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lift_full",
+            (F.col("pair_cnt").cast("double") * F.col("n_orders"))
+            / (F.col("c1").cast("double") * F.col("c2")),
+        )
+    )
+    return (
+        j.select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            (F.floor(F.col("lift_full") * 1e6) / 1e6).alias("lift"),
+            "lift_full",
+        )
+        .orderBy(F.desc("pair_cnt"), F.asc("p1"), F.asc("p2"))
+        .limit(_BASKET_TOPK)
+        .drop("lift_full")
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events),
+t AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS row_total FROM t GROUP BY 1)
+SELECT prev_type, next_type, cnt,
+  (floor((CAST(cnt AS DOUBLE) / row_total) * 1000000.0) / 1000000.0) AS prob
+FROM t JOIN tot USING (prev_type)""",
+    survey="ext: Markov transition matrix — per-user event sequences "
+    "(lag over one user-keyed window) reduced to P(next | prev): "
+    "sequence mining beyond the ordered funnel; one shuffle for the "
+    "window, vocab-bounded aggregates after",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition probabilities between event types,
+    sequenced per user by (ts, event_id). Probabilities are exact-int
+    ratios, floor-quantized — engine-exact."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = t.groupBy("prev_type").agg(
+        F.sum("cnt").cast("long").alias("row_total")
+    )
+    return t.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        (F.floor((F.col("cnt").cast("double") / F.col("row_total")) * 1e6) / 1e6)
+        .alias("prob"),
+    )
+
+
+@register(
+    "window_range_rolling",
+    """SELECT event_id, user_id,
+  round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+    -- floor(epoch()): DuckDB epoch() keeps fractional microseconds,
+    -- Spark unix_timestamp truncates — align on integer seconds
+    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0, 2)
+    AS rolling_24h
+FROM events""",
+    survey="ext: RANGE-frame window — per-user rolling 24h sum over a "
+    "time-valued frame (peers included), the frame spec ROWS frames "
+    "can't express; the accumulator is exact integer cents, so the "
+    "running sum is order- and engine-invariant",
+)
+def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value summed over each event's trailing 24 hours per user:
+    RANGE BETWEEN over epoch seconds (ties are peers — included in
+    each other's frames on both engines)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(cents).over(w).cast("double") / 100.0, 2).alias(
+            "rolling_24h"
+        ),
+    )

@@ -75,6 +75,10 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "ext-tpch": ("all 22 TPC-H query shapes (adapted to the testdata schema)", "registry.py §5; registry_tpch.py"),
     "ext-corpus": ("training-corpus prep: sampling/mixing/chunking/packing/redaction/keep-lists/statistics", "registry.py §12; registry_corpus.py; sources/io.py write_training_shards (epoch-shuffle layout writer); streaming/ingest.py (stream≡batch ingestion, tests/test_streaming_ingest.py)"),
     "ext-anomaly": ("per-group / windowed z-score outlier detection (engine-exact integer moments)", "registry.py events_anomaly_zscore / streaming_window_anomaly"),
+    "ext-analytics": ("product analytics: ordered funnel / cohort retention / Markov transitions / market-basket lift", "registry.py events_funnel, events_retention, events_markov_transitions, orders_basket_pairs"),
+    "ext-temporal": ("CDC upsert + SCD2 interval history (type-2 dimension builds)", "operators/merge.py apply_changes, scd2_history"),
+    "ext-layout": ("bucketed co-located joins (exchange-free fact-fact SMJ, plan-asserted)", "operators/bucketed.py; tests/test_plans.py"),
+    "ext-streaming": ("streaming beyond the reference: stream-stream interval join, session/sliding windows, watermark dedup, stream-static enrichment", "streaming/windows.py; registry.py streaming_* queries"),
 }
 
 
@@ -126,7 +130,21 @@ def main() -> None:
         "set_ops", "drop_duplicates", "rollup_orders", "pivot_events",
         "asof_join_events", "range_join_buckets", "quantiles_exact",
         "approx_sketches", "window_running_total", "events_hourly", "sessionize",
-        "cube_orders", "window_rank_funcs",
+        "cube_orders", "window_rank_funcs", "grouping_sets_orders",
+        "unpivot_lineitem", "window_range_rolling", "json_extract_props",
+        "json_variant_stats", "sql_api_revenue", "skew_salted_count",
+    ]
+    by_id["ext-analytics"] = [
+        "events_funnel", "events_retention", "events_markov_transitions",
+        "orders_basket_pairs",
+    ]
+    by_id["ext-temporal"] = ["cdc_apply_changes", "scd2_user_history"]
+    by_id["ext-layout"] = ["bucketed_join_priority_revenue"]
+    by_id["ext-streaming"] = [
+        q.name
+        for q in registry._REGISTRY
+        if q.name.startswith("streaming_")
+        and q.name not in ("streaming_wordcount",)
     ]
 
     oracled = {q.name for q in registry._REGISTRY if q.sql is not None}
