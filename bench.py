@@ -58,6 +58,7 @@ HEADLINE = [
     "corpus_hot_ngrams",
     "scd2_user_history",
     "bucketed_join_priority_revenue",
+    "partitioned_day_scan",
     "text_quality",
     "text_fingerprint",
     "text_redact_pii",

@@ -130,3 +130,40 @@ def bucketed_priority_revenue(
         )
         .select("o_orderpriority", "n_orders", "n_lines", "revenue")
     )
+
+
+def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table date-partitioned (``event_date=YYYY-MM-DD``
+    directories) once per sf_dir — the standard warehouse layout whose
+    directory structure IS the index: a date predicate prunes whole
+    partitions at planning time, before any file is opened. Returns the
+    layout path. Idempotent per process via an on-disk marker."""
+    loc = os.path.join(
+        tempfile.gettempdir(), f"ssta_part_{_slug(sf_dir)}", "events"
+    )
+    marker = os.path.join(loc, "_SUCCESS")
+    if not os.path.exists(marker):
+        from ..tables import load_table
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(loc)
+    return loc
+
+
+def partitioned_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type counts for ONE day read from the date-partitioned
+    layout. The point is the plan: the date predicate lands in
+    PartitionFilters (asserted in ``tests/test_plans.py``), so at
+    100 TB a one-day query reads 1/365 of the table — no footer, no
+    row, no byte of any other day is touched. The oracle computes the
+    same counts from the unpartitioned parquet, proving the layout
+    changes cost, not answers."""
+    loc = ensure_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(loc)
+    return (
+        ev.filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -3125,3 +3125,23 @@ def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_24h"
         ),
     )
+
+
+@register(
+    "partitioned_day_scan",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY event_type""",
+    survey="ext: date-partitioned layout + partition pruning — the "
+    "warehouse directory structure as a planning-time index: a one-day "
+    "predicate lands in PartitionFilters (plan-asserted) and reads "
+    "1/365 of a year-partitioned table; the oracle computes the same "
+    "counts from the unpartitioned file, so the layout provably "
+    "changes cost, not answers",
+)
+def partitioned_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day's per-type counts off the ``event_date=...`` partitioned
+    layout (written once per sf_dir)."""
+    from .operators.bucketed import partitioned_day_scan as _pds
+
+    return _pds(spark, sf_dir)

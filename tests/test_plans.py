@@ -211,3 +211,16 @@ def test_bucketed_join_moves_no_data(spark):
 
     num = lambda op: int(re.search(rf"{op}[^(\n]*\((\d+)\)", plan).group(1))
     assert num("Exchange") > num("SortMergeJoin")
+
+
+def test_partitioned_scan_prunes_to_one_day(spark):
+    """The date predicate must reach PartitionFilters (pruned at
+    planning, zero IO on other days) and NOT survive as a post-scan
+    Filter on data rows."""
+    df = q(spark, "partitioned_day_scan")
+    plan = EX.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1)

@@ -77,7 +77,7 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "ext-anomaly": ("per-group / windowed z-score outlier detection (engine-exact integer moments)", "registry.py events_anomaly_zscore / streaming_window_anomaly"),
     "ext-analytics": ("product analytics: ordered funnel / cohort retention / Markov transitions / market-basket lift", "registry.py events_funnel, events_retention, events_markov_transitions, orders_basket_pairs"),
     "ext-temporal": ("CDC upsert + SCD2 interval history (type-2 dimension builds)", "operators/merge.py apply_changes, scd2_history"),
-    "ext-layout": ("bucketed co-located joins (exchange-free fact-fact SMJ, plan-asserted)", "operators/bucketed.py; tests/test_plans.py"),
+    "ext-layout": ("layout-aware IO: bucketed co-located joins (exchange-free SMJ) + date-partition pruning, both plan-asserted", "operators/bucketed.py; tests/test_plans.py"),
     "ext-streaming": ("streaming beyond the reference: stream-stream interval join, session/sliding windows, watermark dedup, stream-static enrichment", "streaming/windows.py; registry.py streaming_* queries"),
 }
 
@@ -139,7 +139,7 @@ def main() -> None:
         "orders_basket_pairs",
     ]
     by_id["ext-temporal"] = ["cdc_apply_changes", "scd2_user_history"]
-    by_id["ext-layout"] = ["bucketed_join_priority_revenue"]
+    by_id["ext-layout"] = ["bucketed_join_priority_revenue", "partitioned_day_scan"]
     by_id["ext-streaming"] = [
         q.name
         for q in registry._REGISTRY
