@@ -2847,44 +2847,59 @@ SELECT step, n_users FROM (
     "user_id, so the exchange is planned once and reused",
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-sequence funnel: min-timestamp cascade per user. Every
-    stage groups/joins on user_id — one shuffle key end-to-end; at
-    100 TB the funnel is a co-partitioned pipeline, not three scans."""
-    ev = load_table(spark, sf_dir, "events")
-    f1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    """Ordered-sequence funnel in ONE scan: a cascade of whole-partition
+    window minima over the SAME user_id partitioning (t1 = first view,
+    t2 = first click after t1, t3 = first purchase after t2), so events
+    shuffle once; the per-user reduce rides the window's partitioning
+    with no second exchange, and only 150 user rows reach the final
+    3-row rollup. (The 3-aggregate/2-join formulation — the oracle's
+    shape — planned 7 exchanges; this plans 2.)"""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
     )
-    f2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(f1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    w = W.partitionBy("user_id")
+    d = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     )
-    f3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(f2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    counts = [
-        f1.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit("1_view").alias("step"), "n_users"
-        ),
-        f2.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit("2_click").alias("step"), "n_users"
-        ),
-        f3.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit("3_purchase").alias("step"), "n_users"
-        ),
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionAll(c)
-    return out
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    # t1/t2/t3 are constant within each user partition; max() is just the
+    # per-user reduce (any row's value), and it reuses the window exchange
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    agg = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3) "
+            "AS (step, n_users)"
+        )
+    )
 
 
 @register(

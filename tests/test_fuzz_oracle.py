@@ -68,6 +68,12 @@ FUZZ_QUERIES = [
     "events_hourly", "sessionize", "session_window_agg", "window_running_total", "pivot_events",
     "asof_join_events", "skew_salted_count", "json_extract_props",
     "json_variant_stats", "multimodal_meta", "multimodal_frame_sample",
+    # round 3: temporal / analytics / layout-free additions over the
+    # fuzzed tables (all integer-exact or fold-deterministic floats)
+    "scd2_user_history", "events_funnel", "events_retention",
+    "events_markov_transitions", "window_range_rolling",
+    "corpus_hot_ngrams", "corpus_bpe_merges", "corpus_bpe_encode",
+    "ann_ivfpq_topk", "ann_ivfpq_rerank",
 ]
 
 
