@@ -69,6 +69,18 @@ QUERIES = [
     "corpus_bm25_topk",
     "events_anomaly_zscore",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_rerank",
+    "corpus_bpe_merges",
+    "corpus_hot_ngrams",
+    "scd2_user_history",
+    "events_funnel",
+    "events_retention",
+    "events_markov_transitions",
+    "orders_basket_pairs",
+    "window_range_rolling",
+    "bucketed_join_priority_revenue",
+    "partitioned_day_scan",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
