@@ -3160,3 +3160,46 @@ def partitioned_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bucketed import partitioned_day_scan as _pds
 
     return _pds(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_recall",
+    f"""WITH mh AS (SELECT a, b FROM ({get("dedup_minhash_pairs").sql})
+  WHERE jaccard >= {_PPJOIN_T}),
+ex AS (SELECT a, b FROM ({get("dedup_ppjoin_pairs").sql})),
+m AS (SELECT CAST(count(*) AS BIGINT) AS matched FROM ex JOIN mh USING (a, b)),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ex)
+SELECT matched, total,
+  (floor((CAST(matched AS DOUBLE) / total) * 1000000.0) / 1000000.0) AS recall
+FROM m, t""",
+    survey="ext: MinHash-LSH recall meter — banding's verified pairs at "
+    "jaccard >= t measured against the PPJoin EXACT threshold join "
+    "(provably complete), the dedup analog of the ANN recall meters: "
+    "banding's false-negative rate priced per corpus BEFORE anyone "
+    "trusts the probabilistic path at 100 TB (precision needs no meter "
+    "— candidates are exact-Jaccard verified, so it is 1 by "
+    "construction)",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall = |minhash pairs verified at >= t| / |exact pairs at >= t|
+    (the banding miss rate is the ONLY error source — both paths verify
+    with exact Jaccard)."""
+    d = _docs(spark, sf_dir)
+    mh = (
+        dedup.minhash_dedup_pairs(d)
+        .filter(F.col("jaccard") >= _PPJOIN_T)
+        .select("a", "b")
+    )
+    ex = dedup.ppjoin_pairs(d, threshold=_PPJOIN_T).select("a", "b")
+    m = ex.join(mh, ["a", "b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("matched")
+    )
+    t = ex.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return m.crossJoin(F.broadcast(t)).select(
+        "matched",
+        "total",
+        (
+            F.floor((F.col("matched").cast("double") / F.col("total")) * 1e6)
+            / 1e6
+        ).alias("recall"),
+    )
