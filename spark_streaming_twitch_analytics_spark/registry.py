@@ -3203,3 +3203,90 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("recall"),
     )
+
+
+def _ivf_probe_block_sql(n: int, tag: str) -> str:
+    """CTEs for an ``n``-probe query set (q_id, qv, cell): repeated
+    argmax with value-masking (ties mask together), duplicate cells
+    deduped by UNION — the SQL twin of ``similarity.ivf_topk``'s probe
+    loop, generated for any probe count."""
+    lines = [f"{tag}1 AS (SELECT vec_id, v, cs AS c1 FROM ac WHERE vec_id % 10 = 0)"]
+    sels = []
+    for i in range(1, n + 1):
+        sels.append(
+            f"SELECT vec_id AS q_id, v AS qv, "
+            f"CAST(list_position(c{i}, list_max(c{i})) AS INT) AS cell FROM {tag}{i}"
+        )
+        if i < n:
+            lines.append(
+                f"{tag}{i + 1} AS (SELECT vec_id, v, "
+                f"list_transform(c{i}, x -> CASE WHEN x = list_max(c{i}) "
+                f"THEN -1e18 ELSE x END) AS c{i + 1} FROM {tag}{i})"
+            )
+    union = "\n  UNION\n  ".join(sels)
+    lines.append(f"qp{tag} AS ({union})")
+    return ",\n".join(lines)
+
+
+_SWEEP_PROBES = (1, 2, 4)
+
+
+def _ivf_sweep_sql() -> str:
+    blocks, outs = [], []
+    for p in _SWEEP_PROBES:
+        tag = f"sw{p}"
+        blocks.append(
+            f"""{_ivf_probe_block_sql(p, tag)},
+s{tag} AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM ac c JOIN qp{tag} ON c.cell = qp{tag}.cell WHERE c.vec_id <> q_id),
+t{tag} AS ({topk.top_k_per_group_sql(f"SELECT * FROM s{tag}", ["q_id"], "cos", 5, ["c_id"])}),
+r{tag} AS (SELECT CAST({p} AS INT) AS n_probe,
+  (SELECT CAST(count(*) AS BIGINT) FROM bt JOIN t{tag} tt
+     ON bt.q_id = tt.q_id AND bt.c_id = tt.c_id) AS matched,
+  (SELECT CAST(count(*) AS BIGINT) FROM bt) AS total)"""
+        )
+        outs.append(f"SELECT * FROM r{tag}")
+    union = "\nUNION ALL\n".join(outs)
+    return f"""WITH e AS ({_EMB_CTE}),
+{_IVF_SQL_ASSIGN},
+bq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+bscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, bq WHERE c.vec_id <> q_id),
+bt AS ({topk.top_k_per_group_sql("SELECT * FROM bscored", ["q_id"], "cos", 5, ["c_id"])}),
+{",".join(blocks)}
+SELECT n_probe, matched, total,
+  (floor((CAST(matched AS DOUBLE) / total) * 1000000.0) / 1000000.0) AS recall
+FROM ({union})"""
+
+
+@register(
+    "ann_ivf_probe_sweep",
+    _ivf_sweep_sql(),
+    survey="ext: IVF tuning curve — recall@5 at n_probe in {1,2,4} "
+    "against one exact truth set: the probe-count/recall trade measured "
+    "per corpus, which is HOW n_probe gets chosen before serving (more "
+    "probes = linearly more cells scanned; the curve says what recall "
+    "each price buys)",
+)
+def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall as a function of probe count (1, 2, 4) over the same IVF
+    index and the same exact truth set — the tuning table for the
+    scan-cost/recall trade."""
+    from .cache import eager_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    truth = eager_persist(similarity.brute_force_topk_np(queries, emb, 5))
+    parts = []
+    for p in _SWEEP_PROBES:
+        r = similarity.recall_at_k(
+            truth,
+            similarity.ivf_topk(queries, emb, 5, n_cells=_IVF_CELLS, n_probe=p),
+        ).select(
+            F.lit(p).cast("int").alias("n_probe"), "matched", "total", "recall"
+        )
+        parts.append(r)
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
