@@ -217,6 +217,56 @@ def jaccard_on_pairs(
     )
 
 
+def containment_on_pairs(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    shingle_n: int = SHINGLE_N,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Max-containment |A∩B| / min(|A|, |B|) over distinct shingle sets,
+    for candidate pairs — the NEAR-SUBSET metric. A short doc quoted
+    whole inside a long one has containment ~1 but Jaccard ~|A|/|B|
+    (arbitrarily low), so Jaccard-threshold dedup never sees it;
+    containment is how quote-inclusion and boilerplate-wrapping
+    duplicates are caught. Same join shape (and cost) as
+    :func:`jaccard_on_pairs`."""
+    if shingles is None:
+        shingles = docs.select(
+            "doc_id",
+            F.array_distinct(
+                word_shingles(tokenize(F.col(text_col)), shingle_n)
+            ).alias("sh"),
+        )
+    a = shingles.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            quantize(common / F.greatest(smaller, F.lit(1)), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+def minhash_containment_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.6
+) -> DataFrame:
+    """MinHash-LSH candidates verified by CONTAINMENT >= threshold (same
+    banding/persist discipline as :func:`minhash_dedup_pairs`)."""
+    sh = eager_persist(shingle_sets(docs, text_col))
+    pairs = candidate_pairs(minhash_bands(docs, text_col, shingles=sh))
+    return containment_on_pairs(pairs, shingles=sh).filter(
+        F.col("containment") >= threshold
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

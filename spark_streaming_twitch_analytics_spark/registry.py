@@ -3290,3 +3290,38 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionAll(x)
     return out
+
+
+_CONTAIN_T = 0.6
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+WITH shx AS ({_sh_cte()}),
+sig AS (SELECT doc_id, {X.minhash_signature_sql("sh", dedup.MINHASH_HASHES)} AS sig FROM shx),
+bands AS (
+  SELECT doc_id, b.band,
+  coalesce(array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|'), '') AS key
+  FROM sig, (SELECT unnest(range(0, {dedup.MINHASH_BANDS})) AS band) b),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  AND l.doc_id < r.doc_id),
+shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shx),
+c AS (SELECT a, b,
+  (floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+     greatest(least(len(x.sh), len(y.sh)), 1)) * 1000000.0) / 1000000.0)
+  AS containment
+  FROM cand JOIN shd x ON x.doc_id = a JOIN shd y ON y.doc_id = b)
+SELECT a, b, containment FROM c WHERE containment >= {_CONTAIN_T}""",
+    survey="ext: containment near-subset dedup — |A∩B|/min(|A|,|B|) over "
+    "LSH candidates: catches a short doc quoted whole inside a long one "
+    "(containment ~1, Jaccard arbitrarily low), the duplication mode a "
+    "Jaccard threshold is blind to; same banding, same verify-join cost",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs with shingle-set containment >= 0.6 (near-subset
+    duplicates; see operators/dedup.py containment_on_pairs)."""
+    return dedup.minhash_containment_pairs(
+        _docs(spark, sf_dir), threshold=_CONTAIN_T
+    )

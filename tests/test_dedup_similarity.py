@@ -499,3 +499,25 @@ def test_ivfpq_subset_of_pq_candidates(spark):
         key = (r["q_id"], r["c_id"])
         if key in full:  # same pair reachable in both: identical score
             assert full[key] == r["pq_sim"]
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    """A short doc quoted whole inside a 5x longer one: containment 1.0
+    (caught at any sane threshold), Jaccard ~0.2 (invisible to the 0.5
+    Jaccard gate)."""
+    short = "the quick brown fox jumps over the lazy dog again and again today"
+    long = short + (
+        " meanwhile entirely different narrative content continues onward"
+        " describing unrelated matters at considerable additional length"
+        " with many extra sentences padding the containing document fully"
+        " such that the shared prefix is a small fraction of the whole"
+        " and the jaccard similarity of the shingle sets stays very low"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    c = dedup.containment_on_pairs(pairs, docs).collect()[0]["containment"]
+    j = dedup.jaccard_on_pairs(pairs, docs).collect()[0]["jaccard"]
+    assert c == 1.0
+    assert j < 0.5  # the jaccard gate would never see this pair
