@@ -145,6 +145,30 @@ def lsh_topk(
     return _topk(_scored(_pairs(q, c, ["bucket"])), k)
 
 
+def lsh_multiprobe_topk(
+    queries: DataFrame, candidates: DataFrame, k: int, n_bits: int = 4, dim: int = 64
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007, public): each query probes its
+    own bucket PLUS every 1-bit-flip neighbour — the buckets a true
+    neighbour most likely fell into when one hyperplane disagreed. That
+    buys (n_bits+1)x the scanned candidates WITHOUT more hash tables —
+    the memory-free way to climb the recall curve (more tables = more
+    index storage; more probes = more scan, same index). Candidates
+    still live in exactly one bucket, so no pair can repeat and no
+    dedup step is needed."""
+    q = queries.withColumn(
+        "b0", lsh_bucket(as_double(F.col("embedding")), n_bits, dim)
+    )
+    variants = F.array(
+        F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    )
+    q = q.withColumn("bucket", F.explode(variants)).drop("b0")
+    c = candidates.withColumn(
+        "bucket", lsh_bucket(as_double(F.col("embedding")), n_bits, dim)
+    )
+    return _topk(_scored(_pairs(q, c, ["bucket"])), k)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -3325,3 +3325,61 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_containment_pairs(
         _docs(spark, sf_dir), threshold=_CONTAIN_T
     )
+
+
+_MPROBE_BUCKETS = "[bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]"
+
+_MPROBE_SQL_HEAD = f"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+{V.lsh_bucket_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))", 4, 64)} AS bucket
+FROM embeddings),
+q AS (SELECT vec_id AS q_id, qv, unnest(probes) AS bucket FROM (
+  SELECT vec_id, v AS qv, {_MPROBE_BUCKETS} AS probes
+  FROM e WHERE vec_id % 10 = 0)),
+mscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c JOIN q USING (bucket) WHERE c.vec_id <> q_id)"""
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    _MPROBE_SQL_HEAD
+    + f"""
+{topk.top_k_per_group_sql("SELECT * FROM mscored", ["q_id"], "cos", 5, ["c_id"])}""",
+    survey="ext: multi-probe LSH (Lv 2007) — each query probes its bucket "
+    "and every 1-bit-flip neighbour: (n_bits+1)x the scanned candidates "
+    "with NO extra hash tables, the memory-free recall lever (a "
+    "candidate lives in exactly one bucket, so pairs cannot repeat)",
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the query's bucket + 4 one-bit-flip neighbours."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.lsh_multiprobe_topk(queries, emb, 5)
+
+
+@register(
+    "ann_lsh_multiprobe_recall",
+    _MPROBE_SQL_HEAD
+    + f""",
+mt AS ({topk.top_k_per_group_sql("SELECT * FROM mscored", ["q_id"], "cos", 5, ["c_id"])}),
+bq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+bscored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, bq WHERE c.vec_id <> q_id),
+bt AS ({topk.top_k_per_group_sql("SELECT * FROM bscored", ["q_id"], "cos", 5, ["c_id"])}),
+m AS (SELECT CAST(count(*) AS BIGINT) AS matched
+  FROM bt JOIN mt ON bt.q_id = mt.q_id AND bt.c_id = mt.c_id),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bt)
+SELECT matched, total,
+  (floor((CAST(matched AS DOUBLE) / total) * 1000000.0) / 1000000.0) AS recall
+FROM m, t""",
+    survey="ext: multi-probe LSH recall meter vs exact truth — quantifies "
+    "what the 5x probe fan buys over single-bucket LSH (ann_lsh_recall) "
+    "for the same index bytes",
+)
+def ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of multi-probe LSH vs exact cosine top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.recall_at_k(
+        similarity.brute_force_topk_np(queries, emb, 5),
+        similarity.lsh_multiprobe_topk(queries, emb, 5),
+    )
