@@ -3383,3 +3383,110 @@ def ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.brute_force_topk_np(queries, emb, 5),
         similarity.lsh_multiprobe_topk(queries, emb, 5),
     )
+
+
+@register(
+    "orders_rfm_segments",
+    """WITH cm AS (
+  SELECT o_custkey AS c,
+    CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS r,
+    CAST(count(*) AS BIGINT) AS f,
+    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
+  FROM orders GROUP BY o_custkey),
+q AS (SELECT
+    quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2, quantile_cont(r, 0.75) AS r3,
+    quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2, quantile_cont(f, 0.75) AS f3,
+    quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2, quantile_cont(m, 0.75) AS m3
+  FROM cm)
+SELECT c AS c_custkey,
+  CAST(1 + CAST(r > r1 AS INT) + CAST(r > r2 AS INT) + CAST(r > r3 AS INT) AS INT) AS r_score,
+  CAST(1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT) + CAST(f > f3 AS INT) AS INT) AS f_score,
+  CAST(1 + CAST(m > m1 AS INT) + CAST(m > m2 AS INT) + CAST(m > m3 AS INT) AS INT) AS m_score,
+  CAST(1 + CAST(r > r1 AS INT) + CAST(r > r2 AS INT) + CAST(r > r3 AS INT) AS VARCHAR) ||
+  CAST(1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT) + CAST(f > f3 AS INT) AS VARCHAR) ||
+  CAST(1 + CAST(m > m1 AS INT) + CAST(m > m2 AS INT) + CAST(m > m3 AS INT) AS VARCHAR) AS segment
+FROM cm, q""",
+    survey="ext: RFM customer segmentation — recency/frequency/monetary "
+    "quartile scores WITHOUT a global rank window: exact quartile "
+    "boundaries come from one 1-row aggregate (broadcast back), scoring "
+    "is a per-row CASE — the 100 TB-safe formulation (an ntile() over "
+    "the whole table would be a single-partition sort)",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-scored RFM per customer: metrics in one keyed aggregate
+    (exact integer cents / epoch seconds), boundaries via exact
+    percentile() on the metric table, strict-> comparisons so boundary
+    ties bucket identically on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cm = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.unix_timestamp(F.max("o_orderdate")).alias("r"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("m"),
+    )
+    q = cm.agg(
+        *[
+            F.expr(f"percentile({col}, {p})").alias(f"{col}{i}")
+            for col in ("r", "f", "m")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    j = cm.crossJoin(F.broadcast(q))
+
+    def score(col: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{col}1")).cast("int")
+            + (F.col(col) > F.col(f"{col}2")).cast("int")
+            + (F.col(col) > F.col(f"{col}3")).cast("int")
+        )
+
+    return j.select(
+        F.col("c").alias("c_custkey"),
+        score("r").alias("r_score"),
+        score("f").alias("f_score"),
+        score("m").alias("m_score"),
+        F.concat(
+            score("r").cast("string"),
+            score("f").cast("string"),
+            score("m").cast("string"),
+        ).alias("segment"),
+    )
+
+
+@register(
+    "dedup_graph_triangles",
+    f"""WITH mh AS (SELECT a, b FROM ({get("dedup_minhash_pairs").sql})
+  WHERE jaccard >= {_PPJOIN_T}),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM mh e1 JOIN mh e2 ON e1.b = e2.a JOIN mh e3
+    ON e3.a = e1.a AND e3.b = e2.b),
+ed AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM mh)
+SELECT n_edges, n_triangles FROM ed, tri""",
+    survey="ext: triangle counting on the near-dup graph — the standard "
+    "distributed graph primitive (id-oriented edges a<b make each "
+    "triangle count exactly once via two keyed joins; production "
+    "variant orients by degree to bound hub fan-out): triangles measure "
+    "how CLIQUE-LIKE dup clusters are, which decides whether "
+    "keep-one-per-cluster is safe or the cluster mixes unrelated pairs",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed triangles among verified near-dup pairs (a<b orientation;
+    each triangle counted once)."""
+    mh = (
+        dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
+        .filter(F.col("jaccard") >= _PPJOIN_T)
+        .select("a", "b")
+    )
+    e1 = mh.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = mh.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = mh.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    ed = mh.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return ed.crossJoin(F.broadcast(tri))
