@@ -3490,3 +3490,78 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ed = mh.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return ed.crossJoin(F.broadcast(tri))
+
+
+@register(
+    "events_seasonality",
+    """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hod,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        / count(*) / 100.0, 4) AS mean_value
+FROM events GROUP BY 1, 2""",
+    survey="ext: time-series seasonality profile — day-of-week x "
+    "hour-of-day counts and means (exact integer-cents accumulation, so "
+    "the mean is order-invariant): one vocab-bounded aggregate (168 "
+    "cells) with map-side partials, the canonical pre-anomaly baseline",
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (dow, hour) event counts and exact mean value. Spark's
+    dayofweek is 1-based (Sunday=1), DuckDB's 0-based (Sunday=0) — the
+    oracle adds 1 to align."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0, 4
+            ).alias("mean_value"),
+        )
+    )
+
+
+_PATH_TOPK = 15
+
+
+@register(
+    "events_user_paths",
+    f"""WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+  FROM events),
+tri AS (
+  SELECT p2 || '>' || p1 || '>' || event_type AS path,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM seq WHERE p2 IS NOT NULL GROUP BY 1)
+SELECT path, cnt FROM tri ORDER BY cnt DESC, path ASC LIMIT {_PATH_TOPK}""",
+    survey="ext: top user paths — most frequent length-3 event-type "
+    "sequences (second-order sequence mining beyond the first-order "
+    "Markov matrix): two lags over ONE user-keyed window (one shuffle), "
+    "path counts vocab-bounded (125 possible triples), top-K via "
+    "TakeOrderedAndProject",
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common A>B>C event-type paths across users, sequenced per
+    user by (ts, event_id)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    tri = (
+        seq.filter(F.col("p2").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return tri.orderBy(F.desc("cnt"), F.asc("path")).limit(_PATH_TOPK)
