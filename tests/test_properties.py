@@ -433,3 +433,146 @@ def test_sketch_hash_primitives_match_duckdb(spark, texts):
     assert cms_spark == cms_duck
     for ps in cms_spark.values():
         assert all(0 <= p < _CMS_W for p in ps)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge fold vs a plain-Python reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _py_greedy_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right BPE merge (Sennrich semantics)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=12),
+    pair=st.tuples(
+        st.text(alphabet="ab", min_size=1, max_size=2),
+        st.text(alphabet="ab", min_size=1, max_size=2),
+    ),
+)
+def test_bpe_merge_fold_matches_python_reference(spark, word, pair):
+    """The F.aggregate string fold must implement EXACTLY greedy
+    left-to-right non-overlapping merging — checked against a plain
+    Python reference on adversarial ab-alphabet words (maximal overlap
+    pressure), including multi-char symbols."""
+    from spark_streaming_twitch_analytics_spark.operators import bpe
+
+    a, b = pair
+    syms = list(word)  # start from chars; merge (a,b) may be multi-char
+    # pre-merge once with a fixed pair so multi-char symbols appear
+    syms = _py_greedy_merge(syms, "a", "b")
+    s0 = bpe.SEP.join(syms)
+    df = spark.createDataFrame([(s0,), (s0,)], "s string").limit(1)
+    got = (
+        df.select(bpe._merge_fold(F.col("s"), a, b).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert got.split(bpe.SEP) == _py_greedy_merge(syms, a, b)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30), min_size=2, max_size=5
+    )
+)
+def test_containment_bounds_and_subset_iff_one(spark, texts):
+    """jaccard <= containment <= 1 on every candidate pair, and
+    containment == 1 exactly when one shingle set contains the other."""
+    from spark_streaming_twitch_analytics_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ids = list(range(len(texts)))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in ids for j in ids if i < j], "a long, b long"
+    )
+    jac = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.jaccard_on_pairs(pairs, docs).collect()
+    }
+    con = {
+        (r["a"], r["b"]): r["containment"]
+        for r in dedup.containment_on_pairs(pairs, docs).collect()
+    }
+    from spark_streaming_twitch_analytics_spark.functions.text import (
+        tokenize,
+        word_shingles,
+    )
+
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id",
+            F.array_distinct(
+                word_shingles(tokenize(F.col("text")), dedup.SHINGLE_N)
+            ).alias("sh"),
+        ).collect()
+    }
+    for k in jac:
+        assert jac[k] <= con[k] <= 1.0
+        x, y = sh[k[0]], sh[k[1]]
+        if x and y:
+            subset = x <= y or y <= x
+            assert (con[k] == 1.0) == subset
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # key
+            st.integers(min_value=0, max_value=50),  # seq (made unique below)
+            st.sampled_from(["x", "y", "z"]),  # attribute
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_intervals_are_contiguous_and_single_current(spark, log):
+    """SCD2 output invariants on random change logs: per key, versions
+    are consecutive from 1; valid_from strictly increases; each
+    valid_to equals the NEXT version's valid_from (no gaps, no
+    overlaps); exactly one open (is_current) row per key; consecutive
+    versions differ in the attribute."""
+    import datetime as dt
+
+    from spark_streaming_twitch_analytics_spark.operators import merge as M
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(hours=i), i, attr)
+        for i, (k, _, attr) in enumerate(log)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = M.scd2_history(
+        ev, keys=["user_id"], attr_col="event_type",
+        seq_cols=["event_id"], ts_col="ts",
+    ).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for r in vs if r["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for prev, nxt in zip(vs, vs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+            assert prev["valid_from"] < nxt["valid_from"]
+            assert prev["event_type"] != nxt["event_type"]
