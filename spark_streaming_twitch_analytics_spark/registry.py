@@ -3565,3 +3565,88 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return tri.orderBy(F.desc("cnt"), F.asc("path")).limit(_PATH_TOPK)
+
+
+@register(
+    "window_distribution_funcs",
+    """SELECT o_custkey, o_orderkey,
+  (floor(percent_rank() OVER w * 1000000.0) / 1000000.0) AS prnk,
+  (floor(cume_dist() OVER w * 1000000.0) / 1000000.0) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC)""",
+    survey="ext: distribution window functions (percent_rank / "
+    "cume_dist) over a per-customer total order — both are exact "
+    "integer ratios ((rank-1)/(n-1), rows<=current/n), so the values "
+    "are engine-exact; completes the window-function surface next to "
+    "rank/dense_rank/ntile/lead",
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist per customer (floor-quantized ratios
+    of exact ints)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc(F.round("o_totalprice", 2)), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.floor(F.percent_rank().over(w) * 1e6) / 1e6).alias("prnk"),
+        (F.floor(F.cume_dist().over(w) * 1e6) / 1e6).alias("cdist"),
+    )
+
+
+@register(
+    "orders_cohort_revenue",
+    """WITH f AS (
+  SELECT o_custkey, CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP)
+    AS cohort_month
+  FROM orders GROUP BY o_custkey),
+m AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS om,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT cohort_month,
+  CAST((year(om) - year(cohort_month)) * 12
+       + (month(om) - month(cohort_month)) AS INT) AS month_offset,
+  CAST(count(DISTINCT m.o_custkey) AS BIGINT) AS n_customers,
+  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue
+FROM m JOIN f USING (o_custkey)
+GROUP BY 1, 2""",
+    survey="ext: cohort LTV matrix — customers bucketed by first-order "
+    "month, revenue per month offset (exact integer cents): the revenue "
+    "companion to the count-based events_retention; two keyed "
+    "aggregates plus one customer-keyed join",
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order-month cohorts x month offset -> active customers and
+    exact revenue."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    m = o.select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("om"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        m.join(f, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("om") - F.year("cohort_month")) * 12
+                + (F.month("om") - F.month("cohort_month"))
+            )
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+    )

@@ -130,14 +130,15 @@ def main() -> None:
         "set_ops", "drop_duplicates", "rollup_orders", "pivot_events",
         "asof_join_events", "range_join_buckets", "quantiles_exact",
         "approx_sketches", "window_running_total", "events_hourly", "sessionize",
-        "cube_orders", "window_rank_funcs", "grouping_sets_orders",
+        "cube_orders", "window_rank_funcs", "window_distribution_funcs",
+        "grouping_sets_orders",
         "unpivot_lineitem", "window_range_rolling", "json_extract_props",
         "json_variant_stats", "sql_api_revenue", "skew_salted_count",
     ]
     by_id["ext-analytics"] = [
         "events_funnel", "events_retention", "events_markov_transitions",
         "orders_basket_pairs", "orders_rfm_segments",
-        "events_seasonality", "events_user_paths",
+        "events_seasonality", "events_user_paths", "orders_cohort_revenue",
     ]
     by_id["ext-temporal"] = ["cdc_apply_changes", "scd2_user_history"]
     by_id["ext-layout"] = ["bucketed_join_priority_revenue", "partitioned_day_scan"]
