@@ -3650,3 +3650,96 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "events_ab_test",
+    """WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         >= 15 THEN 1 ELSE 0 END AS BIGINT) AS converted
+  FROM events GROUP BY user_id),
+w AS (
+  -- conditional aggregation (not per-group rows): one output row even
+  -- when a parity group is empty (degenerate single-user corpora)
+  SELECT
+    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN grp = 0 THEN converted END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN grp = 1 THEN converted END) AS BIGINT) AS cb
+  FROM u),
+c AS (SELECT na, ca, nb, cb,
+  CAST(ca AS DOUBLE) / nullif(na, 0) AS ra,
+  CAST(cb AS DOUBLE) / nullif(nb, 0) AS rb,
+  CAST(ca + cb AS DOUBLE) / nullif(na + nb, 0) AS p FROM w)
+SELECT na, ca, nb, cb,
+  (floor(ra * 1000000.0) / 1000000.0) AS rate_a,
+  (floor(rb * 1000000.0) / 1000000.0) AS rate_b,
+  (floor((rb - ra) * 1000000.0) / 1000000.0) AS lift,
+  (floor(((rb - ra) / nullif(sqrt(p * (1 - p) * (1.0 / nullif(na, 0) + 1.0 / nullif(nb, 0))), 0))
+    * 1000000.0) / 1000000.0) AS z
+FROM c""",
+    survey="ext: A/B test primitive — two-proportion conversion z-test "
+    "over hash-assigned groups: every input to the statistic is an "
+    "exact integer count, the arithmetic is IEEE divide/multiply/sqrt "
+    "(correctly rounded, engine-exact), so rates, lift, and z match to "
+    "the bit; one user-keyed aggregate then a 1-row conditional rollup "
+    "(total even when a group is empty — NULL stats, never a lost row)",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-rate z-test between user_id-parity groups (conversion
+    = 15+ purchases). Conditional aggregation keeps the rollup total on
+    degenerate corpora: an empty parity group yields NULL rates/z on
+    BOTH engines rather than an empty result."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 15
+        )
+        .cast("long")
+        .alias("converted")
+    ).withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    w = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted"))).cast("long").alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted"))).cast("long").alias("cb"),
+    )
+    c = w.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        (F.col("ca").cast("double") / F.nullif(F.col("na"), F.lit(0))).alias("ra"),
+        (F.col("cb").cast("double") / F.nullif(F.col("nb"), F.lit(0))).alias("rb"),
+        (
+            (F.col("ca") + F.col("cb")).cast("double")
+            / F.nullif(F.col("na") + F.col("nb"), F.lit(0))
+        ).alias("p"),
+    )
+    q6 = lambda c_: F.floor(c_ * 1e6) / 1e6
+    return c.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        q6(F.col("ra")).alias("rate_a"),
+        q6(F.col("rb")).alias("rate_b"),
+        q6(F.col("rb") - F.col("ra")).alias("lift"),
+        q6(
+            (F.col("rb") - F.col("ra"))
+            / F.nullif(
+                F.sqrt(
+                    F.col("p")
+                    * (1 - F.col("p"))
+                    * (
+                        1.0 / F.nullif(F.col("na"), F.lit(0))
+                        + 1.0 / F.nullif(F.col("nb"), F.lit(0))
+                    )
+                ),
+                F.lit(0.0),
+            )
+        ).alias("z"),
+    )
+

@@ -74,6 +74,8 @@ FUZZ_QUERIES = [
     "events_markov_transitions", "window_range_rolling",
     "corpus_hot_ngrams", "corpus_bpe_merges", "corpus_bpe_encode",
     "ann_ivfpq_topk", "ann_ivfpq_rerank",
+    "events_seasonality", "events_user_paths", "events_ab_test",
+    "dedup_containment_pairs", "ann_lsh_multiprobe_topk",
 ]
 
 
