@@ -3743,3 +3743,63 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
     )
 
+
+
+@register(
+    "lineitem_discount_ols",
+    """WITH b AS (
+  SELECT CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM b)
+SELECT n, sx, sy, sxy, sxx,
+  (floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0))
+   * 1000000.0) / 1000000.0) AS slope,
+  (floor(((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+           nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0)) * sx)
+          / n) * 1000000.0) / 1000000.0) AS intercept
+FROM s""",
+    survey="ext: distributed OLS via sufficient statistics — slope and "
+    "intercept of price~discount from five EXACT integer sums (n, Σx, "
+    "Σy, Σxy, Σx²), accumulated map-side and combined in any order: "
+    "the one-pass, shuffle-one-row linear regression shape; the closed "
+    "form is IEEE divide/multiply of exact ints, engine-bit-equal "
+    "(zero-variance x degenerates to NULL on both engines)",
+)
+def lineitem_discount_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """price(cents) ~ discount(basis points) least squares from exact
+    integer moments: one aggregate, one output row, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    denom = F.nullif(
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"), F.lit(0.0)
+    )
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / denom
+    q6 = lambda c_: F.floor(c_ * 1e6) / 1e6
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        q6(slope).alias("slope"),
+        q6((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
