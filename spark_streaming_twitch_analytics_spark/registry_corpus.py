@@ -2810,3 +2810,60 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = [(r["a"], r["b"]) for r in merges_df.collect()]  # ≤12 rows
     return _BPE.bpe_encode(d, merges)
+
+
+@register(
+    "corpus_doc_novelty",
+    f"""WITH toks AS (
+  SELECT doc_id, {X.tokenize_sql('text')} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest({X.word_shingles_sql('t', _HOT_N)}) AS g FROM toks),
+dfq AS (
+  SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM sh GROUP BY g),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM sh JOIN dfq USING (g) GROUP BY doc_id)
+SELECT doc_id, n_grams, n_shared,
+  (floor((1.0 - CAST(n_shared AS DOUBLE) / n_grams) * 1000000.0) / 1000000.0)
+    AS novelty
+FROM per""",
+    survey="ext: per-document novelty score — the fraction of a doc's "
+    f"{_HOT_N}-grams unseen anywhere else in the corpus (1 - shared/"
+    "total): the uniqueness signal curation pipelines rank on (low "
+    "novelty = boilerplate/copy-heavy). Same one-shuffle shingle "
+    "aggregate as the hot-ngram audit, joined back per doc; docs with "
+    "fewer than 8 tokens have no 8-grams and drop out on both engines",
+)
+def corpus_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """novelty = 1 - (doc's n-grams appearing in >= 2 docs) / (doc's
+    n-grams): integer-ratio exact, floor-quantized."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            X.word_shingles(X.tokenize(F.col("text")), _HOT_N)
+        ).alias("g"),
+    )
+    dfq = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    per = (
+        sh.join(dfq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        (
+            F.floor(
+                (1.0 - F.col("n_shared").cast("double") / F.col("n_grams")) * 1e6
+            )
+            / 1e6
+        ).alias("novelty"),
+    )
