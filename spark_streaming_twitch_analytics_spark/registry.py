@@ -3803,3 +3803,62 @@ def lineitem_discount_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "events_attribution",
+    """WITH v AS (
+  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+  CASE WHEN v.ts IS NOT NULL
+        AND floor(epoch(p.ts)) - floor(epoch(v.ts)) <= 86400
+       THEN v.view_id END AS attributed_view_id,
+  coalesce(v.ts IS NOT NULL
+           AND floor(epoch(p.ts)) - floor(epoch(v.ts)) <= 86400, FALSE)
+    AS attributed
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    survey="ext: last-touch attribution — each purchase attributed to the "
+    "user's most recent view within a 24h lookback (as-of join + "
+    "tolerance): the marketing-attribution workload; views are "
+    "pre-aggregated per (user, ts) so equal-timestamp ties resolve "
+    "identically on both engines; one user-keyed union+window pass, no "
+    "per-purchase scan",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined as-of to the latest preceding view, nulled when
+    the view is older than 24h (tolerance applied post-join on exact
+    epoch seconds)."""
+    from .operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").cast("long").alias("view_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.struct(
+                F.col("ts").alias("vts"), F.col("view_id").alias("vid")
+            ).alias("va"),
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = as_of_join(
+        purch, views, key="user_id", left_ts="ts", right_ts="ts",
+        value_col="va", out_col="__a",
+    )
+    within = F.col("__a").isNotNull() & (
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.col("__a")["vts"]))
+        <= 86400
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("__a")["vid"]).alias("attributed_view_id"),
+        F.coalesce(within, F.lit(False)).alias("attributed"),
+    )

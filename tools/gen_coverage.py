@@ -139,7 +139,7 @@ def main() -> None:
         "events_funnel", "events_retention", "events_markov_transitions",
         "orders_basket_pairs", "orders_rfm_segments",
         "events_seasonality", "events_user_paths", "orders_cohort_revenue",
-        "events_ab_test", "lineitem_discount_ols",
+        "events_ab_test", "lineitem_discount_ols", "events_attribution",
     ]
     by_id["ext-temporal"] = ["cdc_apply_changes", "scd2_user_history"]
     by_id["ext-layout"] = ["bucketed_join_priority_revenue", "partitioned_day_scan"]
