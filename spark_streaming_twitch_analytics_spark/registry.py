@@ -3862,3 +3862,79 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("__a")["vid"]).alias("attributed_view_id"),
         F.coalesce(within, F.lit(False)).alias("attributed"),
     )
+
+
+@register(
+    "quality_constraint_report",
+    """SELECT chk, violations FROM (
+  SELECT '1_orders_pk_unique' AS chk,
+    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+  FROM orders
+  UNION ALL
+  SELECT '2_lineitem_fk_orders',
+    CAST(count(*) AS BIGINT)
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT '3_price_nonnegative',
+    CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT '4_discount_in_unit_range',
+    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+         AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT '5_orderkey_not_null',
+    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT '6_shipdate_not_null',
+    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem)""",
+    survey="ext: data-quality constraint report (Deequ/dbt-test shape) — "
+    "PK uniqueness, FK integrity (anti-join), non-negativity, domain "
+    "range, and null checks as ONE report table: each check is an "
+    "aggregate or broadcast/shuffle anti-join, so the full audit is a "
+    "constant number of passes regardless of constraint count per "
+    "column; the report row format is what a pipeline gate consumes",
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over orders/lineitem: (check, violations) rows.
+    The FK check is a left-anti join (maps to NOT IN over a
+    non-nullable key in the oracle); everything else is conditional
+    aggregation with map-side partials."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(chk: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(chk).alias("chk"), F.col("violations"))
+
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("violations")
+    )
+    fk = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+    )
+    def cond(df: DataFrame, pred) -> DataFrame:
+        return df.agg(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("violations")
+        )
+
+    parts = [
+        one("1_orders_pk_unique", pk),
+        one("2_lineitem_fk_orders", fk),
+        one("3_price_nonnegative", cond(li, F.col("l_extendedprice") < 0)),
+        one(
+            "4_discount_in_unit_range",
+            cond(li, (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one("5_orderkey_not_null", cond(li, F.col("l_orderkey").isNull())),
+        one("6_shipdate_not_null", cond(li, F.col("l_shipdate").isNull())),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out

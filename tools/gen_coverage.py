@@ -78,6 +78,7 @@ SURVEY_ROWS: dict[str, tuple[str, str]] = {
     "ext-analytics": ("product analytics: ordered funnel / cohort retention / Markov transitions / market-basket lift", "registry.py events_funnel, events_retention, events_markov_transitions, orders_basket_pairs"),
     "ext-temporal": ("CDC upsert + SCD2 interval history (type-2 dimension builds)", "operators/merge.py apply_changes, scd2_history"),
     "ext-layout": ("layout-aware IO: bucketed co-located joins (exchange-free SMJ) + date-partition pruning, both plan-asserted", "operators/bucketed.py; tests/test_plans.py"),
+    "ext-dq": ("data-quality constraint report (PK/FK/domain/null checks as one gate table)", "registry.py quality_constraint_report"),
     "ext-streaming": ("streaming beyond the reference: stream-stream interval join, session/sliding windows, watermark dedup, stream-static enrichment", "streaming/windows.py; registry.py streaming_* queries"),
 }
 
@@ -143,6 +144,7 @@ def main() -> None:
     ]
     by_id["ext-temporal"] = ["cdc_apply_changes", "scd2_user_history"]
     by_id["ext-layout"] = ["bucketed_join_priority_revenue", "partitioned_day_scan"]
+    by_id["ext-dq"] = ["quality_constraint_report"]
     by_id["ext-streaming"] = [
         q.name
         for q in registry._REGISTRY
