@@ -521,3 +521,20 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
     j = dedup.jaccard_on_pairs(pairs, docs).collect()[0]["jaccard"]
     assert c == 1.0
     assert j < 0.5  # the jaccard gate would never see this pair
+
+
+def test_rerank_recall_dominates_raw_ivfpq(spark):
+    """Re-ranking the m=25 shortlist by exact cosine can only help:
+    every true top-5 neighbour that survives into the shortlist has (by
+    definition of 'true top-5') the highest exact cosines there, so it
+    must appear in the re-ranked top-5 — recall(rerank@5) >=
+    recall(ivfpq@5), measured."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    truth = similarity.brute_force_topk_np(q, emb, 5)
+    raw = similarity.recall_at_k(truth, similarity.ivfpq_topk(q, emb, 5)).collect()[0]
+    rr = similarity.recall_at_k(
+        truth, similarity.ivfpq_rerank(q, emb, 5, m=25)
+    ).collect()[0]
+    assert rr["recall"] >= raw["recall"]
+    assert rr["total"] == raw["total"] > 0
