@@ -59,6 +59,23 @@ HEADLINE = [
     "scd2_user_history",
     "bucketed_join_priority_revenue",
     "partitioned_day_scan",
+    "events_funnel",
+    "events_retention",
+    "events_markov_transitions",
+    "events_user_paths",
+    "events_seasonality",
+    "events_ab_test",
+    "events_attribution",
+    "orders_basket_pairs",
+    "orders_rfm_segments",
+    "orders_cohort_revenue",
+    "lineitem_discount_ols",
+    "window_range_rolling",
+    "window_distribution_funcs",
+    "dedup_containment_pairs",
+    "ann_lsh_multiprobe_topk",
+    "corpus_doc_novelty",
+    "quality_constraint_report",
     "text_quality",
     "text_fingerprint",
     "text_redact_pii",
