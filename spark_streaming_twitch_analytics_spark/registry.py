@@ -3938,3 +3938,65 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionAll(x)
     return out
+
+
+_WILSON_Z = 1.96
+
+
+@register(
+    "supplier_return_wilson",
+    f"""WITH s AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM lineitem GROUP BY l_suppkey),
+w AS (
+  SELECT l_suppkey, n, r,
+    (floor((CAST(r AS DOUBLE) / n) * 1000000.0) / 1000000.0) AS rate,
+    ((CAST(r AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+      - {_WILSON_Z} * sqrt((CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n) / n
+                  + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+     / (1 + {_WILSON_Z} * {_WILSON_Z} / n)) AS wl_full
+  FROM s)
+SELECT l_suppkey, n, r, rate,
+  (floor(wl_full * 1000000.0) / 1000000.0) AS wilson_lower
+FROM w ORDER BY wl_full DESC, l_suppkey ASC LIMIT 20""",
+    survey="ext: Wilson-lower-bound ranking — suppliers ranked by the "
+    "95% lower confidence bound of their return rate, not the raw rate "
+    "(the standard small-sample-safe ranking: a 2/2 supplier must not "
+    "outrank a 95/100 one): per-key integer counts, one keyed "
+    "aggregate, then pure IEEE arithmetic with a constant z — "
+    "engine-exact ranking AND values; top-K is TakeOrderedAndProject",
+)
+def supplier_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top suppliers by Wilson lower bound of return-flag rate (ranked
+    on the full-precision bound, displayed floor-quantized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    z = _WILSON_Z
+    p = F.col("r").cast("double") / F.col("n")
+    nd = F.col("n").cast("double")
+    wl = (
+        p
+        + z * z / (2.0 * nd)
+        - z * F.sqrt(p * (1 - p) / nd + z * z / (4.0 * nd * nd))
+    ) / (1 + z * z / nd)
+    q6 = lambda c_: F.floor(c_ * 1e6) / 1e6
+    return (
+        s.select(
+            "l_suppkey",
+            "n",
+            "r",
+            q6(p).alias("rate"),
+            wl.alias("wl_full"),
+        )
+        .orderBy(F.desc("wl_full"), F.asc("l_suppkey"))
+        .limit(20)
+        .select(
+            "l_suppkey", "n", "r", "rate", q6(F.col("wl_full")).alias("wilson_lower")
+        )
+    )
