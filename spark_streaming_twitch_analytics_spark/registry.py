@@ -4000,3 +4000,111 @@ def supplier_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey", "n", "r", "rate", q6(F.col("wl_full")).alias("wilson_lower")
         )
     )
+
+
+@register(
+    "brand_discount_ols",
+    """WITH b AS (
+  SELECT p_brand,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+s AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM b GROUP BY p_brand)
+SELECT p_brand, n,
+  (floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0))
+   * 1000000.0) / 1000000.0) AS slope
+FROM s""",
+    survey="ext: grouped OLS — one regression PER KEY (brand) from the "
+    "same five exact integer sufficient statistics, all brands in one "
+    "keyed aggregate: the 'millions of models' pattern (per-key slopes "
+    "at 100 TB cost one shuffle, not one job per model); zero-variance "
+    "keys degrade to NULL on both engines",
+)
+def brand_discount_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price~discount slope via grouped sufficient statistics
+    (broadcast dim join, one aggregate, one row per brand)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = b.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    denom = F.nullif(
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"), F.lit(0.0)
+    )
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / denom
+    return s.select(
+        "p_brand", "n", (F.floor(slope * 1e6) / 1e6).alias("slope")
+    )
+
+
+@register(
+    "nation_revenue_yoy",
+    """WITH r AS (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT n_name, yr,
+  round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+  (floor((CAST(cents AS DOUBLE) /
+          nullif(lag(cents) OVER (PARTITION BY n_name ORDER BY yr), 0) - 1)
+   * 1000000.0) / 1000000.0) AS yoy_growth
+FROM r""",
+    survey="ext: year-over-year growth — per-nation revenue with a lag "
+    "window over the (nation, year) rollup: the trend-report shape; "
+    "the window runs over the AGGREGATED table (|nations|x|years| "
+    "rows), never the fact table, so the lag costs nothing at scale; "
+    "exact integer cents make the ratio engine-exact; first year is "
+    "NULL growth on both engines",
+)
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation annual revenue and YoY growth (lag over the rollup)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("yr")
+    return r.select(
+        "n_name",
+        "yr",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        (
+            F.floor(
+                (
+                    F.col("cents").cast("double")
+                    / F.nullif(F.lag("cents").over(w), F.lit(0))
+                    - 1
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("yoy_growth"),
+    )
