@@ -1,0 +1,73 @@
+"""Semantic invariants of the product-analytics family (values are
+hash-gated against DuckDB elsewhere; these pin the PROPERTIES that make
+the numbers meaningful)."""
+
+from __future__ import annotations
+
+from spark_streaming_twitch_analytics_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return registry.get(name).fn(spark, SF)
+
+
+def test_funnel_is_monotone(spark):
+    rows = {r["step"]: r["n_users"] for r in q(spark, "events_funnel").collect()}
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"] >= 0
+
+
+def test_retention_offset_zero_covers_every_user(spark):
+    rows = q(spark, "events_retention").collect()
+    assert all(r["week_offset"] >= 0 for r in rows)
+    # offset 0 = the cohort itself: summed over cohorts it counts every user
+    n0 = sum(r["n_users"] for r in rows if r["week_offset"] == 0)
+    first = q(spark, "scd2_user_history").select("user_id").distinct().count()
+    assert n0 == first
+
+
+def test_markov_rows_sum_to_one(spark):
+    rows = q(spark, "events_markov_transitions").collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["prob"]
+    for prev, s in by_prev.items():
+        # floor-quantized probs: the row sum can only undershoot 1, and by
+        # at most one quantum per cell
+        assert 1.0 - 5e-6 <= s <= 1.0 + 1e-9, (prev, s)
+
+
+def test_rfm_scores_are_quartile_balanced(spark):
+    rows = q(spark, "orders_rfm_segments").collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [r[col] for r in rows]
+        assert set(vals) <= {1, 2, 3, 4}
+        # exact-percentile boundaries: no bucket may hold a majority
+        # unless the metric is massively tied (f is integer-valued and
+        # CAN tie heavily; r and m are near-continuous)
+        if col != "f_score":
+            for b in (1, 2, 3, 4):
+                assert vals.count(b) <= 0.6 * n, (col, b)
+
+
+def test_wilson_lower_bound_never_exceeds_rate(spark):
+    for r in q(spark, "supplier_return_wilson").collect():
+        assert r["wilson_lower"] <= r["rate"] + 1e-9
+        assert 0.0 <= r["wilson_lower"] <= 1.0
+
+
+def test_basket_lift_and_support_consistent(spark):
+    rows = q(spark, "orders_basket_pairs").collect()
+    for r in rows:
+        assert r["p1"] < r["p2"]
+        assert r["pair_cnt"] >= 1
+        assert r["lift"] >= 0.0
+
+
+def test_attribution_marks_only_window_hits(spark):
+    rows = q(spark, "events_attribution").collect()
+    for r in rows:
+        assert (r["attributed_view_id"] is not None) == r["attributed"]
