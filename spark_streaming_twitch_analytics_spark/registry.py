@@ -4108,3 +4108,53 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("yoy_growth"),
     )
+
+
+@register(
+    "events_dau_wau",
+    """WITH d AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM d),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY day),
+wau AS (
+  SELECT days.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS wau
+  FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+  GROUP BY days.day)
+SELECT day, dau, wau,
+  (floor((CAST(dau AS DOUBLE) / wau) * 1000000.0) / 1000000.0)
+    AS stickiness
+FROM dau JOIN wau USING (day)""",
+    survey="ext: DAU/WAU engagement — daily actives, trailing-7-day "
+    "actives, and the stickiness ratio: the distinct (day, user) table "
+    "is the 100 TB trick (dedup once, then every window metric runs on "
+    "|days|x|users| rows, not events); the trailing-week distinct is a "
+    "bounded range self-join of that compact table; ratios are exact "
+    "integer divisions",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and DAU/WAU stickiness per day, all off
+    one deduplicated (day, user) activity table."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = d.select("day").distinct()
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d2 = d.select(F.col("day").alias("aday"), "user_id")
+    wau = (
+        days.join(
+            d2,
+            (F.col("aday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("aday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (
+            F.floor((F.col("dau").cast("double") / F.col("wau")) * 1e6) / 1e6
+        ).alias("stickiness"),
+    )

@@ -76,7 +76,7 @@ FUZZ_QUERIES = [
     "ann_ivfpq_topk", "ann_ivfpq_rerank",
     "events_seasonality", "events_user_paths", "events_ab_test",
     "dedup_containment_pairs", "ann_lsh_multiprobe_topk",
-    "events_attribution", "corpus_doc_novelty",
+    "events_attribution", "corpus_doc_novelty", "events_dau_wau",
 ]
 
 

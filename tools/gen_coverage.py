@@ -142,6 +142,7 @@ def main() -> None:
         "events_seasonality", "events_user_paths", "orders_cohort_revenue",
         "events_ab_test", "lineitem_discount_ols", "events_attribution",
         "supplier_return_wilson", "brand_discount_ols", "nation_revenue_yoy",
+        "events_dau_wau",
     ]
     by_id["ext-temporal"] = ["cdc_apply_changes", "scd2_user_history"]
     by_id["ext-layout"] = ["bucketed_join_priority_revenue", "partitioned_day_scan"]
