@@ -2867,3 +2867,74 @@ def corpus_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("novelty"),
     )
+
+
+_COVER_KS = (100, 1000, 2000)
+
+
+@register(
+    "corpus_vocab_coverage",
+    f"""WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents) GROUP BY word),
+r AS (SELECT word, c,
+  CAST(row_number() OVER (ORDER BY c DESC, word ASC) AS BIGINT) AS rn FROM w),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM w)
+SELECT k, covered, total,
+  (floor((CAST(covered AS DOUBLE) / total) * 1000000.0) / 1000000.0)
+    AS coverage
+FROM (
+  {" UNION ALL ".join(f'''SELECT CAST({k} AS INT) AS k,
+    CAST(sum(CASE WHEN rn <= {k} THEN c ELSE 0 END) AS BIGINT) AS covered
+  FROM r''' for k in _COVER_KS)}) x, t""",
+    survey="ext: vocabulary coverage curve — what fraction of all token "
+    "occurrences the top-k words cover (k in 100/1000/2000): the "
+    "closed-vocab planning number (OOV rate = 1 - coverage); the rank "
+    "window runs over the VOCAB table (corpus-independent size), never "
+    "the corpus, and the curve is conditional sums in one pass",
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of the top-k vocabulary at three k's
+    (total order: count desc, word asc)."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    w = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    r = w.withColumn(
+        "rn",
+        F.row_number()
+        .over(W.orderBy(F.desc("c"), F.asc("word")))
+        .cast("long"),
+    )
+    t = w.agg(F.sum("c").cast("long").alias("total"))
+    parts = []
+    for k in _COVER_KS:
+        parts.append(
+            r.agg(
+                F.lit(k).cast("int").alias("k"),
+                F.sum(F.when(F.col("rn") <= k, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias("covered"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out.crossJoin(F.broadcast(t)).select(
+        "k",
+        "covered",
+        "total",
+        (
+            F.floor((F.col("covered").cast("double") / F.col("total")) * 1e6)
+            / 1e6
+        ).alias("coverage"),
+    )
