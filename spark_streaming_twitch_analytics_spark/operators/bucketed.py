@@ -132,14 +132,41 @@ def bucketed_priority_revenue(
     )
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of a source table's parquet file set
+    (path + size + mtime per file): regenerated testdata ⇒ new
+    fingerprint ⇒ new derived-layout path, so an on-disk layout can
+    never serve stale data across source regenerations."""
+    base = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    entries: list[str] = []
+    paths = [base]
+    if os.path.isdir(base):
+        paths = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(base)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+    for p in paths:
+        st = os.stat(p)
+        entries.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(entries).encode()).hexdigest()[:10]
+
+
 def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Write the events table date-partitioned (``event_date=YYYY-MM-DD``
-    directories) once per sf_dir — the standard warehouse layout whose
-    directory structure IS the index: a date predicate prunes whole
-    partitions at planning time, before any file is opened. Returns the
-    layout path. Idempotent per process via an on-disk marker."""
+    directories) once per source-content version — the standard warehouse
+    layout whose directory structure IS the index: a date predicate prunes
+    whole partitions at planning time, before any file is opened. Returns
+    the layout path. Idempotent via an on-disk marker, keyed by a
+    fingerprint of the SOURCE files (size+mtime), so regenerating the
+    events table invalidates the derived layout instead of serving it
+    stale forever; concurrent builders of the same fingerprint land on
+    the same bytes (overwrite of identical content), distinct
+    fingerprints never share a path."""
+    fp = _source_fingerprint(sf_dir, "events")
     loc = os.path.join(
-        tempfile.gettempdir(), f"ssta_part_{_slug(sf_dir)}", "events"
+        tempfile.gettempdir(), f"ssta_part_{_slug(sf_dir)}_{fp}", "events"
     )
     marker = os.path.join(loc, "_SUCCESS")
     if not os.path.exists(marker):

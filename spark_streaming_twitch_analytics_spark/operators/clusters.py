@@ -113,16 +113,23 @@ def pagerank_int(
     Scale shape per round: one join (ranks ⋈ edges) + one keyed groupBy
     sum — same cost class as a :func:`connected_components` round,
     bounded by the dup-graph size. Lineage is truncated per round
-    (``localCheckpoint``), the edge list persisted once. Overflow: a
-    node's rank is bounded by the graph's total mass N·scale; keep
-    N·scale < 2^63 (drop ``scale`` to 1e6 past ~1e12 nodes).
+    (``localCheckpoint``), the edge list persisted once. Overflow: the
+    flow term multiplies BEFORE dividing (``r * 85``), so the binding
+    bound is max-rank (≤ graph mass N·scale) staying under 2^63/85 —
+    keep N·scale < 2^63/100 for headroom on both the flow and restart
+    terms (drop ``scale`` to 1e6 past ~1e11 nodes).
+
+    Input edges are treated as a SET: the undirected expansion is
+    deduplicated below, so symmetric or repeated ``(a, b)`` rows do not
+    double-count degrees/flows (parity with the SQL oracle's ``UNION``
+    set semantics in ``registry._pagerank_sql``).
     """
     from ..cache import eager_persist
 
     both = eager_persist(
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
     )
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     base = (scale * 15) // 100

@@ -1183,15 +1183,18 @@ def ann_brute_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk_np(queries, emb, 5)
 
 
-@register(
-    "ann_lsh_topk",
-    f"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+_LSH_TOPK_SQL = f"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
 {V.lsh_bucket_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))", 4, 64)} AS bucket
 FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id % 10 = 0),
 scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
   FROM e c JOIN q USING (bucket) WHERE c.vec_id <> q_id)
-{topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", 5, ["c_id"])}""",
+{topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", 5, ["c_id"])}"""
+
+
+@register(
+    "ann_lsh_topk",
+    _LSH_TOPK_SQL,
     survey="ext: LSH-bucketed ANN (sign random projection)",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,14 +1220,17 @@ qp AS (
   SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM qm),"""
 
 
-@register(
-    "ann_ivf_topk",
-    f"""WITH e AS ({_EMB_CTE}),
+_IVF_TOPK_SQL = f"""WITH e AS ({_EMB_CTE}),
 {_IVF_SQL_ASSIGN},
 {_IVF_SQL_PROBES}
 scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
   FROM ac c JOIN qp ON c.cell = qp.cell WHERE c.vec_id <> q_id)
-{topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", 5, ["c_id"])}""",
+{topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", 5, ["c_id"])}"""
+
+
+@register(
+    "ann_ivf_topk",
+    _IVF_TOPK_SQL,
     survey="ext: IVF-style ANN (deterministic pseudo-centroids, argmax-cell "
     "assignment, 2-probe queries)",
 )
@@ -1232,6 +1238,60 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     return similarity.ivf_topk(queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2)
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Build the persisted ANN index layout once per source-content
+    version (fingerprint-keyed path, same staleness contract as
+    ``operators.bucketed.ensure_partitioned_events``)."""
+    import os
+    import tempfile
+
+    from .operators.bucketed import _slug, _source_fingerprint
+
+    fp = _source_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ssta_ann_{kind}_{_slug(sf_dir)}_{fp}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        if kind == "lsh":
+            similarity.build_lsh_index(emb, path, n_bits=4)
+        else:
+            similarity.build_ivf_index(emb, path, n_cells=_IVF_CELLS)
+    return path
+
+
+@register(
+    "ann_lsh_index_topk",
+    _LSH_TOPK_SQL,
+    survey="ext: LSH ANN served off the PERSISTED bucket-partitioned "
+    "index (build_lsh_index → query_lsh_index): results hash-match "
+    "ann_lsh_topk exactly, but the scan prunes to the query batch's "
+    "buckets via PartitionFilters (plan-asserted in tests/test_plans.py) "
+    "— the serve path a standing 100 TB index actually uses",
+)
+def ann_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_ann_index(spark, sf_dir, "lsh")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.query_lsh_index(queries, path, 5)
+
+
+@register(
+    "ann_ivf_index_topk",
+    _IVF_TOPK_SQL,
+    survey="ext: IVF ANN served off the PERSISTED cell-partitioned index "
+    "(build_ivf_index → query_ivf_index): hash-matches ann_ivf_topk; the "
+    "index scan reads only the probed cells' files (PartitionFilters)",
+)
+def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_ann_index(spark, sf_dir, "ivf")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.query_ivf_index(
+        queries, path, 5, n_cells=_IVF_CELLS, n_probe=2
+    )
 
 
 _RECALL_SQL = f"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -1775,14 +1835,16 @@ def _has_tws_runtime() -> bool:
 
 @register(
     "streaming_tws_wordcount",
-    None,  # rows-only: which engine path ran is runtime-dependent (see below)
+    _STREAM_WC_SQL,  # final state ≡ batch counts over the fed prefix,
+    # whichever engine path ran — so the batch SQL is a real oracle
     survey="ST4 Spark-4 successor path (transformWithStateInPandas, "
     "SPARK-49564): runs the real TWS StatefulProcessor when the protobuf "
     "runtime is present; otherwise the semantically-identical "
-    "applyInPandasWithState twin runs and the `path` column records the "
-    "fallback — so a capable runtime certifies TWS, and an incapable one "
+    "applyInPandasWithState twin runs and the chosen path is reported on "
+    "stderr — so a capable runtime certifies TWS, and an incapable one "
     "records WHY without a silent skip. Word counts are identical either "
-    "way (both are running counts over the same stream).",
+    "way (both are running counts over the same stream), which is exactly "
+    "why the batch word-count SQL is a valid hash oracle for BOTH paths.",
 )
 def streaming_tws_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import countable_words
@@ -1833,11 +1895,12 @@ def streaming_tws_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         updates = _run_stream_over_docs(
             spark, sf_dir, build_with(running_count_with_expiry), mode="update"
         )
-    return (
-        updates.groupBy("word")
-        .agg(F.max("cnt").alias("cnt"))
-        .withColumn("path", F.lit(path))
-    )
+    # the engine path is diagnostics, not data: stderr keeps the hashed
+    # output runtime-independent so the batch oracle applies to both paths
+    import sys
+
+    print(f"# streaming_tws_wordcount path={path}", file=sys.stderr)
+    return updates.groupBy("word").agg(F.max("cnt").alias("cnt"))
 
 
 def _run_stream_over_events(
@@ -2586,14 +2649,36 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_sketches",
-    None,  # HLL/KLL sketch values are engine-specific → rows-only check
-    survey="ext: approx_count_distinct + approx_percentile (sketch path)",
+    # Sketch values are engine-specific, but their ERROR BOUNDS are not:
+    # the query emits deterministic pass/fail booleans against exact
+    # truth computed in the same plan, and those booleans hash exactly.
+    "SELECT l_returnflag, TRUE AS approx_parts_ok, TRUE AS approx_p50_ok "
+    "FROM lineitem GROUP BY l_returnflag",
+    survey="ext: approx_count_distinct + approx_percentile (sketch path); "
+    "oracle-checkable via tolerance booleans — HLL rsd defaults to 0.05 so "
+    "|approx−exact|/exact < 0.15 is a 3σ bound, and percentile_approx "
+    "accuracy=10000 bounds rank error at 1e-4 so the estimate must land "
+    "between the exact 45th and 55th percentiles",
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("apx_p50"),
+        F.percentile("l_extendedprice", 0.45).alias("p45"),
+        F.percentile("l_extendedprice", 0.55).alias("p55"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("apx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            < 0.15
+        ).alias("approx_parts_ok"),
+        ((F.col("apx_p50") >= F.col("p45")) & (F.col("apx_p50") <= F.col("p55"))).alias(
+            "approx_p50_ok"
+        ),
     )
 
 
@@ -2619,10 +2704,34 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fake decoder is a pure function of the payload bytes (md5-seeded:
+# byte i of md5(payload), /255.0 — operators/multimodal.py:69), so DuckDB
+# can recompute the feature vectors from md5(text) hex pairs. The fold sum
+# is left-associated on both engines (F.aggregate init 0.0 ≡ SQL left-assoc
+# +), so the doubles are bit-identical before the 6dp round.
+_MM_BYTES_CTE = """WITH h AS (SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+    ELSE 'video' END AS modality, md5(text) AS hx FROM documents),
+v AS (SELECT doc_id, modality,
+  CAST('0x' || substr(hx, 1, 2) AS INT) / 255.0 AS v0,
+  CAST('0x' || substr(hx, 3, 2) AS INT) / 255.0 AS v1,
+  CAST('0x' || substr(hx, 5, 2) AS INT) / 255.0 AS v2,
+  CAST('0x' || substr(hx, 7, 2) AS INT) / 255.0 AS v3,
+  CAST('0x' || substr(hx, 9, 2) AS INT) / 255.0 AS v4,
+  CAST('0x' || substr(hx, 11, 2) AS INT) / 255.0 AS v5,
+  CAST('0x' || substr(hx, 13, 2) AS INT) / 255.0 AS v6,
+  CAST('0x' || substr(hx, 15, 2) AS INT) / 255.0 AS v7
+ FROM h)"""
+
+
 @register(
     "multimodal_decode",
-    None,  # mapInPandas fake-decoder: not SQL-expressible → rows-only check
-    survey="ext: multimodal decode plumbing (mapInPandas, Arrow batches)",
+    f"""{_MM_BYTES_CTE}
+SELECT doc_id, modality,
+  round(v0 + v1 + v2 + v3 + v4 + v5 + v6 + v7, 6) AS feat_sum FROM v""",
+    survey="ext: multimodal decode plumbing (mapInPandas, Arrow batches); "
+    "hash-checkable because the deterministic fake decoder is md5-seeded "
+    "and DuckDB recomputes the same bytes from md5 hex pairs",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.decode_features(
@@ -2657,8 +2766,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize",
-    None,  # md5-seeded decode + np.interp resample: not SQL-expressible
-    survey="ext: multimodal resize plumbing (decode→resample, one Arrow pass)",
+    # np.interp(linspace(0,1,4), linspace(0,1,8), v) hits exactly four
+    # points: v0, lerp(v2,v3 @ 1/3 between 2/7..3/7), lerp(v4,v5 @ 2/3
+    # between 4/7..5/7), v7. The SQL below repeats numpy's IEEE op
+    # sequence (slope = Δf/Δx; ret = slope·(x−x_lo) + f_lo, with the
+    # linspace knots as 2.0*(1.0/7.0) etc.), so before the 8dp round the
+    # doubles are bit-identical; the rounds absorb any residual ulp.
+    f"""{_MM_BYTES_CTE},
+r AS (SELECT doc_id, modality,
+  round(v0, 8) AS r0,
+  round(((v3 - v2) / (3.0*(1.0/7.0) - 2.0*(1.0/7.0)))
+        * (1.0/3.0 - 2.0*(1.0/7.0)) + v2, 8) AS r1,
+  round(((v5 - v4) / (5.0*(1.0/7.0) - 4.0*(1.0/7.0)))
+        * (2.0*(1.0/3.0) - 4.0*(1.0/7.0)) + v4, 8) AS r2,
+  round(v7, 8) AS r3
+ FROM v)
+SELECT doc_id, modality, round(r0 + r1 + r2 + r3, 6) AS resized_sum FROM r""",
+    survey="ext: multimodal resize plumbing (decode→resample, one Arrow "
+    "pass); hash-checkable — the md5-seeded decode and the 8→4 linear "
+    "resample are recomputed in DuckDB at identical IEEE op order",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = multimodal.resize_features(

@@ -33,7 +33,16 @@ SOURCES = [f"src{i}" for i in range(8)]
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 # docs/events/embeddings-only queries whose float outputs are row-local
-# quantized or exact-by-construction under the generated data
+# quantized or exact-by-construction under the generated data.
+#
+# Deliberately NOT enrolled — matmul tolerance class: queries whose Spark
+# side computes cosine via BLAS matmul (reassociated summation) while the
+# oracle uses the in-order fold, e.g. `dedup_semantic`
+# (operators/similarity.py semantic_dedup). On the driver's fixed testdata
+# the 6dp quantization never straddles a decision boundary, but adversarial
+# fuzz data can park a pair exactly at the threshold where a 1-ulp fold
+# difference flips the dup decision between engines. Keep them out of the
+# randomized gate; the per-round driver run at fixed data certifies them.
 FUZZ_QUERIES = [
     "flagship_wordcount", "format_messages", "wordcount", "clean_text",
     "strip_listchars", "tokens_nostop", "explode_tokens", "array_ops",

@@ -197,20 +197,43 @@ def test_bucketed_join_moves_no_data(spark):
     bytes over the network). Local per-bucket Sorts remain — Spark 3+
     stopped propagating bucket sort order
     (spark.sql.legacy.bucketedTableScanOutputOrdering defaults false),
-    and a per-partition sort is CPU, not shuffle. The only Exchange in
-    the whole plan is the 5-group final aggregate's."""
+    and a per-partition sort is CPU, not shuffle. The invariant is that
+    NO Exchange feeds the join — how many exchanges the aggregate above
+    it needs is the planner's business (the countDistinct rewrite's
+    distribution reuse is version-sensitive), so no exact whole-plan
+    exchange count is asserted."""
     df = q(spark, "bucketed_join_priority_revenue")
     plan = EX.formatted_plan(df)
     assert EX.has_operator(df, "SortMergeJoin")
     assert "Bucketed: true" in plan
-    assert EX.count_operator(df, "Exchange") == 1  # only the tiny group-by
-    # and that one exchange sits ABOVE the join (aggregate side): node
-    # numbers grow leaf→root, so the exchange's number must exceed the
-    # join's (an exchange feeding the join would number below it)
+    # every exchange must sit ABOVE the join (aggregate side): node
+    # numbers grow leaf→root, so an exchange feeding the join would
+    # number below it
     import re
 
-    num = lambda op: int(re.search(rf"{op}[^(\n]*\((\d+)\)", plan).group(1))
-    assert num("Exchange") > num("SortMergeJoin")
+    smj = int(re.search(r"SortMergeJoin[^(\n]*\((\d+)\)", plan).group(1))
+    ex_nums = [int(n) for n in re.findall(r"Exchange[^(\n]*\((\d+)\)", plan)]
+    assert all(n > smj for n in ex_nums), (smj, ex_nums)
+
+
+def test_ann_index_queries_prune_partitions(spark):
+    """The REGISTERED index-served ANN queries (not just the raw APIs)
+    must hit the persisted layout with partition pruning: the probed
+    buckets/cells land in PartitionFilters, so a standing 100 TB index
+    serves a query batch by reading only the probed partitions' files."""
+    import re
+
+    for name, col in [("ann_lsh_index_topk", "bucket"), ("ann_ivf_index_topk", "cell")]:
+        df = q(spark, name)
+        plan = EX.formatted_plan(df)
+        groups = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        # the membership filter renders as `INSET ...` or `IN (...)`
+        # depending on how many values survived planning
+        assert any(
+            col in g
+            and ("inset" in g.lower() or "in(" in g.lower() or "in (" in g.lower())
+            for g in groups
+        ), (name, groups)
 
 
 def test_partitioned_scan_prunes_to_one_day(spark):
