@@ -527,8 +527,11 @@ def fingerprint(tokens: Column, shingle_n: int = 3, keep: int = 4) -> Column:
     """Winnowing-style doc fingerprint: the ``keep`` smallest md5 hex
     hashes of the distinct n-word shingles, concatenated. Stable under
     shingle reordering → robust near-dup key."""
-    sh = word_shingles(tokens, shingle_n)
-    hashed = F.array_sort(F.array_distinct(F.transform(sh, lambda s: F.md5(s))))
+    # distinct BEFORE md5: identical shingles hash identically, so the
+    # result set is the same but repeated shingles (boilerplate-heavy
+    # docs) pay md5 once — md5 is the expression's dominant per-row cost
+    sh = F.array_distinct(word_shingles(tokens, shingle_n))
+    hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
     return F.array_join(F.slice(hashed, 1, keep), "")
 
 
@@ -537,8 +540,8 @@ def fingerprint_sql(tokens_expr: str, shingle_n: int = 3, keep: int = 4) -> str:
     # coalesce: a shingle-less doc is NULL through DuckDB's list chain but
     # an empty array (→ '') on Spark — '' is the agreed empty fingerprint
     return (
-        f"coalesce(array_to_string(list_sort(list_distinct(list_transform({sh}, "
-        f"s -> md5(s))))[1:{keep}], ''), '')"
+        f"coalesce(array_to_string(list_sort(list_transform(list_distinct({sh}), "
+        f"s -> md5(s)))[1:{keep}], ''), '')"
     )
 
 
