@@ -50,6 +50,8 @@ HEADLINE = [
     "ann_brute_topk_np",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_lsh_index_topk",
+    "ann_ivf_index_topk",
     "ann_pq_topk",
     "dedup_semantic",
     "ann_ivfpq_topk",
@@ -111,6 +113,7 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "corpus_bm25_topk",
     "events_anomaly_zscore",
+    "exact_quantiles_histogram",
 ]
 
 

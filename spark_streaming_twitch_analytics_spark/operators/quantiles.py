@@ -1,0 +1,113 @@
+"""Exact distributed quantiles by histogram-select (two passes).
+
+``percentile_approx`` answers most quantile questions, but audits and
+SLA cuts need the EXACT order statistic — and a naive global sort of
+100 TB to read four rows is absurd. The classic scalable form is
+two-pass histogram selection:
+
+1. one aggregate pass bins every value (``floor(v / bin_width)``) into
+   a bin-count table whose size is bounded by the VALUE RANGE, not the
+   row count — map-side partial counts, one tiny shuffle;
+2. cumulative counts over that tiny table locate, for each target rank
+   k = ⌈q·n⌉, the bin holding the k-th smallest value and the residual
+   offset within it;
+3. a second pass touches ONLY the selected bins' rows (a broadcast
+   semi-join the scan can push down) and picks the offset-th smallest
+   within each — per-bin sorts over 1/|bins| of the data.
+
+Rank arithmetic is all integers (q as a rational num/den, k computed
+with integer ceil-division) and the output value is selected, never
+computed — so the result is bit-identical on any engine and the DuckDB
+twin (a plain global ``row_number``) hashes exactly.
+
+Skew note: a single bin holding a huge fraction of rows (constant-heavy
+columns) makes step 3's per-bin sort large; production re-bins the
+selected bin recursively. One level is right for price-like columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# (label, numerator, denominator): q = num/den, exact rationals so the
+# target rank k = ceil(q*n) never touches a float
+DEFAULT_QS: tuple[tuple[str, int, int], ...] = (
+    ("p25", 1, 4),
+    ("p50", 1, 2),
+    ("p75", 3, 4),
+    ("p95", 19, 20),
+)
+
+
+def exact_quantiles(
+    values: DataFrame,
+    value_col: str,
+    bin_width: float = 100.0,
+    qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
+) -> DataFrame:
+    """(label, k, value): for each q the exact k-th smallest value,
+    k = ⌈q·n⌉ (type-1 / lower order statistic)."""
+    spark = values.sparkSession
+    v = values.select(F.col(value_col).cast("double").alias("v")).withColumn(
+        "bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long")
+    )
+
+    # pass 1: bin histogram — size bounded by value range / bin_width
+    bins = v.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
+    )
+    total = bins.agg(F.sum("c").cast("long").alias("n"))
+
+    # target ranks: k = ceil(num*n / den) via integer arithmetic
+    q_rows = spark.createDataFrame(list(qs), "label string, num long, den long")
+    targets = q_rows.crossJoin(F.broadcast(total)).select(
+        "label",
+        ((F.col("num") * F.col("n") + F.col("den") - 1) / F.col("den"))
+        .cast("long")
+        .alias("k"),
+    )
+
+    # locate each rank's bin + residual offset (tiny × tiny join)
+    chosen = (
+        targets.join(
+            F.broadcast(cum),
+            (F.col("cum_prev") < F.col("k")) & (F.col("k") <= F.col("cum")),
+        )
+        .select("label", "k", "bin", (F.col("k") - F.col("cum_prev")).alias("off"))
+    )
+
+    # pass 2: only the selected bins' rows are sorted (per-bin window)
+    sel_bins = chosen.select("bin").distinct()
+    cand = v.join(F.broadcast(sel_bins), "bin")
+    rn = F.row_number().over(Window.partitionBy("bin").orderBy("v"))
+    ranked = cand.select("bin", "v", rn.alias("rn"))
+    return (
+        chosen.join(
+            ranked, (chosen.bin == ranked.bin) & (chosen.off == ranked.rn)
+        )
+        .select("label", "k", F.col("v").alias("value"))
+    )
+
+
+def exact_quantiles_sql(
+    values_rel: str,
+    value_col: str,
+    qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
+) -> str:
+    """DuckDB twin: the same order statistics by one global row_number —
+    fine at oracle scale, and value-identical to the histogram-select
+    path because both SELECT the k-th smallest, computing nothing."""
+    q_vals = ", ".join(f"('{lb}', {num}, {den})" for lb, num, den in qs)
+    return f"""WITH v AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM ({values_rel})),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+q(label, num, den) AS (VALUES {q_vals}),
+k AS (SELECT label, CAST((num * n + den - 1) // den AS BIGINT) AS k FROM q, t),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+SELECT label, k, v AS value FROM k JOIN r ON r.rn = k.k"""

@@ -32,7 +32,16 @@ from .constants import (
 from .functions import scoring
 from .functions import text as X
 from .functions import vectors as V
-from .operators import dedup, merge, messages, multimodal, similarity, topk, training
+from .operators import (
+    dedup,
+    merge,
+    messages,
+    multimodal,
+    quantiles,
+    similarity,
+    topk,
+    training,
+)
 from .tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2680,6 +2689,22 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_p50_ok"
         ),
     )
+
+
+@register(
+    "exact_quantiles_histogram",
+    quantiles.exact_quantiles_sql(
+        "SELECT l_extendedprice FROM lineitem", "l_extendedprice"
+    ),
+    survey="ext: EXACT distributed quantiles by two-pass histogram-select "
+    "(bin-count pass bounded by value range, then per-selected-bin order "
+    "statistic) — the scalable exact complement to percentile_approx: no "
+    "global sort ever touches the full table; ranks are integer rationals "
+    "and values are selected not computed, so the result is engine-exact",
+)
+def exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantiles.exact_quantiles(li, "l_extendedprice", bin_width=100.0)
 
 
 # ===========================================================================

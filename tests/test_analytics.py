@@ -71,3 +71,39 @@ def test_attribution_marks_only_window_hits(spark):
     rows = q(spark, "events_attribution").collect()
     for r in rows:
         assert (r["attributed_view_id"] is not None) == r["attributed"]
+
+
+def test_exact_quantiles_match_global_sort(spark):
+    """Histogram-select must return the SAME order statistic a global
+    sort would, at any bin width (bin boundaries can't move the answer),
+    including under heavy ties."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.operators.quantiles import (
+        DEFAULT_QS,
+        exact_quantiles,
+    )
+
+    vals = [float(x) for x in [5, 1, 3, 3, 3, 250, 7, 999, 42, 42, 0.5]]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    srt = sorted(vals)
+    n = len(vals)
+    for width in (100.0, 1.0, 1e9):
+        got = {
+            r["label"]: (r["k"], r["value"])
+            for r in exact_quantiles(df, "v", bin_width=width).collect()
+        }
+        for label, num, den in DEFAULT_QS:
+            k = -(-num * n // den)  # ceil
+            assert got[label] == (k, srt[k - 1]), (label, width, got[label])
+
+
+def test_exact_quantiles_registered_query_types(spark):
+    out = q(spark, "exact_quantiles_histogram")
+    assert [f.name for f in out.schema.fields] == ["label", "k", "value"]
+    rows = out.collect()
+    assert len(rows) == 4
+    # ranks are ordered with the quantile levels
+    byl = {r["label"]: r for r in rows}
+    assert byl["p25"]["k"] <= byl["p50"]["k"] <= byl["p75"]["k"] <= byl["p95"]["k"]
+    assert byl["p25"]["value"] <= byl["p95"]["value"]
