@@ -114,6 +114,7 @@ HEADLINE = [
     "corpus_bm25_topk",
     "events_anomaly_zscore",
     "exact_quantiles_histogram",
+    "group_quantiles_histogram",
 ]
 
 

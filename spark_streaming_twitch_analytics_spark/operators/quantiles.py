@@ -96,6 +96,105 @@ def exact_quantiles(
     )
 
 
+def grouped_exact_quantiles(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float = 100.0,
+    qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
+) -> DataFrame:
+    """(group, label, k, value): the exact per-group order statistics —
+    p99-latency-per-service / p50-price-per-segment shape. Identical
+    algorithm with the group key threaded through every stage: the bin
+    table is |groups| × |bins| (still range-bounded, not row-bounded),
+    cumulative counts and rank location partition by group, and pass 2
+    sorts each group's selected bins independently — so a skewed group
+    slows only its own bins' sorts."""
+    g = F.col(group_col).alias("g")
+    v = values.select(
+        g, F.col(value_col).cast("double").alias("v")
+    ).withColumn("bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long"))
+
+    bins = v.groupBy("g", "bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bins.select(
+        "g",
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
+    )
+    totals = bins.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+
+    spark = values.sparkSession
+    q_rows = spark.createDataFrame(list(qs), "label string, num long, den long")
+    targets = totals.crossJoin(F.broadcast(q_rows)).select(
+        "g",
+        "label",
+        ((F.col("num") * F.col("n") + F.col("den") - 1) / F.col("den"))
+        .cast("long")
+        .alias("k"),
+    )
+    chosen = (
+        targets.alias("t")
+        .join(
+            cum.alias("m"),
+            (F.col("t.g") == F.col("m.g"))
+            & (F.col("m.cum_prev") < F.col("t.k"))
+            & (F.col("t.k") <= F.col("m.cum")),
+        )
+        .select(
+            F.col("t.g").alias("g"),
+            "label",
+            "k",
+            "bin",
+            (F.col("t.k") - F.col("m.cum_prev")).alias("off"),
+        )
+    )
+
+    sel = chosen.select("g", "bin").distinct()
+    cand = v.join(F.broadcast(sel), ["g", "bin"])
+    rn = F.row_number().over(Window.partitionBy("g", "bin").orderBy("v"))
+    ranked = cand.select("g", "bin", "v", rn.alias("rn"))
+    return (
+        chosen.alias("c")
+        .join(
+            ranked.alias("r"),
+            (F.col("c.g") == F.col("r.g"))
+            & (F.col("c.bin") == F.col("r.bin"))
+            & (F.col("c.off") == F.col("r.rn")),
+        )
+        .select(
+            F.col("c.g").alias(group_col),
+            "label",
+            "k",
+            F.col("r.v").alias("value"),
+        )
+    )
+
+
+def grouped_exact_quantiles_sql(
+    values_rel: str,
+    group_col: str,
+    value_col: str,
+    qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
+) -> str:
+    """DuckDB twin of :func:`grouped_exact_quantiles` via per-group
+    row_number selection."""
+    q_vals = ", ".join(f"('{lb}', {num}, {den})" for lb, num, den in qs)
+    return f"""WITH v AS (SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v
+  FROM ({values_rel})),
+t AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+q(label, num, den) AS (VALUES {q_vals}),
+k AS (SELECT g, label, CAST((num * n + den - 1) // den AS BIGINT) AS k FROM q, t),
+r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM v)
+SELECT k.g AS {group_col}, label, k, r.v AS value
+FROM k JOIN r ON r.g = k.g AND r.rn = k.k"""
+
+
 def exact_quantiles_sql(
     values_rel: str,
     value_col: str,

@@ -2707,6 +2707,25 @@ def exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles.exact_quantiles(li, "l_extendedprice", bin_width=100.0)
 
 
+@register(
+    "group_quantiles_histogram",
+    quantiles.grouped_exact_quantiles_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        "l_returnflag",
+        "l_extendedprice",
+    ),
+    survey="ext: per-group exact quantiles (histogram-select with the "
+    "group key threaded through every stage) — the p99-per-service / "
+    "p50-per-segment production shape; a skewed group pays only for its "
+    "own bins' sorts",
+)
+def group_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantiles.grouped_exact_quantiles(
+        li, "l_returnflag", "l_extendedprice", bin_width=100.0
+    )
+
+
 # ===========================================================================
 # 11. Multimodal plumbing (extension)
 # ===========================================================================

@@ -107,3 +107,26 @@ def test_exact_quantiles_registered_query_types(spark):
     byl = {r["label"]: r for r in rows}
     assert byl["p25"]["k"] <= byl["p50"]["k"] <= byl["p75"]["k"] <= byl["p95"]["k"]
     assert byl["p25"]["value"] <= byl["p95"]["value"]
+
+
+def test_grouped_quantiles_match_per_group_sort(spark):
+    from spark_streaming_twitch_analytics_spark.operators.quantiles import (
+        DEFAULT_QS,
+        grouped_exact_quantiles,
+    )
+
+    data = {
+        "a": [5.0, 1.0, 3.0, 3.0, 250.0, 0.5],
+        "b": [42.0, 42.0, 42.0, 7.0],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["label"]): (r["k"], r["value"])
+        for r in grouped_exact_quantiles(df, "g", "v", bin_width=10.0).collect()
+    }
+    for g, vs in data.items():
+        srt, n = sorted(vs), len(vs)
+        for label, num, den in DEFAULT_QS:
+            k = -(-num * n // den)
+            assert got[(g, label)] == (k, srt[k - 1]), (g, label)
