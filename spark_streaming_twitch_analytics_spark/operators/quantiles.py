@@ -88,10 +88,11 @@ def exact_quantiles(
     cand = v.join(F.broadcast(sel_bins), "bin")
     rn = F.row_number().over(Window.partitionBy("bin").orderBy("v"))
     ranked = cand.select("bin", "v", rn.alias("rn"))
+    # chosen is |qs| rows — broadcast it so the candidate stream never
+    # re-shuffles for this join
     return (
-        chosen.join(
-            ranked, (chosen.bin == ranked.bin) & (chosen.off == ranked.rn)
-        )
+        F.broadcast(chosen)
+        .join(ranked, (chosen.bin == ranked.bin) & (chosen.off == ranked.rn))
         .select("label", "k", F.col("v").alias("value"))
     )
 
@@ -159,8 +160,10 @@ def grouped_exact_quantiles(
     cand = v.join(F.broadcast(sel), ["g", "bin"])
     rn = F.row_number().over(Window.partitionBy("g", "bin").orderBy("v"))
     ranked = cand.select("g", "bin", "v", rn.alias("rn"))
+    # chosen is |groups|·|qs| rows — broadcast it so the candidate
+    # stream never re-shuffles for this join
     return (
-        chosen.alias("c")
+        F.broadcast(chosen.alias("c"))
         .join(
             ranked.alias("r"),
             (F.col("c.g") == F.col("r.g"))
