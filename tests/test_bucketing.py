@@ -69,3 +69,35 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed):
     assert sorted(map(tuple, joined.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_source_fingerprint_tracks_content(tmp_path):
+    """Derived layouts (partitioned events, ANN indexes) are keyed by a
+    fingerprint of the SOURCE parquet files; regenerating the source must
+    produce a different fingerprint (new layout path), identical files
+    the same one."""
+    import os
+
+    from spark_streaming_twitch_analytics_spark.operators.bucketed import (
+        _source_fingerprint,
+    )
+
+    src = tmp_path / "events.parquet"
+    src.write_bytes(b"v1-bytes")
+    fp1 = _source_fingerprint(str(tmp_path), "events")
+    assert fp1 == _source_fingerprint(str(tmp_path), "events")  # stable
+
+    src.write_bytes(b"v2-bytes!")  # different size+mtime
+    fp2 = _source_fingerprint(str(tmp_path), "events")
+    assert fp2 != fp1
+
+    # directory-shaped tables fingerprint their data files, skipping markers
+    d = tmp_path / "sub"
+    (d / "orders.parquet").mkdir(parents=True)
+    (d / "orders.parquet" / "part-0.parquet").write_bytes(b"aa")
+    (d / "orders.parquet" / "_SUCCESS").write_bytes(b"")
+    fp3 = _source_fingerprint(str(d), "orders")
+    os.utime(d / "orders.parquet" / "_SUCCESS", (1, 1))  # marker churn: no-op
+    assert _source_fingerprint(str(d), "orders") == fp3
+    (d / "orders.parquet" / "part-0.parquet").write_bytes(b"ab")
+    assert _source_fingerprint(str(d), "orders") != fp3
