@@ -2018,6 +2018,74 @@ def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_hll_merge",
+    f"""WITH tok AS (
+  SELECT unnest({X.tokenize_sql('text')}) AS token FROM documents),
+hx AS (SELECT token, md5(token) AS h FROM tok),
+r AS (SELECT
+    CAST('0x' || substring(h, 1, 8) AS BIGINT) % {_HLL_M} AS b,
+    CAST('0x' || substring(h, 9, 8) AS BIGINT) % {1 << _HLL_VBITS} AS v
+  FROM hx),
+regs AS (
+  SELECT b, max(CASE WHEN v = 0 THEN {_HLL_VBITS + 1}
+                     ELSE {_HLL_VBITS + 1} - length(bin(v)) END) AS M
+  FROM r GROUP BY b),
+agg AS (SELECT count(*) AS used, sum(1.0 / (1::BIGINT << M)) AS s FROM regs)
+SELECT CAST(used AS INT) AS n_buckets_used,
+  floor((0.7213 / (1 + 1.079 / {_HLL_M}) * {_HLL_M} * {_HLL_M}
+         / (s + ({_HLL_M} - used))) * 1000000.0) / 1000000.0 AS est_raw
+FROM agg""",
+    survey="ext: HLL register MERGE — registers built independently per "
+    "corpus half (doc_id parity), then unioned by elementwise max; the "
+    "estimate must equal the single-pass whole-corpus estimate EXACTLY "
+    "(the oracle recomputes one-pass registers), proving the mergeability "
+    "that makes HLL the distributed/incremental distinct-counter: daily "
+    "snapshots keep m integers each and union for free",
+)
+def corpus_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage register build: per-half max, then cross-half max.
+    max is associative, so merged registers are bit-identical to the
+    one-pass registers, and every downstream float op is the same IEEE
+    sequence as :func:`corpus_hll_distinct` (register terms 2^-M are
+    exact in a double; the register sum is exact under any order) — so
+    the merge path needs no tolerance, matching the one-pass oracle
+    hash-exactly. This is the production shape: each ingest batch ships
+    its m=1024 integers; the union is an elementwise max."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(X.tokenize(F.col("text"))).alias("token"),
+    )
+    h = F.md5("token")
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _HLL_M
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % (1 << _HLL_VBITS)
+    rho = F.when(v == 0, F.lit(_HLL_VBITS + 1)).otherwise(
+        _HLL_VBITS + 1 - F.length(F.bin(v))
+    )
+    half_regs = (
+        tok.select("half", bucket.alias("b"), rho.alias("rho"))
+        .groupBy("half", "b")
+        .agg(F.max("rho").alias("M"))
+    )
+    merged = half_regs.groupBy("b").agg(F.max("M").alias("M"))
+    pow2 = F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), F.col("M").cast("int")
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.lit(1.0) / pow2).alias("s"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    est = (
+        F.lit(alpha) * _HLL_M * _HLL_M / (F.col("s") + (_HLL_M - F.col("used")))
+    )
+    return agg.select(
+        F.col("used").cast("int").alias("n_buckets_used"),
+        (F.floor(est * F.lit(1000000.0)) / F.lit(1000000.0)).alias("est_raw"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance weighting (hashed-feature target-matching selection)
 # ---------------------------------------------------------------------------
