@@ -86,6 +86,13 @@ FUZZ_QUERIES = [
     "events_seasonality", "events_user_paths", "events_ab_test",
     "dedup_containment_pairs", "ann_lsh_multiprobe_topk",
     "events_attribution", "corpus_doc_novelty", "events_dau_wau",
+    # round 4: md5-recomputable multimodal fakes (bit-identical folds),
+    # the HLL register merge (integer registers, exact sum), and the
+    # index-served ANN forms (fingerprint-keyed layouts rebuild per
+    # fuzz corpus). exact/group_quantiles are lineitem-based → not in
+    # the docs/events/embeddings fuzz universe.
+    "multimodal_decode", "multimodal_resize", "corpus_hll_merge",
+    "ann_lsh_index_topk", "ann_ivf_index_topk",
 ]
 
 
