@@ -576,3 +576,38 @@ def test_scd2_intervals_are_contiguous_and_single_current(spark, log):
             assert prev["valid_to"] == nxt["valid_from"]
             assert prev["valid_from"] < nxt["valid_from"]
             assert prev["event_type"] != nxt["event_type"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    width=st.sampled_from([0.5, 3.0, 100.0, 1e5]),
+)
+def test_exact_quantiles_equal_order_statistics(spark, vals, width):
+    """Histogram-select must return the k-th smallest value for every
+    quantile at ANY bin width, including negative values (negative bins
+    sort before zero) and heavy ties."""
+    from spark_streaming_twitch_analytics_spark.operators.quantiles import (
+        DEFAULT_QS,
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["label"]: (r["k"], r["value"])
+        for r in exact_quantiles(df, "v", bin_width=width).collect()
+    }
+    srt, n = sorted(vals), len(vals)
+    assert set(got) == {lb for lb, _, _ in DEFAULT_QS}
+    for label, num, den in DEFAULT_QS:
+        k = -(-num * n // den)
+        assert got[label] == (k, srt[k - 1]), (label, width)
