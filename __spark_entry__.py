@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible
-    ops, e.g. mapInPandas decode plumbing → rows-only check)."""
+    """DuckDB-equivalent SQL per query. As of round 4 EVERY registered
+    query has an oracle (the former rows-only checks — sketches,
+    multimodal decode/resize, the TWS stream — became hash-checkable via
+    tolerance booleans, md5-recomputed fakes, and batch-equivalence)."""
     return registry.all_oracles()

@@ -50,8 +50,13 @@ def exact_quantiles(
     """(label, k, value): for each q the exact k-th smallest value,
     k = ⌈q·n⌉ (type-1 / lower order statistic)."""
     spark = values.sparkSession
-    v = values.select(F.col(value_col).cast("double").alias("v")).withColumn(
-        "bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long")
+    # NULLs are excluded (standard aggregate semantics) — and necessarily
+    # so: Spark windows sort NULL first, DuckDB last, so counting them
+    # would shift ranks differently per engine
+    v = (
+        values.select(F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long"))
     )
 
     # pass 1: bin histogram — size bounded by value range / bin_width
@@ -112,9 +117,11 @@ def grouped_exact_quantiles(
     sorts each group's selected bins independently — so a skewed group
     slows only its own bins' sorts."""
     g = F.col(group_col).alias("g")
-    v = values.select(
-        g, F.col(value_col).cast("double").alias("v")
-    ).withColumn("bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long"))
+    v = (
+        values.select(g, F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())  # see exact_quantiles NULL note
+        .withColumn("bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long"))
+    )
 
     bins = v.groupBy("g", "bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
     w = (
@@ -189,7 +196,7 @@ def grouped_exact_quantiles_sql(
     row_number selection."""
     q_vals = ", ".join(f"('{lb}', {num}, {den})" for lb, num, den in qs)
     return f"""WITH v AS (SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v
-  FROM ({values_rel})),
+  FROM ({values_rel}) WHERE {value_col} IS NOT NULL),
 t AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
 q(label, num, den) AS (VALUES {q_vals}),
 k AS (SELECT g, label, CAST((num * n + den - 1) // den AS BIGINT) AS k FROM q, t),
@@ -207,7 +214,8 @@ def exact_quantiles_sql(
     fine at oracle scale, and value-identical to the histogram-select
     path because both SELECT the k-th smallest, computing nothing."""
     q_vals = ", ".join(f"('{lb}', {num}, {den})" for lb, num, den in qs)
-    return f"""WITH v AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM ({values_rel})),
+    return f"""WITH v AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM ({values_rel})
+  WHERE {value_col} IS NOT NULL),
 t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
 q(label, num, den) AS (VALUES {q_vals}),
 k AS (SELECT label, CAST((num * n + den - 1) // den AS BIGINT) AS k FROM q, t),
