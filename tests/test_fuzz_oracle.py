@@ -171,7 +171,7 @@ def _link_star_schema(root: str) -> None:
         os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{root}/{t}.parquet")
 
 
-def _run_gate(spark, sf_dir: str) -> None:
+def _run_gate(spark, sf_dir: str, queries=None) -> None:
     con = duckdb.connect()
     from spark_streaming_twitch_analytics_spark.tables import TABLE_NAMES
 
@@ -182,7 +182,7 @@ def _run_gate(spark, sf_dir: str) -> None:
     from spark_streaming_twitch_analytics_spark.cache import release_all
 
     failures = []
-    for name in FUZZ_QUERIES:
+    for name in queries if queries is not None else FUZZ_QUERIES:
         q = registry.get(name)
         release_all()
         sdf = q.fn(spark, sf_dir)
@@ -244,3 +244,106 @@ def pathological_dir(spark, tmp_path_factory):
 
 def test_registry_queries_match_oracle_on_pathological_tables(spark, pathological_dir):
     _run_gate(spark, pathological_dir)
+
+
+# ---------------------------------------------------------------------------
+# Relational fuzz universe: random lineitem + orders. The fixed driver data
+# never exercises adversarial relational shapes (boundary dates, orphan
+# keys, group skew, heavy value ties); this gate does. All monetary/rate
+# values sit on exact binary grids (multiples of 2^-k), so every cross-row
+# SUM is order-independent and bit-equal across engines — divergence means
+# semantics, not float fold order.
+# ---------------------------------------------------------------------------
+
+REL_FUZZ_QUERIES = [
+    "q1_pricing_summary",       # multi-agg + boundary shipdate filter
+    "q4_priority_exists",       # EXISTS semi-join + date window
+    "q6_forecast_revenue",      # pure scan-filter-agg (possibly empty)
+    "q12_shipmode_priority",    # join + conditional agg (orphan keys drop)
+    "rollup_orders", "cube_orders", "grouping_sets_orders",
+    "orders_monthly", "unpivot_lineitem", "sql_api_revenue",
+    "approx_sketches",          # tolerance booleans must hold on any data
+    "exact_quantiles_histogram", "group_quantiles_histogram",  # selection-exact
+]
+
+_REL_DISCOUNTS = [0.0, 0.03125, 0.0625, 0.09375, 0.125, 0.25]  # 2^-5 grid
+_REL_TAXES = [0.0, 0.125, 0.25, 0.375]  # 2^-3 grid
+_REL_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+# exact filter-boundary instants used by q1/q4/q6 — seeded in explicitly
+_REL_EDGE_DATES = [
+    dt.datetime(1998, 9, 2), dt.datetime(1994, 1, 1),
+    dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31, 23, 59, 59),
+]
+
+
+def _rel_date(rng: random.Random) -> dt.datetime:
+    if rng.random() < 0.08:
+        return rng.choice(_REL_EDGE_DATES)
+    return dt.datetime(1992, 1, 1) + dt.timedelta(
+        minutes=rng.randint(0, 7 * 365 * 24 * 60)
+    )
+
+
+@pytest.fixture(scope="module")
+def rel_fuzz_dir(spark, tmp_path_factory):
+    rng = random.Random(
+        int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "1311")) + 7
+    )
+    root = str(tmp_path_factory.mktemp("rel_fuzz_sf"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{root}/{t}.parquet")
+
+    n_orders = 180
+    orders = [
+        (
+            i,
+            rng.randint(0, 60),
+            rng.choice("OFP"),
+            rng.randint(4, 800_000) * 0.25,
+            _rel_date(rng),
+            # skewed: one priority dominates
+            _REL_PRIORITIES[0] if rng.random() < 0.5 else rng.choice(_REL_PRIORITIES),
+        )
+        for i in range(n_orders)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    ).coalesce(2).write.mode("overwrite").parquet(f"{root}/orders.parquet")
+
+    lineitem = [
+        (
+            rng.randint(0, n_orders * 2),  # orphan keys past n_orders
+            rng.randint(0, 80),
+            rng.randint(0, 40),
+            rng.randint(1, 7),
+            float(rng.randint(1, 50)),
+            rng.randint(4, 200_000) * 0.25,
+            # heavy tie: a constant price cluster for the quantile paths
+            rng.choice(_REL_DISCOUNTS),
+            rng.choice(_REL_TAXES),
+            "A" if rng.random() < 0.6 else rng.choice("NR"),  # group skew
+            rng.choice("OF"),
+            _rel_date(rng),
+        )
+        for _ in range(700)
+    ]
+    for _ in range(80):  # massed identical rows: ties for ranks/quantiles
+        lineitem.append(
+            (1, 2, 3, 1, 25.0, 5000.0, 0.0625, 0.125, "A", "O",
+             dt.datetime(1995, 6, 15))
+        )
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp_ntz",
+    ).coalesce(2).write.mode("overwrite").parquet(f"{root}/lineitem.parquet")
+    return root
+
+
+def test_relational_queries_match_oracle_on_random_tables(spark, rel_fuzz_dir):
+    _run_gate(spark, rel_fuzz_dir, REL_FUZZ_QUERIES)
