@@ -264,6 +264,9 @@ REL_FUZZ_QUERIES = [
     "orders_monthly", "unpivot_lineitem", "sql_api_revenue",
     "approx_sketches",          # tolerance booleans must hold on any data
     "exact_quantiles_histogram", "group_quantiles_histogram",  # selection-exact
+    "window_running_total", "window_rank_funcs",  # total orders (unique keys)
+    "range_join_buckets",       # non-equi band join, int quantities
+    "q3_top_orders", "q13_customer_distribution", "q18_large_orders",
 ]
 
 _REL_DISCOUNTS = [0.0, 0.03125, 0.0625, 0.09375, 0.125, 0.25]  # 2^-5 grid
