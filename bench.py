@@ -115,6 +115,12 @@ HEADLINE = [
     "events_anomaly_zscore",
     "exact_quantiles_histogram",
     "group_quantiles_histogram",
+    "ann_sq8_topk",
+    "corpus_typo_pairs",
+    "dedup_bfs_hops",
+    "events_decay_sum",
+    "embedding_sparse_projection",
+    "lineitem_winsorized_revenue",
 ]
 
 

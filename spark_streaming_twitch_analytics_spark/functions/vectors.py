@@ -266,6 +266,83 @@ def pq_adc_score_sql(dtabs_expr: str, codes_expr: str, n_sub: int) -> str:
     )
 
 
+def achlioptas_weights(k: int, dim: int) -> list[int]:
+    """Deterministic sparse random-projection weights (Achlioptas 2003,
+    'Database-friendly random projections', public): component (k, i) is
+    +1 / −1 each with probability 3/16 and 0 otherwise (≈ the paper's
+    {+1, 0, −1} with 2/3 zeros), derived from the same md5-hexdigit
+    construction as :func:`hyperplane_weights` so both engines can hold
+    the matrix as plain integer literals."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        d = int(hashlib.md5(f"proj{k}_{i}".encode()).hexdigest()[0], 16)
+        out.append(1 if d < 3 else (-1 if d < 6 else 0))
+    return out
+
+
+def int_dot(a: Column, weights: list[int]) -> Column:
+    """Exact integer dot product of an ``array<bigint>`` column against a
+    literal integer weight vector — BIGINT accumulation, so the sum is
+    order-invariant and engine-exact (no float fold anywhere)."""
+    w = F.array(*[F.lit(int(x)) for x in weights])
+    prods = F.zip_with(a, w, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def int_dot_sql(a_expr: str, weights: list[int]) -> str:
+    w = "[" + ", ".join(str(int(x)) for x in weights) + "]"
+    n = len(weights)
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {n} + 1), i -> {a_expr}[i] * ({w})[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def sq8_requant(vec: Column, mns: Column, mxs: Column, dim: int) -> Column:
+    """SQ8 scalar-quantization round trip: encode each dimension to an
+    8-bit code against the corpus per-dimension [min, max], then decode —
+    the value an SQ8 index actually scores against (the codes themselves
+    are what a real index stores, 4× smaller than float32; re-expanding
+    in the same expression keeps scoring in plain double math).
+
+    code_j = floor((x_j − mn_j) / (mx_j − mn_j) · 255 + 0.5)   (0 if mx=mn)
+    back_j = mn_j + code_j · (mx_j − mn_j) / 255
+
+    Every step is identical-order IEEE on both engines (min/max are
+    order-invariant aggregates; the per-dimension arithmetic has one
+    evaluation order), so requantized vectors are bit-identical to the
+    DuckDB twin :func:`sq8_requant_sql`. For x within [mn, mx] the code
+    lands in [0, 255] by construction — no clamp needed."""
+    def one(j: Column) -> Column:
+        x = F.element_at(vec, j)
+        mn = F.element_at(mns, j)
+        mx = F.element_at(mxs, j)
+        rng = mx - mn
+        code = F.floor(
+            F.when(rng == 0, F.lit(0.5)).otherwise(
+                (x - mn) / rng * F.lit(255.0) + F.lit(0.5)
+            )
+        )
+        return mn + code.cast("double") * rng / F.lit(255.0)
+
+    return F.transform(F.sequence(F.lit(1), F.lit(dim)), one)
+
+
+def sq8_requant_sql(vec_expr: str, mns_expr: str, mxs_expr: str, dim: int) -> str:
+    rng = f"({mxs_expr}[j] - {mns_expr}[j])"
+    code = (
+        f"floor(CASE WHEN {rng} = 0 THEN 0.5 "
+        f"ELSE ({vec_expr}[j] - {mns_expr}[j]) / {rng} * 255.0 + 0.5 END)"
+    )
+    return (
+        f"list_transform(range(1, {dim} + 1), "
+        f"j -> {mns_expr}[j] + {code} * {rng} / 255.0)"
+    )
+
+
 def lsh_bucket(vec: Column, n_bits: int, dim: int) -> Column:
     """Sign-of-dot-product LSH bucket id in [0, 2^n_bits)."""
     acc = F.lit(0)

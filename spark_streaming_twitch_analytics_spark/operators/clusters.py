@@ -89,6 +89,54 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select("doc_id", F.col("lbl").alias("canonical_id"))
 
 
+def bfs_hops(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Breadth-first hop distance from the graph's minimum node id over
+    the undirected edge set ``edges(a, b)`` → ``(doc_id, hops)`` for every
+    node reachable within ``max_hops``. The third iterative-graph pattern
+    next to :func:`connected_components` (fixed point) and
+    :func:`pagerank_int` (fixed rounds): a FRONTIER loop whose per-round
+    work shrinks to the newly discovered nodes.
+
+    Seed = ``min(a)`` (edges arrive as ``a < b`` pairs, so ``min(a)`` is
+    the global minimum node) — computed in-plan as a 1-row frame, never
+    collected. Per round: frontier ⋈ edges (keyed), minus already-visited
+    (left-anti, keyed), distinct. ``localCheckpoint`` truncates lineage
+    per round. Hop counts are integers; no float anywhere — the result is
+    engine-exact against a recursive-CTE oracle.
+
+    Scale: every round's shuffle is bounded by the frontier's edge
+    neighborhood, not the graph; ``max_hops`` bounds total rounds. This
+    is exactly Pregel-style BFS expressed as DataFrame ops."""
+    from ..cache import eager_persist
+
+    both = eager_persist(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    visited = (
+        edges.agg(F.min("a").alias("doc_id"))
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        frontier = (
+            both.join(
+                frontier.select(F.col("doc_id").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited, "doc_id", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return visited
+
+
 def pagerank_int(
     edges: DataFrame,
     iterations: int = 4,

@@ -21,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, dot, lsh_bucket, norm, quantize
+from ..functions.vectors import (
+    as_double,
+    dot,
+    lsh_bucket,
+    norm,
+    quantize,
+    sq8_requant,
+)
 
 DIM = 64  # embeddings table dimensionality (static → unrolled codegen dots)
 
@@ -617,6 +624,70 @@ def query_pq_index(
         _topk(_partial_topk(scored, k), k)
         .select("q_id", "c_id", F.col("cos").alias("pq_sim"), "rn")
     )
+
+
+def sq8_stats(candidates: DataFrame, dim: int = DIM) -> DataFrame:
+    """One-row frame (mns, mxs): per-dimension min/max over the corpus —
+    the SQ8 training step. posexplode → per-dim agg (map-side combine; the
+    shuffle carries ≤ dim·partitions rows) → reassembled into two ordered
+    arrays. min/max are order-invariant, so the stats are engine-exact.
+
+    100 TB shape: one full scan with a dim-row aggregate — the same cost
+    class as any corpus statistic; the result is a broadcast literal."""
+    per_dim = (
+        candidates.select(
+            F.posexplode(as_double(F.col("embedding"))).alias("j", "x")
+        )
+        .groupBy("j")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    # array_sort on struct(j, …) orders by j, so mns[i+1] pairs with vec[i+1]
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame, candidates: DataFrame, k: int, dim: int = DIM
+) -> DataFrame:
+    """ANN top-k over SQ8 scalar-quantized candidates: each candidate
+    dimension is squeezed to an 8-bit code against the corpus min/max
+    (``sq8_stats``), queries stay full precision — the standard
+    asymmetric SQ search (code the corpus, not the query).
+
+    Scale story: SQ8's point is the SCAN — int8 codes are 4× smaller
+    than float32, so the memory-bandwidth-bound brute scan reads 4× less
+    (and composes with IVF cell pruning the same way PQ does). Here the
+    scan shape matches :func:`brute_force_topk` (queries broadcast,
+    candidates stream, per-partition partial top-k before the one
+    bounded exchange); what this operator adds is the quantized scoring
+    path whose ranking fidelity ``ann_sq8_recall`` measures."""
+    from .skew import fan_out
+
+    stats = sq8_stats(candidates, dim)
+    c = (
+        fan_out(candidates)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            sq8_requant(
+                as_double(F.col("embedding")), F.col("mns"), F.col("mxs"), dim
+            ).alias("cv"),
+        )
+        .withColumn("cn", norm(F.col("cv"), dim))
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        norm(as_double(F.col("embedding")), dim).alias("qn"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    return _topk(_partial_topk(_scored(pairs), k), k)
 
 
 def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:

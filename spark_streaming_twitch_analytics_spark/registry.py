@@ -4328,3 +4328,11 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("dau").cast("double") / F.col("wau")) * 1e6) / 1e6
         ).alias("stickiness"),
     )
+
+
+# ===========================================================================
+# 15. Round-4 analytics extensions (SQ8 ANN, typo mining, BFS, decay,
+# sparse projection, winsorized aggregation)
+# ===========================================================================
+
+from . import registry_analytics  # noqa: E402,F401  (registration import)

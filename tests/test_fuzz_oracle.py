@@ -93,6 +93,14 @@ FUZZ_QUERIES = [
     # the docs/events/embeddings fuzz universe.
     "multimodal_decode", "multimodal_resize", "corpus_hll_merge",
     "ann_lsh_index_topk", "ann_ivf_index_topk",
+    # round 4 analytics extensions: FastSS typo join (integer distances),
+    # frontier BFS (integer hops), dyadic decay sums (exact by
+    # construction), Achlioptas projection (BIGINT dots), and the SQ8
+    # path (per-row identical-order IEEE requant + in-order cosine fold
+    # — NOT the matmul tolerance class; its truth side is the np fold).
+    "corpus_typo_pairs", "dedup_bfs_hops", "events_decay_sum",
+    "embedding_sparse_projection", "ann_sq8_topk", "ann_sq8_recall",
+    "streaming_chained_windows",  # integer counts; sentinel-flushed append
 ]
 
 
@@ -267,6 +275,8 @@ REL_FUZZ_QUERIES = [
     "window_running_total", "window_rank_funcs",  # total orders (unique keys)
     "range_join_buckets",       # non-equi band join, int quantities
     "q3_top_orders", "q13_customer_distribution", "q18_large_orders",
+    "lineitem_winsorized_revenue",  # clip bounds are selection-exact order
+    # statistics; the winsorized sum is integer cents
 ]
 
 _REL_DISCOUNTS = [0.0, 0.03125, 0.0625, 0.09375, 0.125, 0.25]  # 2^-5 grid
