@@ -379,6 +379,7 @@ def _run_stream_with_flush(
     n_files: int = 4,
     flush_days: int = 3660,
     watermark_days: int = 3650,
+    sentinel_types: tuple[str, ...] = ("__flush__",),
 ) -> DataFrame:
     """Replay the events table as a file stream (one file per
     micro-batch), then feed ONE far-future sentinel event in a final
@@ -393,7 +394,15 @@ def _run_stream_with_flush(
     ``watermark + 10 days`` past everything — closes the real windows in
     one deterministic flush. The sentinel's own windows never close, so
     it never appears in the sink: the emitted table equals the batch
-    aggregation over exactly the real events."""
+    aggregation over exactly the real events.
+
+    ``sentinel_types``: event_type value(s) for the sentinel rows. A
+    watermark node only counts rows that survive the operators BELOW it,
+    so a plan that splits the stream per type (e.g. a stream-stream self
+    join) needs one sentinel PER branch, typed to pass that branch's
+    filter; the global watermark is the MIN across nodes. Each sentinel
+    carries a distinct negative user_id/event_id so sentinels can never
+    join each other."""
     import shutil
     import tempfile
     import uuid
@@ -404,10 +413,22 @@ def _run_stream_with_flush(
     src = tempfile.mkdtemp(prefix="ev_stream_flush_")
     ev.repartition(n_files).write.mode("overwrite").parquet(src)
     sentinel = ev.agg(
-        F.lit(-1).cast("long").alias("event_id"),
-        (F.max("ts") + F.expr(f"INTERVAL {flush_days} DAYS")).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("__flush__").alias("event_type"),
+        (F.max("ts") + F.expr(f"INTERVAL {flush_days} DAYS")).alias("ts")
+    ).selectExpr(
+        "explode(array({})) AS s".format(
+            ", ".join(
+                f"named_struct('event_id', CAST({-(i + 1)} AS BIGINT), "
+                f"'user_id', CAST({-(i + 1)} AS BIGINT), "
+                f"'event_type', '{t}')"
+                for i, t in enumerate(sentinel_types)
+            )
+        ),
+        "ts",
+    ).select(
+        F.col("s.event_id").alias("event_id"),
+        F.col("ts"),
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.event_type").alias("event_type"),
         F.lit(0.0).alias("value"),
         F.lit("{}").alias("props"),
     ).select(*[f.name for f in ev.schema.fields])
@@ -490,6 +511,58 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_stream_with_flush(spark, sf_dir, build)
+
+
+# ===========================================================================
+# Streaming left-outer interval join (watermark-certified NULL emission)
+# ===========================================================================
+
+_OUTER_WITHIN = "30 minutes"
+
+
+@register(
+    "streaming_interval_join_outer",
+    f"""SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS event_id_r, r.ts AS ts_r
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL {_OUTER_WITHIN}""",
+    survey="ext: stream-stream LEFT OUTER time-interval join — unmatched "
+    "clicks emit a NULL purchase side only once the watermark certifies "
+    "no purchase can still arrive in their interval (the abandoned-cart "
+    "shape); the sentinel flush closes every interval so the emitted "
+    "table ≡ the batch left join",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every click joined to purchases within 30 min, unmatched clicks
+    kept with NULLs — outer emission is the part inner joins never
+    exercise: the state store must prove absence, which only the
+    watermark can. Run as a real multi-micro-batch stream; result equals
+    the batch left join because the watermark horizon outlives the
+    replay (no real row ever late) and the sentinel closes all state."""
+    from .streaming.ops import interval_join
+
+    def build(stream: DataFrame, wm: str) -> DataFrame:
+        left = stream.filter(F.col("event_type") == "click")
+        right = stream.filter(F.col("event_type") == "purchase")
+        return interval_join(
+            left,
+            right,
+            "user_id",
+            within=_OUTER_WITHIN,
+            watermark=wm,
+            how="left_outer",
+        ).select("event_id", "user_id", "ts", "event_id_r", "ts_r")
+
+    # one sentinel per join branch: each side's watermark node sits above
+    # its event_type filter, so a '__flush__' row would be dropped before
+    # either node ever saw it and the MIN watermark would never advance.
+    # The click sentinel (user -1) never emits: its own interval is never
+    # watermark-certified; the purchase sentinel (user -2) never matches.
+    return _run_stream_with_flush(
+        spark, sf_dir, build, sentinel_types=("click", "purchase")
+    )
 
 
 # ===========================================================================

@@ -43,8 +43,9 @@ def interval_join(
     right_ts: str = "ts",
     within: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` where the right event lands in
+    """Stream-stream join on ``key`` where the right event lands in
     ``[left_ts, left_ts + within]`` — the click-joins-impression shape.
 
     Both sides are watermarked, and the time-interval condition is what
@@ -53,6 +54,11 @@ def interval_join(
     the interval condition Spark must keep every row forever (unbounded
     state — the same trap as the reference's ``updateStateByKey``).
     Right columns are suffixed ``_r``.
+
+    ``how='left_outer'`` emits an unmatched left row (NULL right side)
+    only once the watermark CERTIFIES no future right row can land in
+    its interval — so outer results are late by one watermark horizon,
+    the price of correctness on an unbounded stream.
     """
     r = right.select(
         *[F.col(c).alias(f"{c}_r") for c in right.columns]
@@ -63,4 +69,6 @@ def interval_join(
         & (rt >= lt)
         & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
-    return left.withWatermark(left_ts, watermark).join(r, cond).drop(f"{key}_r")
+    return (
+        left.withWatermark(left_ts, watermark).join(r, cond, how).drop(f"{key}_r")
+    )

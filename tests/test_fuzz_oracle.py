@@ -101,6 +101,7 @@ FUZZ_QUERIES = [
     "corpus_typo_pairs", "dedup_bfs_hops", "events_decay_sum",
     "embedding_sparse_projection", "ann_sq8_topk", "ann_sq8_recall",
     "streaming_chained_windows",  # integer counts; sentinel-flushed append
+    "streaming_interval_join_outer",  # watermark-certified NULL emission
 ]
 
 

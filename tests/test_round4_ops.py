@@ -295,6 +295,42 @@ def test_streaming_chained_windows_equals_batch(spark):
     assert not any(t == "__flush__" for _, t in got)
 
 
+def test_streaming_outer_interval_join_equals_batch(spark):
+    from spark_streaming_twitch_analytics_spark.registry_analytics import (
+        _OUTER_WITHIN,
+        streaming_interval_join_outer,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.event_id, r.event_id_r)
+        for r in streaming_interval_join_outer(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    l = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("event_id_r"),
+        F.col("user_id").alias("uid_r"),
+        F.col("ts").alias("ts_r"),
+    )
+    batch = l.join(
+        r,
+        (F.col("user_id") == F.col("uid_r"))
+        & (F.col("ts_r") >= F.col("ts"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr(f"INTERVAL {_OUTER_WITHIN}")),
+        "left",
+    )
+    expect = {(x.event_id, x.event_id_r) for x in batch.collect()}
+    assert got == expect and len(got) > 0
+    # outer rows (NULL right side) must actually occur, and no sentinel leaks
+    assert any(rid is None for _, rid in got)
+    assert not any(eid is not None and eid < 0 for eid, _ in got)
+
+
 # ---------------------------------------------------------------------------
 # winsorized aggregation
 # ---------------------------------------------------------------------------
