@@ -121,6 +121,7 @@ HEADLINE = [
     "events_decay_sum",
     "embedding_sparse_projection",
     "lineitem_winsorized_revenue",
+    "quantiles_interpolated",
 ]
 
 

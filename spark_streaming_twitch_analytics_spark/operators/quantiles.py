@@ -221,3 +221,112 @@ q(label, num, den) AS (VALUES {q_vals}),
 k AS (SELECT label, CAST((num * n + den - 1) // den AS BIGINT) AS k FROM q, t),
 r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
 SELECT label, k, v AS value FROM k JOIN r ON r.rn = k.k"""
+
+
+def interpolated_quantiles(
+    values: DataFrame,
+    value_col: str,
+    bin_width: float = 100.0,
+    qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
+) -> DataFrame:
+    """(label, value): PERCENTILE_CONT semantics (type-7 interpolation,
+    the SQL-standard / numpy default): pos = q·(n−1) on the 0-based
+    sorted values, value = v⌊pos⌋ + frac·(v⌊pos⌋₊₁ − v⌊pos⌋).
+
+    Same two-pass histogram-select engine as :func:`exact_quantiles` —
+    only the rank arithmetic differs: each q needs the TWO bracketing
+    order statistics, fetched through the same selected-bin second pass
+    (≤ 2·|qs| bins ever sorted). All rank math is integer (t = num·(n−1),
+    k_lo = t div den, frac = (t mod den)/den is one exact division), and
+    the final lerp ``lo + frac·(hi − lo)`` evaluates in one fixed order —
+    identical IEEE on both engines, so even interpolated (computed, not
+    selected) quantiles hash exactly."""
+    spark = values.sparkSession
+    v = (
+        values.select(F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())  # see exact_quantiles NULL note
+        .withColumn("bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long"))
+    )
+    bins = v.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
+    )
+    total = bins.agg(F.sum("c").cast("long").alias("n"))
+
+    q_rows = spark.createDataFrame(list(qs), "label string, num long, den long")
+    t_expr = F.col("num") * (F.col("n") - 1)
+    targets = q_rows.crossJoin(F.broadcast(total)).select(
+        "label",
+        (F.expr("num * (n - 1) DIV den") + 1).cast("long").alias("k_lo"),
+        F.least(F.expr("num * (n - 1) DIV den") + 2, F.col("n"))
+        .cast("long")
+        .alias("k_hi"),
+        ((t_expr % F.col("den")).cast("double") / F.col("den")).alias("frac"),
+    )
+    fetch = targets.select(
+        "label",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("which"), F.col("k_lo").alias("k")),
+                F.struct(F.lit("hi").alias("which"), F.col("k_hi").alias("k")),
+            )
+        ).alias("f"),
+    ).select("label", "frac", F.col("f.which").alias("which"), F.col("f.k").alias("k"))
+
+    chosen = fetch.join(
+        F.broadcast(cum),
+        (F.col("cum_prev") < F.col("k")) & (F.col("k") <= F.col("cum")),
+    ).select(
+        "label", "frac", "which", "k", "bin", (F.col("k") - F.col("cum_prev")).alias("off")
+    )
+    sel_bins = chosen.select("bin").distinct()
+    cand = v.join(F.broadcast(sel_bins), "bin")
+    rn = F.row_number().over(Window.partitionBy("bin").orderBy("v"))
+    ranked = cand.select("bin", "v", rn.alias("rn"))
+    picked = (
+        F.broadcast(chosen)
+        .join(ranked, (chosen.bin == ranked.bin) & (chosen.off == ranked.rn))
+        .select("label", "frac", "which", "v")
+    )
+    return (
+        picked.groupBy("label", "frac")
+        .agg(
+            F.max(F.when(F.col("which") == "lo", F.col("v"))).alias("lo"),
+            F.max(F.when(F.col("which") == "hi", F.col("v"))).alias("hi"),
+        )
+        .select(
+            "label",
+            (F.col("lo") + F.col("frac") * (F.col("hi") - F.col("lo"))).alias(
+                "value"
+            ),
+        )
+    )
+
+
+def interpolated_quantiles_sql(
+    values_rel: str,
+    value_col: str,
+    qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
+) -> str:
+    """DuckDB twin of :func:`interpolated_quantiles` — the same integer
+    rank arithmetic and the same one-order lerp over a global
+    row_number (fine at oracle scale), NOT DuckDB's quantile_cont
+    builtin (whose position definition needn't match bit-for-bit)."""
+    q_vals = ", ".join(f"('{lb}', {num}, {den})" for lb, num, den in qs)
+    return f"""WITH v AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM ({values_rel})
+  WHERE {value_col} IS NOT NULL),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+q(label, num, den) AS (VALUES {q_vals}),
+k AS (SELECT label,
+        CAST(num * (n - 1) // den + 1 AS BIGINT) AS k_lo,
+        CAST(least(num * (n - 1) // den + 2, n) AS BIGINT) AS k_hi,
+        CAST((num * (n - 1)) % den AS DOUBLE) / den AS frac
+      FROM q, t),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+SELECT label, (lo.v + frac * (hi.v - lo.v)) AS value
+FROM k JOIN r lo ON lo.rn = k.k_lo JOIN r hi ON hi.rn = k.k_hi"""

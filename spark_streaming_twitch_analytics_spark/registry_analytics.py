@@ -569,6 +569,37 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 # Winsorized robust aggregation (exact-quantile clipping)
 # ===========================================================================
 
+_CONT_QS = (
+    ("p25", 1, 4),
+    ("p50", 1, 2),
+    ("p75", 3, 4),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+)
+
+
+@register(
+    "quantiles_interpolated",
+    quantiles.interpolated_quantiles_sql(
+        "SELECT l_extendedprice FROM lineitem", "l_extendedprice", _CONT_QS
+    ),
+    survey="ext: PERCENTILE_CONT (type-7 linear interpolation, the SQL "
+    "standard / numpy default) via the same two-pass histogram-select "
+    "engine as the exact order statistics — each q fetches its two "
+    "bracketing ranks; the lerp evaluates in one fixed IEEE order so "
+    "even a COMPUTED quantile hashes exactly against the oracle",
+)
+def quantiles_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated p25/p50/p75/p90/p99 of l_extendedprice — the
+    continuous-percentile twin of exact_quantiles_histogram. Scale shape
+    identical: one bounded histogram shuffle, second pass sorts only the
+    <= 2-per-q selected bins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantiles.interpolated_quantiles(
+        li, "l_extendedprice", bin_width=100.0, qs=_CONT_QS
+    )
+
+
 _WINSOR_QS = (("p05", 1, 20), ("p95", 19, 20))
 
 _WINSOR_SQL = f"""WITH th AS (

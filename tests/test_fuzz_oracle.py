@@ -273,6 +273,7 @@ REL_FUZZ_QUERIES = [
     "orders_monthly", "unpivot_lineitem", "sql_api_revenue",
     "approx_sketches",          # tolerance booleans must hold on any data
     "exact_quantiles_histogram", "group_quantiles_histogram",  # selection-exact
+    "quantiles_interpolated",   # fixed-order lerp over selected ranks
     "window_running_total", "window_rank_funcs",  # total orders (unique keys)
     "range_join_buckets",       # non-equi band join, int quantities
     "q3_top_orders", "q13_customer_distribution", "q18_large_orders",

@@ -257,6 +257,50 @@ def test_events_decay_sum_matches_python_reference(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# interpolated quantiles (PERCENTILE_CONT / numpy-linear semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_interpolated_quantiles_match_numpy_linear(spark):
+    import numpy as np
+
+    from spark_streaming_twitch_analytics_spark.operators.quantiles import (
+        interpolated_quantiles,
+    )
+
+    rng = np.random.default_rng(23)
+    vals = np.round(rng.uniform(-500, 2000, size=997), 4)  # odd n, ties rare
+    df = spark.createDataFrame([(float(x),) for x in vals], "x double")
+    qs = (("p10", 1, 10), ("p50", 1, 2), ("p66", 2, 3), ("p99", 99, 100))
+    got = {
+        r.label: r.value
+        for r in interpolated_quantiles(df, "x", bin_width=37.0, qs=qs).collect()
+    }
+    for label, num, den in qs:
+        expect = float(np.percentile(vals, 100.0 * num / den, method="linear"))
+        # same type-7 definition; np's pos arithmetic may differ by 1 ulp
+        assert got[label] == pytest.approx(expect, rel=1e-12), label
+
+
+def test_interpolated_quantiles_degenerate_sizes(spark):
+    from spark_streaming_twitch_analytics_spark.operators.quantiles import (
+        interpolated_quantiles,
+    )
+
+    one = spark.createDataFrame([(42.5,)], "x double")
+    got = {r.label: r.value for r in interpolated_quantiles(one, "x").collect()}
+    assert all(v == 42.5 for v in got.values())  # n=1: every q collapses
+    two = spark.createDataFrame([(10.0,), (20.0,)], "x double")
+    got2 = {
+        r.label: r.value
+        for r in interpolated_quantiles(
+            two, "x", qs=(("p50", 1, 2), ("p75", 3, 4))
+        ).collect()
+    }
+    assert got2["p50"] == 15.0 and got2["p75"] == 17.5
+
+
+# ---------------------------------------------------------------------------
 # chained streaming windows (two stateful operators, append mode)
 # ---------------------------------------------------------------------------
 
