@@ -122,6 +122,8 @@ HEADLINE = [
     "embedding_sparse_projection",
     "lineitem_winsorized_revenue",
     "quantiles_interpolated",
+    "group_quantiles_interpolated",
+    "ann_sq8_index_topk",
 ]
 
 

@@ -331,6 +331,42 @@ def sq8_requant(vec: Column, mns: Column, mxs: Column, dim: int) -> Column:
     return F.transform(F.sequence(F.lit(1), F.lit(dim)), one)
 
 
+def sq8_codes(vec: Column, mns: Column, mxs: Column, dim: int) -> Column:
+    """SQ8 encode only: per-dimension 8-bit codes stored OFFSET by −128
+    so they fit a signed ``array<tinyint>`` — one true byte per
+    dimension on disk, the 4× storage/scan win a real SQ8 index banks.
+    Same code arithmetic as :func:`sq8_requant`."""
+    def one(j: Column) -> Column:
+        x = F.element_at(vec, j)
+        mn = F.element_at(mns, j)
+        mx = F.element_at(mxs, j)
+        rng = mx - mn
+        code = F.floor(
+            F.when(rng == 0, F.lit(0.5)).otherwise(
+                (x - mn) / rng * F.lit(255.0) + F.lit(0.5)
+            )
+        )
+        return (code - F.lit(128)).cast("byte")
+
+    return F.transform(F.sequence(F.lit(1), F.lit(dim)), one)
+
+
+def sq8_from_codes(codes: Column, mns: Column, mxs: Column, dim: int) -> Column:
+    """Decode :func:`sq8_codes` back to the scoring values — EXACTLY the
+    doubles :func:`sq8_requant` produces (the +128 un-offset recovers the
+    identical integer code, and the decode arithmetic is the same
+    fixed-order IEEE), so an index-served ranking hash-matches the
+    index-free one."""
+    def one(j: Column) -> Column:
+        mn = F.element_at(mns, j)
+        mx = F.element_at(mxs, j)
+        rng = mx - mn
+        code = (F.element_at(codes, j).cast("int") + F.lit(128)).cast("double")
+        return mn + code * rng / F.lit(255.0)
+
+    return F.transform(F.sequence(F.lit(1), F.lit(dim)), one)
+
+
 def sq8_requant_sql(vec_expr: str, mns_expr: str, mxs_expr: str, dim: int) -> str:
     rng = f"({mxs_expr}[j] - {mns_expr}[j])"
     code = (

@@ -330,3 +330,134 @@ k AS (SELECT label,
 r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
 SELECT label, (lo.v + frac * (hi.v - lo.v)) AS value
 FROM k JOIN r lo ON lo.rn = k.k_lo JOIN r hi ON hi.rn = k.k_hi"""
+
+
+def grouped_interpolated_quantiles(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float = 100.0,
+    qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
+) -> DataFrame:
+    """(group, label, value): per-group PERCENTILE_CONT — the grouped
+    twin of :func:`interpolated_quantiles`, same histogram-select engine
+    with the group key threaded through every stage (as in
+    :func:`grouped_exact_quantiles`). Each (group, q) fetches its two
+    bracketing ranks; the lerp's fixed evaluation order keeps computed
+    values engine-exact."""
+    g = F.col(group_col).alias("g")
+    v = (
+        values.select(g, F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long"))
+    )
+    bins = v.groupBy("g", "bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bins.select(
+        "g",
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
+    )
+    totals = bins.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+
+    spark = values.sparkSession
+    q_rows = spark.createDataFrame(list(qs), "label string, num long, den long")
+    targets = totals.crossJoin(F.broadcast(q_rows)).select(
+        "g",
+        "label",
+        (F.expr("num * (n - 1) DIV den") + 1).cast("long").alias("k_lo"),
+        F.least(F.expr("num * (n - 1) DIV den") + 2, F.col("n"))
+        .cast("long")
+        .alias("k_hi"),
+        (
+            (F.col("num") * (F.col("n") - 1) % F.col("den")).cast("double")
+            / F.col("den")
+        ).alias("frac"),
+    )
+    fetch = targets.select(
+        "g",
+        "label",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("which"), F.col("k_lo").alias("k")),
+                F.struct(F.lit("hi").alias("which"), F.col("k_hi").alias("k")),
+            )
+        ).alias("f"),
+    ).select(
+        "g", "label", "frac", F.col("f.which").alias("which"), F.col("f.k").alias("k")
+    )
+    chosen = (
+        fetch.alias("t")
+        .join(
+            cum.alias("m"),
+            (F.col("t.g") == F.col("m.g"))
+            & (F.col("m.cum_prev") < F.col("t.k"))
+            & (F.col("t.k") <= F.col("m.cum")),
+        )
+        .select(
+            F.col("t.g").alias("g"),
+            "label",
+            "frac",
+            "which",
+            "bin",
+            (F.col("t.k") - F.col("m.cum_prev")).alias("off"),
+        )
+    )
+    sel = chosen.select("g", "bin").distinct()
+    cand = v.join(F.broadcast(sel), ["g", "bin"])
+    rn = F.row_number().over(Window.partitionBy("g", "bin").orderBy("v"))
+    ranked = cand.select("g", "bin", "v", rn.alias("rn"))
+    picked = (
+        F.broadcast(chosen.alias("c"))
+        .join(
+            ranked.alias("r"),
+            (F.col("c.g") == F.col("r.g"))
+            & (F.col("c.bin") == F.col("r.bin"))
+            & (F.col("c.off") == F.col("r.rn")),
+        )
+        .select(F.col("c.g").alias("g"), "label", "frac", "which", "v")
+    )
+    return (
+        picked.groupBy("g", "label", "frac")
+        .agg(
+            F.max(F.when(F.col("which") == "lo", F.col("v"))).alias("lo"),
+            F.max(F.when(F.col("which") == "hi", F.col("v"))).alias("hi"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "label",
+            (F.col("lo") + F.col("frac") * (F.col("hi") - F.col("lo"))).alias(
+                "value"
+            ),
+        )
+    )
+
+
+def grouped_interpolated_quantiles_sql(
+    values_rel: str,
+    group_col: str,
+    value_col: str,
+    qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
+) -> str:
+    """DuckDB twin of :func:`grouped_interpolated_quantiles` via
+    per-group row_number and the same fixed-order lerp."""
+    q_vals = ", ".join(f"('{lb}', {num}, {den})" for lb, num, den in qs)
+    return f"""WITH v AS (SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v
+  FROM ({values_rel}) WHERE {value_col} IS NOT NULL),
+t AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+q(label, num, den) AS (VALUES {q_vals}),
+k AS (SELECT g, label,
+        CAST(num * (n - 1) // den + 1 AS BIGINT) AS k_lo,
+        CAST(least(num * (n - 1) // den + 2, n) AS BIGINT) AS k_hi,
+        CAST((num * (n - 1)) % den AS DOUBLE) / den AS frac
+      FROM q, t),
+r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM v)
+SELECT k.g AS {group_col}, label, (lo.v + frac * (hi.v - lo.v)) AS value
+FROM k JOIN r lo ON lo.g = k.g AND lo.rn = k.k_lo
+       JOIN r hi ON hi.g = k.g AND hi.rn = k.k_hi"""

@@ -690,6 +690,65 @@ def sq8_topk(
     return _topk(_partial_topk(_scored(pairs), k), k)
 
 
+def build_sq8_index(candidates: DataFrame, path: str, dim: int = DIM) -> None:
+    """One-time SQ8 index build: persist the corpus per-dimension
+    [min, max] stats (one row, ``<path>/stats``) and every vector's
+    8-bit codes as a signed ``array<tinyint>`` (``<path>/codes``) — one
+    byte per dimension on disk vs four for float32, the bandwidth win
+    SQ8 exists for. Codes are a pure function of (vector, stats), so
+    rebuilding over the same corpus reproduces the index bit-for-bit."""
+    from ..functions.vectors import sq8_codes
+
+    stats = sq8_stats(candidates, dim)
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    spark = candidates.sparkSession
+    st = spark.read.parquet(f"{path}/stats")  # read back: one scan, reused
+    codes = (
+        candidates.crossJoin(F.broadcast(st))
+        .select(
+            "vec_id",
+            sq8_codes(
+                as_double(F.col("embedding")), F.col("mns"), F.col("mxs"), dim
+            ).alias("codes"),
+        )
+    )
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def query_sq8_index(
+    queries: DataFrame, path: str, k: int, dim: int = DIM
+) -> DataFrame:
+    """Serve SQ8 ANN off a persisted :func:`build_sq8_index` layout: the
+    scan reads the 1-byte-per-dim codes table (4× less IO than raw
+    embeddings), decodes in-flight with the persisted stats, and scores
+    exactly like :func:`sq8_topk` — same quantization, same tie-break,
+    so the index-served ranking hash-matches the index-free one."""
+    from .skew import fan_out
+    from ..functions.vectors import sq8_from_codes
+
+    spark = queries.sparkSession
+    st = spark.read.parquet(f"{path}/stats")
+    codes = spark.read.parquet(f"{path}/codes")
+    c = (
+        fan_out(codes)
+        .crossJoin(F.broadcast(st))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            sq8_from_codes(
+                F.col("codes"), F.col("mns"), F.col("mxs"), dim
+            ).alias("cv"),
+        )
+        .withColumn("cn", norm(F.col("cv"), dim))
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        norm(as_double(F.col("embedding")), dim).alias("qn"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    return _topk(_partial_topk(_scored(pairs), k), k)
+
+
 def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:
     """Recall of an approximate ranking against the exact one: both are
     (q_id, c_id, ...) top-k frames; recall = |approx ∩ exact| / |exact|

@@ -1262,10 +1262,13 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
     path = os.path.join(
         tempfile.gettempdir(), f"ssta_ann_{kind}_{_slug(sf_dir)}_{fp}"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    marker = os.path.join(path, "codes" if kind == "sq8" else "") or path
+    if not os.path.exists(os.path.join(marker, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         if kind == "lsh":
             similarity.build_lsh_index(emb, path, n_bits=4)
+        elif kind == "sq8":
+            similarity.build_sq8_index(emb, path)
         else:
             similarity.build_ivf_index(emb, path, n_cells=_IVF_CELLS)
     return path

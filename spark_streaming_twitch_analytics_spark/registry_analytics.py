@@ -94,6 +94,27 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_sq8_index_topk",
+    _SQ8_TOPK_SQL,
+    survey="ext: SQ8 ANN served off the PERSISTED int8 index "
+    "(build_sq8_index → query_sq8_index): hash-matches ann_sq8_topk; the "
+    "scan reads 1-byte-per-dim codes — 4x less IO than raw float32 "
+    "embeddings, the storage/bandwidth form a production SQ8 deployment "
+    "actually runs",
+)
+def ann_sq8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranking as ann_sq8_topk but scanning the persisted
+    codes+stats layout instead of re-encoding the corpus per query
+    batch — encode once, serve many."""
+    from .registry import _ensure_ann_index
+
+    path = _ensure_ann_index(spark, sf_dir, "sq8")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.query_sq8_index(queries, path, 5)
+
+
 # ===========================================================================
 # Edit-distance-1 typo mining (FastSS deletion neighborhoods)
 # ===========================================================================
@@ -597,6 +618,27 @@ def quantiles_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return quantiles.interpolated_quantiles(
         li, "l_extendedprice", bin_width=100.0, qs=_CONT_QS
+    )
+
+
+@register(
+    "group_quantiles_interpolated",
+    quantiles.grouped_interpolated_quantiles_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        "l_returnflag",
+        "l_extendedprice",
+        _CONT_QS,
+    ),
+    survey="ext: per-group PERCENTILE_CONT (grouped twin of "
+    "quantiles_interpolated) — the p99-per-service / median-per-segment "
+    "shape with SQL-standard interpolation, still histogram-select (no "
+    "global sort) and still hash-exact",
+)
+def group_quantiles_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated p25..p99 of l_extendedprice per l_returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantiles.grouped_interpolated_quantiles(
+        li, "l_returnflag", "l_extendedprice", bin_width=100.0, qs=_CONT_QS
     )
 
 

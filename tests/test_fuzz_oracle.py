@@ -102,6 +102,7 @@ FUZZ_QUERIES = [
     "embedding_sparse_projection", "ann_sq8_topk", "ann_sq8_recall",
     "streaming_chained_windows",  # integer counts; sentinel-flushed append
     "streaming_interval_join_outer",  # watermark-certified NULL emission
+    "ann_sq8_index_topk",  # fingerprint-keyed layout rebuilds per corpus
 ]
 
 
@@ -274,6 +275,7 @@ REL_FUZZ_QUERIES = [
     "approx_sketches",          # tolerance booleans must hold on any data
     "exact_quantiles_histogram", "group_quantiles_histogram",  # selection-exact
     "quantiles_interpolated",   # fixed-order lerp over selected ranks
+    "group_quantiles_interpolated",
     "window_running_total", "window_rank_funcs",  # total orders (unique keys)
     "range_join_buckets",       # non-equi band join, int quantities
     "q3_top_orders", "q13_customer_distribution", "q18_large_orders",

@@ -105,6 +105,37 @@ def test_sq8_topk_matches_exact_on_separable_data(spark):
     assert rec.recall >= 0.9
 
 
+def test_sq8_index_matches_scan_and_shrinks_storage(spark, tmp_path):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "sq8idx")
+    similarity.build_sq8_index(emb, path)
+    served = {
+        (r.q_id, r.rn): (r.c_id, r.cos)
+        for r in similarity.query_sq8_index(queries, path, 5).collect()
+    }
+    scan = {
+        (r.q_id, r.rn): (r.c_id, r.cos)
+        for r in similarity.sq8_topk(queries, emb, 5).collect()
+    }
+    assert served == scan and len(served) > 0
+    # the point of SQ8: int8 codes on disk are much smaller than floats
+    import os
+
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    raw = os.path.getsize(f"{sf}/embeddings.parquet") if os.path.isfile(
+        f"{sf}/embeddings.parquet"
+    ) else du(f"{sf}/embeddings.parquet")
+    assert du(f"{path}/codes") < 0.6 * raw
+
+
 # ---------------------------------------------------------------------------
 # Achlioptas sparse projection
 # ---------------------------------------------------------------------------
@@ -280,6 +311,35 @@ def test_interpolated_quantiles_match_numpy_linear(spark):
         expect = float(np.percentile(vals, 100.0 * num / den, method="linear"))
         # same type-7 definition; np's pos arithmetic may differ by 1 ulp
         assert got[label] == pytest.approx(expect, rel=1e-12), label
+
+
+def test_grouped_interpolated_quantiles_match_numpy(spark):
+    import numpy as np
+
+    from spark_streaming_twitch_analytics_spark.operators.quantiles import (
+        grouped_interpolated_quantiles,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    data = {}
+    for gi, g in enumerate(["a", "b", "c"]):
+        n = [83, 1, 2][gi]  # one regular group + both degenerate sizes
+        vals = np.round(rng.uniform(-100, 900, size=n), 3)
+        data[g] = vals
+        rows += [(g, float(x)) for x in vals]
+    df = spark.createDataFrame(rows, "g string, x double")
+    qs = (("p30", 3, 10), ("p50", 1, 2), ("p97", 97, 100))
+    got = {
+        (r.g, r.label): r.value
+        for r in grouped_interpolated_quantiles(
+            df, "g", "x", bin_width=41.0, qs=qs
+        ).collect()
+    }
+    for g, vals in data.items():
+        for label, num, den in qs:
+            expect = float(np.percentile(vals, 100.0 * num / den, method="linear"))
+            assert got[(g, label)] == pytest.approx(expect, rel=1e-12), (g, label)
 
 
 def test_interpolated_quantiles_degenerate_sizes(spark):
