@@ -81,6 +81,15 @@ QUERIES = [
     "window_range_rolling",
     "bucketed_join_priority_revenue",
     "partitioned_day_scan",
+    "ann_sq8_topk",
+    "ann_sq8_index_topk",
+    "corpus_typo_pairs",
+    "dedup_bfs_hops",
+    "events_decay_sum",
+    "embedding_sparse_projection",
+    "lineitem_winsorized_revenue",
+    "quantiles_interpolated",
+    "group_quantiles_interpolated",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
@@ -89,7 +98,8 @@ def main() -> None:
     spark = get_spark(app_name="scale_probe")
     spark.range(1000).selectExpr("sum(id)").collect()
     rows = []
-    for name in QUERIES:
+    names = sys.argv[1:] or QUERIES  # optional: probe just the named queries
+    for name in names:
         fn = registry.get(name).fn
         ts = []
         for sf in SFS:
