@@ -1,0 +1,201 @@
+"""Z-order (Morton-curve) clustered parquet layout — multi-dimensional
+data skipping for the predicates partition directories can't serve.
+
+Date-partitioning (``bucketed.ensure_partitioned_events``) prunes on ONE
+dimension at planning time. A 100 TB fact table queried by BOTH user and
+time needs its row groups clustered so that parquet's row-group min/max
+statistics become selective on both columns at once: sort by the
+interleaved-bit Morton code of the two keys and every row group covers a
+small rectangle of (user, time) space instead of a thin full-width
+stripe. The skipping itself is stock machinery — Spark pushes the
+predicate into the parquet reader, which drops row groups whose stats
+can't match — the layout is the only new artifact, exactly how
+production engines implement OPTIMIZE ZORDER BY.
+
+Everything is built from public primitives: Morton codes are plain bit
+interleaving (Morton 1966), expressed in Catalyst bit ops (shiftleft /
+shiftright / bitwise and/or) — no UDF.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def morton_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integral
+    columns into a single Z-order key: result bit 2i holds a's bit i,
+    bit 2i+1 holds b's bit i. Pure integer expression (whole-stage
+    codegen; 2·bits OR terms), deterministic on any engine.
+
+    Inputs are clamped into [0, 2^bits) by masking — callers should
+    pre-scale real values (e.g. epoch seconds) into that range; the key
+    only needs to ORDER well, not to be reversible."""
+    mask = (1 << bits) - 1
+    aa = a.cast("long").bitwiseAND(F.lit(mask))
+    bb = b.cast("long").bitwiseAND(F.lit(mask))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(aa, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(bb, i).bitwiseAND(F.lit(1))
+        out = out.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return out
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    key: Column,
+    max_records_per_file: int = 2000,
+) -> None:
+    """Cluster ``df`` by a space-filling-curve ``key`` and write parquet
+    whose row groups / files each cover a tight key range:
+    range-partition by the key (global order across tasks), sort within
+    partitions (order within each task), and cap records per file so the
+    min/max statistics stay selective.
+
+    At 100 TB this is the one-off OPTIMIZE pass; the write is a single
+    range-exchange + local sort (no global sort-merge), and every later
+    two-dimensional predicate pays only the row groups whose rectangle
+    intersects it."""
+    keyed = df if isinstance(key, str) else df.withColumn("_zk", key)
+    zcol = key if isinstance(key, str) else "_zk"
+    (
+        keyed.repartitionByRange(
+            max(df.sparkSession.sparkContext.defaultParallelism, 4), zcol
+        )
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
+def scale_to_bits(x: Column, lo: Column, hi: Column, bits: int = 16) -> Column:
+    """Affine-normalize an integral coordinate onto [0, 2^bits): the
+    Z-order prerequisite. Interleaving RAW values wastes curve bits —
+    a column spanning only 2^11 of 2^16 leaves its top 5 interleaved
+    positions constant, so coarse row groups split on the OTHER dimension
+    only and the layout degenerates to a single-column sort (measured:
+    11/54 vs 10/54 row groups hit before normalization, 3/54 after).
+    Production OPTIMIZE ZORDER does the same with range-partition ranks;
+    min/max normalization is the zone-map-friendly equivalent and costs
+    one tiny aggregate."""
+    top = (1 << bits) - 1
+    rng = F.greatest(hi - lo, F.lit(1))
+    return F.least(
+        F.lit(top).cast("long"),
+        F.greatest(F.lit(0).cast("long"), ((x - lo) * top / rng).cast("long")),
+    )
+
+
+def _events_zorder_key(
+    ts: Column,
+    user_id: Column,
+    ulo: Column,
+    uhi: Column,
+    tlo: Column,
+    thi: Column,
+    bits: int = 16,
+) -> Column:
+    """Events' 2-D clustering key: user_id and epoch minutes, each
+    min/max-normalized onto the full ``bits`` range, interleaved."""
+    minutes = (F.unix_timestamp(ts) / F.lit(60)).cast("long")
+    return morton_key(
+        scale_to_bits(user_id.cast("long"), ulo, uhi, bits),
+        scale_to_bits(minutes, tlo, thi, bits),
+        bits,
+    )
+
+
+def ensure_zordered_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table Z-ordered by (user_id, minute) once per
+    source-content version (same fingerprint-keyed idempotence contract
+    as ``bucketed.ensure_partitioned_events``). Returns the layout path."""
+    from ..tables import load_table
+    from .bucketed import _slug, _source_fingerprint
+
+    fp = _source_fingerprint(sf_dir, "events")
+    # _v2: layout ALGORITHM version — bumping it orphans layouts built by
+    # older code (fingerprint only tracks SOURCE content)
+    loc = os.path.join(
+        tempfile.gettempdir(), f"ssta_zorder_v2_{_slug(sf_dir)}_{fp}", "events"
+    )
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        # INT64 micros (not INT96) so parquet keeps min/max stats on ts —
+        # the whole point of the layout is stats-driven row-group skipping
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        ev = load_table(spark, sf_dir, "events")
+        # column ranges for coordinate normalization: one tiny aggregate,
+        # broadcast onto the rewrite scan
+        minutes = (F.unix_timestamp(F.col("ts")) / F.lit(60)).cast("long")
+        ranges = ev.agg(
+            F.min("user_id").cast("long").alias("ulo"),
+            F.max("user_id").cast("long").alias("uhi"),
+            F.min(minutes).alias("tlo"),
+            F.max(minutes).alias("thi"),
+        )
+        key = _events_zorder_key(
+            F.col("ts"),
+            F.col("user_id"),
+            F.col("ulo"),
+            F.col("uhi"),
+            F.col("tlo"),
+            F.col("thi"),
+        )
+        keyed = (
+            ev.crossJoin(F.broadcast(ranges))
+            .withColumn("_zk", key)
+            .select(*ev.columns, "_zk")  # range cols must not land on disk
+        )
+        write_zorder_parquet(keyed, loc, "_zk")
+    return loc
+
+
+def rowgroups_overlapping(
+    path: str, user_lo: int, user_hi: int, ts_lo, ts_hi
+) -> tuple[int, int]:
+    """(overlapping, total) parquet row groups whose (user_id, ts)
+    min/max statistics intersect the given rectangle — the exact skip
+    decision parquet's reader makes with the pushed predicate, counted
+    from file metadata without scanning data pages. The layout QUALITY
+    meter used by tests: a Z-ordered layout must leave most row groups
+    non-overlapping for a small rectangle, a single-column sort cannot."""
+    import pyarrow.parquet as pq
+
+    def naive(x):
+        return x.replace(tzinfo=None) if getattr(x, "tzinfo", None) else x
+
+    total = 0
+    hit = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                total += 1
+                u = g.column(cols["user_id"]).statistics
+                t = g.column(cols["ts"]).statistics
+                if u is None or t is None:
+                    hit += 1  # no stats ⇒ the reader must read it
+                    continue
+                if (
+                    u.min <= user_hi
+                    and u.max >= user_lo
+                    and naive(t.min) <= ts_hi
+                    and naive(t.max) >= ts_lo
+                ):
+                    hit += 1
+    return hit, total

@@ -535,6 +535,101 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Native recursive CTE: capped cumulative spend (non-window recurrence)
+# ===========================================================================
+
+_CAP_CENTS = 50_000_00  # 50k budget cap per customer
+
+# identical SQL text runs on BOTH engines (Spark 4 ships WITH RECURSIVE);
+# only the source relation name differs — parameterized below.
+_CAPPED_CUMSUM_SQL_TPL = f"""WITH RECURSIVE o AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+  FROM {{rel}}),
+rec(o_custkey, rn, spent) AS (
+  SELECT o_custkey, rn, least(cents, {_CAP_CENTS}) FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.o_custkey, o.rn, least(rec.spent + o.cents, {_CAP_CENTS})
+  FROM rec JOIN o ON o.o_custkey = rec.o_custkey AND o.rn = rec.rn + 1)
+SELECT o_custkey, rn, spent FROM rec"""
+
+
+@register(
+    "orders_capped_cumsum",
+    _CAPPED_CUMSUM_SQL_TPL.format(rel="orders"),
+    survey="ext: NATIVE recursive CTE (Spark 4 WITH RECURSIVE) — capped "
+    "running spend per customer, spent_i = least(spent_{i-1} + x_i, cap): "
+    "a NON-LINEAR recurrence no window frame can express (the clamp "
+    "feeds back into the next step). The same SQL text runs on both "
+    "engines; integer cents keep every step engine-exact. Complements "
+    "the repo's driver-loop iterative ops (components/PageRank/BFS) with "
+    "the engine-native recursion form",
+)
+def orders_capped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-cap consumption: each customer's orders in date order
+    accumulate until the 50k cap clamps further spend. The recursion
+    steps one rank per iteration, joining the frontier (one row per
+    still-active customer) to the rank-indexed orders — iterations are
+    bounded by the deepest customer's order count, and each step is a
+    keyed join, the same per-round shape as the repo's manual frontier
+    loops, but planned by Catalyst's native UnionLoop."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_rcte_v"
+    )
+    return spark.sql(_CAPPED_CUMSUM_SQL_TPL.format(rel="orders_rcte_v"))
+
+
+# ===========================================================================
+# Z-order clustered layout (two-dimensional data skipping)
+# ===========================================================================
+
+_Z_USER_LO, _Z_USER_HI = 3, 9
+_Z_TS_LO, _Z_TS_HI = "2024-01-10 00:00:00", "2024-01-15 00:00:00"
+
+
+@register(
+    "events_zorder_scan",
+    f"""SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE user_id BETWEEN {_Z_USER_LO} AND {_Z_USER_HI}
+  AND ts >= TIMESTAMP '{_Z_TS_LO}' AND ts < TIMESTAMP '{_Z_TS_HI}'""",
+    survey="ext: Z-order (Morton-curve) clustered layout — the events "
+    "table rewritten sorted by the interleaved (user_id, minute) key "
+    "(operators/layout.py, OPTIMIZE-ZORDER-BY semantics from public bit "
+    "interleaving), then a two-dimensional rectangle predicate scans it; "
+    "parquet row-group min/max stats skip most groups on BOTH dims at "
+    "once — the pruning partition directories can't do for a second key. "
+    "Result ≡ the same filter over the raw table (layout never changes "
+    "answers); the skip ratio is asserted from parquet metadata in tests",
+)
+def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count/users/cents over a (user range × time range) rectangle read
+    from the Z-ordered layout. Integer-exact aggregates."""
+    from .operators.layout import ensure_zordered_events
+
+    loc = ensure_zordered_events(spark, sf_dir)
+    ev = spark.read.parquet(loc)
+    return (
+        ev.filter(
+            F.col("user_id").between(_Z_USER_LO, _Z_USER_HI)
+            & (F.col("ts") >= _Z_TS_LO)
+            & (F.col("ts") < _Z_TS_HI)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
+# ===========================================================================
 # Streaming left-outer interval join (watermark-certified NULL emission)
 # ===========================================================================
 

@@ -112,23 +112,14 @@ def write_clustered_parquet(
 
 def zorder_key(c1, c2, bits: int = 16):
     """Interleave the low ``bits`` of two non-negative int columns into a
-    Morton (z-order) key. Clustering a write by this key bounds BOTH
-    columns' min/max ranges per file, so parquet footer stats prune
-    files for predicates on either column (or both) — the two-column
-    generalization of :func:`write_clustered_parquet`'s single-column
-    layout. Pure bit expressions, whole-stage codegen, no UDF."""
-    from pyspark.sql import functions as F
+    Morton (z-order) key — alias of :func:`operators.layout.morton_key`,
+    kept here next to :func:`write_clustered_parquet` (its single-column
+    sibling). The full layout stack — coordinate normalization, the
+    OPTIMIZE-style rewrite, and the row-group skip meter — lives in
+    ``operators/layout.py``."""
+    from ..operators.layout import morton_key
 
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        bit1 = F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1))
-        bit2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
-        key = (
-            key
-            + (bit1 * F.lit(1 << (2 * i)))
-            + (bit2 * F.lit(1 << (2 * i + 1)))
-        )
-    return key
+    return morton_key(c1, c2, bits)
 
 
 def write_orc(

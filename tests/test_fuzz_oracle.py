@@ -103,6 +103,7 @@ FUZZ_QUERIES = [
     "streaming_chained_windows",  # integer counts; sentinel-flushed append
     "streaming_interval_join_outer",  # watermark-certified NULL emission
     "ann_sq8_index_topk",  # fingerprint-keyed layout rebuilds per corpus
+    "events_zorder_scan",  # layout never changes answers; integer aggs
 ]
 
 
@@ -281,6 +282,7 @@ REL_FUZZ_QUERIES = [
     "q3_top_orders", "q13_customer_distribution", "q18_large_orders",
     "lineitem_winsorized_revenue",  # clip bounds are selection-exact order
     # statistics; the winsorized sum is integer cents
+    "orders_capped_cumsum",     # native WITH RECURSIVE, integer cents
 ]
 
 _REL_DISCOUNTS = [0.0, 0.03125, 0.0625, 0.09375, 0.125, 0.25]  # 2^-5 grid

@@ -237,6 +237,105 @@ def test_typo_pairs_finds_known_distances(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# native recursive CTE: capped cumulative spend
+# ---------------------------------------------------------------------------
+
+
+def test_capped_cumsum_matches_python_fold_and_clamps(spark):
+    from spark_streaming_twitch_analytics_spark.registry_analytics import (
+        _CAP_CENTS,
+        orders_capped_cumsum,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.o_custkey, r.rn): r.spent
+        for r in orders_capped_cumsum(spark, sf).collect()
+    }
+    orders = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    import math
+
+    clamped_somewhere = False
+    for cust, rows in by_cust.items():
+        rows.sort(key=lambda r: (r.o_orderdate, r.o_orderkey))
+        spent = 0
+        for i, r in enumerate(rows, start=1):
+            spent = min(spent + math.floor(r.o_totalprice * 100 + 0.5), _CAP_CENTS)
+            assert got[(cust, i)] == spent, (cust, i)
+        if spent == _CAP_CENTS:
+            clamped_somewhere = True
+    assert len(got) == len(orders)
+    assert clamped_somewhere  # the cap must actually bind on this data
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_layout_skips_more_rowgroups_than_time_sort(spark, tmp_path):
+    import datetime as dt
+
+    from spark_streaming_twitch_analytics_spark.operators.layout import (
+        ensure_zordered_events,
+        rowgroups_overlapping,
+    )
+    from spark_streaming_twitch_analytics_spark.registry_analytics import (
+        events_zorder_scan,
+    )
+    from spark_streaming_twitch_analytics_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.1"  # enough rows for many row groups
+    loc = ensure_zordered_events(spark, sf)
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 15)
+    z_hit, z_total = rowgroups_overlapping(loc, 3, 9, lo, hi)
+    assert z_total >= 20  # layout actually split into many row groups
+
+    # baseline: single-dimension (time-sorted) layout, same file sizing
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    base = str(tmp_path / "tsorted")
+    (
+        load_table(spark, sf, "events")
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2000)
+        .parquet(base)
+    )
+    t_hit, t_total = rowgroups_overlapping(base, 3, 9, lo, hi)
+    # the 2-D curve must dominate the 1-D sort on a 2-D rectangle
+    assert z_hit / z_total < t_hit / t_total
+    assert z_hit / z_total < 0.3
+
+    # and the layout never changes answers
+    got = events_zorder_scan(spark, sf).collect()[0]
+    raw = (
+        load_table(spark, sf, "events")
+        .filter(
+            (F.col("user_id").between(3, 9))
+            & (F.col("ts") >= "2024-01-10 00:00:00")
+            & (F.col("ts") < "2024-01-15 00:00:00")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(raw) and got.n > 0
+
+
+# ---------------------------------------------------------------------------
 # dyadic decay sum
 # ---------------------------------------------------------------------------
 
