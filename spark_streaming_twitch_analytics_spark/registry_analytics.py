@@ -541,17 +541,27 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAP_CENTS = 50_000_00  # 50k budget cap per customer
 
 # identical SQL text runs on BOTH engines (Spark 4 ships WITH RECURSIVE);
-# only the source relation name differs — parameterized below.
+# only the source relation name differs — parameterized below. Deltas are
+# SIGNED ('F'-status orders post as refunds), so the double clamp is a
+# genuinely non-linear recurrence: with only positive deltas the cap
+# binds permanently and a prefix-sum min would fake it — signed deltas
+# re-open headroom after a clamp, which no window frame can express.
 _CAPPED_CUMSUM_SQL_TPL = f"""WITH RECURSIVE o AS (
   SELECT o_custkey,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(CASE WHEN o_orderstatus = 'F'
+              THEN -floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 2)
+              ELSE floor(o_totalprice * 100 + 0.5) END
+              AS BIGINT) AS delta,
          CAST(row_number() OVER (PARTITION BY o_custkey
                                  ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
   FROM {{rel}}),
 rec(o_custkey, rn, spent) AS (
-  SELECT o_custkey, rn, least(cents, {_CAP_CENTS}) FROM o WHERE rn = 1
+  SELECT o_custkey, rn,
+         greatest(CAST(0 AS BIGINT), least(delta, {_CAP_CENTS}))
+  FROM o WHERE rn = 1
   UNION ALL
-  SELECT o.o_custkey, o.rn, least(rec.spent + o.cents, {_CAP_CENTS})
+  SELECT o.o_custkey, o.rn,
+         greatest(CAST(0 AS BIGINT), least(rec.spent + o.delta, {_CAP_CENTS}))
   FROM rec JOIN o ON o.o_custkey = rec.o_custkey AND o.rn = rec.rn + 1)
 SELECT o_custkey, rn, spent FROM rec"""
 
@@ -559,22 +569,24 @@ SELECT o_custkey, rn, spent FROM rec"""
 @register(
     "orders_capped_cumsum",
     _CAPPED_CUMSUM_SQL_TPL.format(rel="orders"),
-    survey="ext: NATIVE recursive CTE (Spark 4 WITH RECURSIVE) — capped "
-    "running spend per customer, spent_i = least(spent_{i-1} + x_i, cap): "
-    "a NON-LINEAR recurrence no window frame can express (the clamp "
-    "feeds back into the next step). The same SQL text runs on both "
-    "engines; integer cents keep every step engine-exact. Complements "
-    "the repo's driver-loop iterative ops (components/PageRank/BFS) with "
-    "the engine-native recursion form",
+    survey="ext: NATIVE recursive CTE (Spark 4 WITH RECURSIVE) — "
+    "floor/cap-clamped running balance per customer over SIGNED deltas "
+    "(refund orders), spent_i = clamp(spent_{i-1} + delta_i): a "
+    "genuinely non-linear recurrence (the clamp re-opens headroom, so "
+    "no prefix-sum/window rewrite exists). The same SQL text runs on "
+    "both engines; integer cents keep every step engine-exact. "
+    "Complements the repo's driver-loop iterative ops "
+    "(components/PageRank/BFS) with the engine-native recursion form",
 )
 def orders_capped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budget-cap consumption: each customer's orders in date order
-    accumulate until the 50k cap clamps further spend. The recursion
-    steps one rank per iteration, joining the frontier (one row per
-    still-active customer) to the rank-indexed orders — iterations are
-    bounded by the deepest customer's order count, and each step is a
-    keyed join, the same per-round shape as the repo's manual frontier
-    loops, but planned by Catalyst's native UnionLoop."""
+    """Budget-cap balance: each customer's orders in date order post
+    signed deltas ('F' status = half-value refund) into a [0, 50k]-
+    clamped balance. The recursion steps one rank per iteration, joining
+    the frontier (one row per still-active customer) to the rank-indexed
+    orders — iterations are bounded by the deepest customer's order
+    count, and each step is a keyed join, the same per-round shape as
+    the repo's manual frontier loops, but planned by Catalyst's native
+    UnionLoop."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "orders_rcte_v"
     )

@@ -254,7 +254,10 @@ def test_capped_cumsum_matches_python_fold_and_clamps(spark):
     }
     orders = (
         spark.read.parquet(f"{sf}/orders.parquet")
-        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus",
+            "o_totalprice",
+        )
         .collect()
     )
     by_cust = {}
@@ -262,17 +265,26 @@ def test_capped_cumsum_matches_python_fold_and_clamps(spark):
         by_cust.setdefault(r.o_custkey, []).append(r)
     import math
 
-    clamped_somewhere = False
+    capped = floored = reopened = False
     for cust, rows in by_cust.items():
         rows.sort(key=lambda r: (r.o_orderdate, r.o_orderkey))
         spent = 0
+        was_capped = False
         for i, r in enumerate(rows, start=1):
-            spent = min(spent + math.floor(r.o_totalprice * 100 + 0.5), _CAP_CENTS)
+            cents = math.floor(r.o_totalprice * 100 + 0.5)
+            delta = -(cents // 2) if r.o_orderstatus == "F" else cents
+            spent = max(0, min(spent + delta, _CAP_CENTS))
             assert got[(cust, i)] == spent, (cust, i)
-        if spent == _CAP_CENTS:
-            clamped_somewhere = True
+            if spent == _CAP_CENTS:
+                capped = was_capped = True
+            elif was_capped:
+                reopened = True  # a refund re-opened headroom post-cap
+            if spent == 0 and delta < 0:
+                floored = True
     assert len(got) == len(orders)
-    assert clamped_somewhere  # the cap must actually bind on this data
+    # all three non-linear behaviors must actually occur on this data —
+    # otherwise the recurrence would collapse to a window prefix sum
+    assert capped and floored and reopened
 
 
 # ---------------------------------------------------------------------------
