@@ -535,6 +535,137 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# KMV (k-minimum-values) sketch: distinct + INTERSECTION estimation
+# ===========================================================================
+
+_KMV_K = 16  # small enough that the ESTIMATOR branch runs on the test vocab
+_KMV_SPACE = float(1 << 48)  # hash48 range
+
+
+def _kmv_sql() -> str:
+    from .sources.io import hash48_sql
+
+    h = hash48_sql("token")
+    est = (
+        f"floor(({_KMV_K} - 1) * {_KMV_SPACE!r} / kth * 1000000.0) / 1000000.0"
+    )
+    return f"""WITH tok AS (
+  SELECT CASE WHEN CAST(substr(md5(source), 1, 2) AS VARCHAR) < '8'
+              THEN 0 ELSE 1 END AS side,
+         unnest({X.tokenize_sql("text")}) AS token
+  FROM documents),
+hx AS (SELECT DISTINCT side, {h} AS h FROM tok),
+ka AS (SELECT h FROM hx WHERE side = 0 ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT h FROM hx WHERE side = 1 ORDER BY h LIMIT {_KMV_K}),
+ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+       ORDER BY h LIMIT {_KMV_K}),
+ea AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS kth FROM ka),
+eb AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS kth FROM kb),
+eu AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS kth FROM ku),
+truth AS (
+  SELECT CAST(count(DISTINCT CASE WHEN side = 0 THEN h END) AS BIGINT) AS true_a,
+         CAST(count(DISTINCT CASE WHEN side = 1 THEN h END) AS BIGINT) AS true_b,
+         CAST(count(DISTINCT h) AS BIGINT) AS true_union
+  FROM hx)
+SELECT true_a, true_b, true_union,
+  CASE WHEN ea.n < {_KMV_K} THEN CAST(ea.n AS DOUBLE) ELSE {est.replace("kth", "ea.kth")} END AS est_a,
+  CASE WHEN eb.n < {_KMV_K} THEN CAST(eb.n AS DOUBLE) ELSE {est.replace("kth", "eb.kth")} END AS est_b,
+  CASE WHEN eu.n < {_KMV_K} THEN CAST(eu.n AS DOUBLE) ELSE {est.replace("kth", "eu.kth")} END AS est_union
+FROM truth, ea, eb, eu"""
+
+
+@register(
+    "corpus_kmv_overlap",
+    _kmv_sql(),
+    survey="ext: KMV (k-minimum-values) sketch — distinct-count AND "
+    "set-overlap estimation between two corpus halves: each side keeps "
+    "its k smallest 48-bit token hashes; union sketch = k smallest of "
+    "the merged values; intersection follows by inclusion-exclusion "
+    "(est_a + est_b - est_union downstream). The sketch HLL can't give "
+    "(HLL has no intersection); fully deterministic md5 order "
+    "statistics, so estimates hash exactly against the oracle — no "
+    "tolerance",
+)
+def corpus_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketches for two md5-split document sides plus the exact
+    truths (evaluation harness; production ships the k values only —
+    k longs per corpus snapshot, mergeable by sorted-merge + cut).
+
+    Estimator: D ≈ (k−1)·H / h_(k) (the classic KMV/bottom-k estimate,
+    Bar-Yossef et al. 2002, public), falling back to the exact count
+    when a side has fewer than k distinct values (the sketch IS the
+    set). All inputs to the one float division are integers both
+    engines hold exactly; the division + floor-quantize is one IEEE op
+    sequence — bit-equal across engines.
+
+    Scale: per side, the sketch is a sort-limit over DISTINCT hashed
+    tokens — Spark plans TakeOrderedAndProject with per-partition
+    top-k, so the full stream never sorts; everything after runs on
+    ≤ 3k rows."""
+    d = _docs(spark, sf_dir)
+    from .sources.io import hash48
+
+    side = F.when(
+        F.substring(F.md5(F.col("source")), 1, 2) < "8", F.lit(0)
+    ).otherwise(F.lit(1))
+    tok = d.select(
+        side.alias("side"),
+        F.explode(X.tokenize(F.col("text"))).alias("token"),
+    )
+    hx = tok.select("side", hash48(F.col("token")).alias("h")).distinct()
+    from .cache import eager_persist
+
+    hx = eager_persist(hx)  # feeds 3 sketches + the truth row
+    ka = hx.filter(F.col("side") == 0).select("h").orderBy("h").limit(_KMV_K)
+    kb = hx.filter(F.col("side") == 1).select("h").orderBy("h").limit(_KMV_K)
+    ku = (
+        ka.unionAll(kb).select("h").distinct().orderBy("h").limit(_KMV_K)
+    )
+
+    def est(frame: DataFrame, n_col: str, kth_col: str) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).alias(n_col), F.max("h").alias(kth_col)
+        )
+
+    ea, eb, eu = (
+        est(ka, "na", "ka"),
+        est(kb, "nb", "kb"),
+        est(ku, "nu", "ku"),
+    )
+    truth = hx.agg(
+        F.count_distinct(F.when(F.col("side") == 0, F.col("h"))).alias("true_a"),
+        F.count_distinct(F.when(F.col("side") == 1, F.col("h"))).alias("true_b"),
+        F.count_distinct("h").alias("true_union"),
+    )
+
+    def estimate(n: str, kth: str):
+        raw = (
+            F.floor(
+                F.lit(_KMV_K - 1)
+                * F.lit(_KMV_SPACE)
+                / F.col(kth)
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        )
+        return F.when(F.col(n) < _KMV_K, F.col(n).cast("double")).otherwise(raw)
+
+    return (
+        truth.crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "true_a",
+            "true_b",
+            "true_union",
+            estimate("na", "ka").alias("est_a"),
+            estimate("nb", "kb").alias("est_b"),
+            estimate("nu", "ku").alias("est_union"),
+        )
+    )
+
+
+# ===========================================================================
 # Native recursive CTE: capped cumulative spend (non-window recurrence)
 # ===========================================================================
 

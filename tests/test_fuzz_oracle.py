@@ -104,6 +104,7 @@ FUZZ_QUERIES = [
     "streaming_interval_join_outer",  # watermark-certified NULL emission
     "ann_sq8_index_topk",  # fingerprint-keyed layout rebuilds per corpus
     "events_zorder_scan",  # layout never changes answers; integer aggs
+    "corpus_kmv_overlap",  # md5 order statistics; one shared IEEE division
 ]
 
 

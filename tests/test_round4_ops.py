@@ -237,6 +237,34 @@ def test_typo_pairs_finds_known_distances(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# KMV sketch overlap
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimates_track_truth_and_fall_back_exact(spark):
+    from spark_streaming_twitch_analytics_spark.registry_analytics import (
+        _KMV_K,
+        corpus_kmv_overlap,
+    )
+
+    r = corpus_kmv_overlap(spark, "/root/testdata/sf0.01").collect()[0]
+    for est, true in (
+        (r.est_a, r.true_a),
+        (r.est_b, r.true_b),
+        (r.est_union, r.true_union),
+    ):
+        if true < _KMV_K:
+            assert est == float(true)  # sketch IS the set -> exact
+        else:
+            # k=16 gives ~1/sqrt(k-1) ~ 26% relative error; allow 3 sigma
+            assert abs(est - true) / true < 0.8, (est, true)
+    # inclusion-exclusion intersection estimate must be sane
+    inter = r.est_a + r.est_b - r.est_union
+    true_inter = r.true_a + r.true_b - r.true_union
+    assert true_inter >= 0 and inter >= -0.5 * max(r.true_union, 1)
+
+
+# ---------------------------------------------------------------------------
 # native recursive CTE: capped cumulative spend
 # ---------------------------------------------------------------------------
 
