@@ -124,6 +124,8 @@ HEADLINE = [
     "quantiles_interpolated",
     "group_quantiles_interpolated",
     "ann_sq8_index_topk",
+    "events_zorder_scan",
+    "corpus_kmv_overlap",
 ]
 
 

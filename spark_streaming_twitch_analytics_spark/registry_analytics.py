@@ -1,12 +1,18 @@
-"""Round-4 analytics extensions: SQ8 ANN, edit-distance typo mining,
-frontier BFS, exact exponential-decay smoothing, sparse random
-projection, and winsorized robust aggregation.
+"""Round-4 analytics extensions: SQ8 ANN (scan + persisted int8 index),
+edit-distance typo mining, frontier BFS, exact exponential-decay
+smoothing, sparse random projection, winsorized robust aggregation,
+PERCENTILE_CONT interpolated quantiles (global + grouped), a KMV
+distinct/overlap sketch, a native WITH RECURSIVE clamped-balance
+recurrence, a Z-order clustered-layout scan, and two append-mode
+streaming shapes (chained two-level windows, left-outer interval join)
+driven by a sentinel-flush harness.
 
 Each query keeps the repo's oracle discipline — every cross-row float
 accumulation is either integer-exact by construction (typo pairs, BFS,
-projection, decay terms are dyadic rationals, winsorized sums are
-integer cents) or an identical-order IEEE fold shared with the DuckDB
-twin (SQ8 cosine).
+projection, decay terms are dyadic rationals, winsorized/zorder sums
+are integer cents, KMV estimates divide integers once) or an
+identical-order IEEE fold shared with the DuckDB twin (SQ8 cosine,
+quantile lerp).
 
 Scale notes are inline per query; the common theme: candidate
 generation is always blocked/keyed (deletion-variant buckets, frontier
@@ -717,11 +723,41 @@ def orders_capped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders — iterations are bounded by the deepest customer's order
     count, and each step is a keyed join, the same per-round shape as
     the repo's manual frontier loops, but planned by Catalyst's native
-    UnionLoop."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "orders_rcte_v"
+    UnionLoop.
+
+    The delta/rank projection is computed once and PERSISTED before the
+    recursion: every UnionLoop step re-reads the anchor relation, and an
+    unpersisted view re-runs the scan + window per iteration — measured
+    10.8 s → 5.4 s at sf0.1 from the persist alone (same rule as the
+    manual loops' edge-list persist). The oracle keeps the single
+    self-contained SQL text; semantics are identical."""
+    from pyspark.sql import Window as W
+
+    from .cache import eager_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    delta = F.when(
+        F.col("o_orderstatus") == "F", -F.floor(cents / 2).cast("long")
+    ).otherwise(cents)
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     )
-    return spark.sql(_CAPPED_CUMSUM_SQL_TPL.format(rel="orders_rcte_v"))
+    ranked = eager_persist(
+        o.select("o_custkey", delta.alias("delta"), rn.cast("int").alias("rn"))
+    )
+    ranked.createOrReplaceTempView("orders_ranked_rcte_v")
+    return spark.sql(
+        f"""WITH RECURSIVE rec(o_custkey, rn, spent) AS (
+  SELECT o_custkey, rn, greatest(CAST(0 AS BIGINT), least(delta, {_CAP_CENTS}))
+  FROM orders_ranked_rcte_v WHERE rn = 1
+  UNION ALL
+  SELECT o.o_custkey, o.rn,
+         greatest(CAST(0 AS BIGINT), least(rec.spent + o.delta, {_CAP_CENTS}))
+  FROM rec JOIN orders_ranked_rcte_v o
+    ON o.o_custkey = rec.o_custkey AND o.rn = rec.rn + 1)
+SELECT o_custkey, rn, spent FROM rec"""
+    )
 
 
 # ===========================================================================
