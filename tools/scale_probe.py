@@ -90,6 +90,9 @@ QUERIES = [
     "lineitem_winsorized_revenue",
     "quantiles_interpolated",
     "group_quantiles_interpolated",
+    "orders_capped_cumsum",
+    "events_zorder_scan",
+    "corpus_kmv_overlap",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
