@@ -247,3 +247,48 @@ def test_partitioned_scan_prunes_to_one_day(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_date" in m.group(1)
+
+
+def test_zorder_scan_pushes_both_predicates(spark):
+    """The Z-order layout's value is stats skipping, which only happens
+    if BOTH rectangle predicates reach the parquet reader."""
+    df = q(spark, "events_zorder_scan")
+    pushed = " ".join(EX.pushed_filters(df))
+    assert "user_id" in pushed and "ts" in pushed
+    schema = EX.read_schemas(df)[0]
+    assert "props" not in schema  # untouched wide column pruned
+
+
+def test_sq8_path_stays_jvm_side_with_bounded_exchange(spark):
+    """SQ8 scoring is pure Catalyst expressions: no Python eval operator
+    in the scan/score stages (the partial top-k mapInPandas cut is the
+    only Arrow stage), and the rank window is fed by ONE exchange."""
+    df = q(spark, "ann_sq8_topk")
+    plan = EX.formatted_plan(df)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert EX.count_operator(df, "WindowGroupLimit") >= 1 or EX.has_operator(
+        df, "Window"
+    )
+
+
+def test_sq8_index_scan_reads_codes_not_embeddings(spark):
+    """The persisted-index path must scan the int8 codes table — its
+    ReadSchema carries the tinyint codes array, not the float vectors."""
+    df = q(spark, "ann_sq8_index_topk")
+    schemas = " ".join(EX.read_schemas(df))
+    assert "codes" in schemas
+
+
+def test_typo_pairs_join_is_keyed_not_cartesian(spark):
+    df = q(spark, "corpus_typo_pairs")
+    plan = EX.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the candidate self-join keys on the deletion variant
+    assert EX.has_operator(df, "SortMergeJoin") or EX.has_operator(
+        df, "BroadcastHashJoin"
+    )
+
+
+def test_sparse_projection_is_scan_only(spark):
+    df = q(spark, "embedding_sparse_projection")
+    assert EX.count_operator(df, "Exchange") == 0  # pure narrow map
