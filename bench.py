@@ -126,6 +126,7 @@ HEADLINE = [
     "ann_sq8_index_topk",
     "events_zorder_scan",
     "corpus_kmv_overlap",
+    "events_conversion_latency",
 ]
 
 

@@ -541,6 +541,63 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Conversion-latency percentiles (funnel step timing distribution)
+# ===========================================================================
+
+_LAT_QS = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+_LAT_CTE = """SELECT CAST(min(pu.us) - c.cus AS BIGINT) AS lat_us
+FROM (SELECT user_id, min(epoch_us(ts)) AS cus FROM events
+      WHERE event_type = 'click' GROUP BY user_id) c
+JOIN (SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase') pu
+  ON pu.user_id = c.user_id AND pu.us >= c.cus
+GROUP BY c.user_id, c.cus"""
+
+
+@register(
+    "events_conversion_latency",
+    quantiles.interpolated_quantiles_sql(_LAT_CTE, "lat_us", _LAT_QS),
+    survey="ext: funnel step-timing distribution — per user, microseconds "
+    "from first click to the first subsequent purchase, summarized as "
+    "interpolated p25/p50/p75/p90 (the conversion-SLA numbers a product "
+    "team tracks); composes the funnel extraction with the "
+    "histogram-select interpolated-quantile engine, all integer inputs",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency percentiles of the click→purchase step. The per-user
+    extraction is two keyed aggregates + one keyed join (first-click
+    table is one row per converting user); the distribution summary is
+    the two-pass histogram-select — no global sort anywhere. Latencies
+    are exact integer microseconds, so the quantile lerp is the only
+    float op (one shared IEEE sequence)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("cus"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("puid"), us.alias("us")
+    )
+    lat = (
+        clicks.join(
+            purch,
+            (F.col("puid") == F.col("user_id")) & (F.col("us") >= F.col("cus")),
+        )
+        .groupBy("user_id", "cus")
+        .agg((F.min("us") - F.col("cus")).cast("long").alias("lat_us"))
+        .select("lat_us")
+    )
+    # bin width ~2.8h of microseconds: a 30-day latency range stays
+    # within a few hundred histogram bins
+    return quantiles.interpolated_quantiles(
+        lat, "lat_us", bin_width=1e10, qs=_LAT_QS
+    )
+
+
+# ===========================================================================
 # KMV (k-minimum-values) sketch: distinct + INTERSECTION estimation
 # ===========================================================================
 

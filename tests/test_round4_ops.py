@@ -237,6 +237,43 @@ def test_typo_pairs_finds_known_distances(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# conversion latency percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_conversion_latency_matches_numpy_over_python_funnel(spark):
+    import numpy as np
+
+    from spark_streaming_twitch_analytics_spark.registry_analytics import (
+        _LAT_QS,
+        events_conversion_latency,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.label: r.value for r in events_conversion_latency(spark, sf).collect()}
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr("user_id", "event_type", "unix_micros(cast(ts as timestamp)) AS us")
+        .collect()
+    )
+    first_click, purchases = {}, {}
+    for r in ev:
+        if r.event_type == "click":
+            first_click[r.user_id] = min(first_click.get(r.user_id, r.us), r.us)
+        elif r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append(r.us)
+    lats = []
+    for u, c in first_click.items():
+        after = [p for p in purchases.get(u, []) if p >= c]
+        if after:
+            lats.append(min(after) - c)
+    assert lats  # the funnel converts on this data
+    for label, num, den in _LAT_QS:
+        expect = float(np.percentile(lats, 100.0 * num / den, method="linear"))
+        assert got[label] == pytest.approx(expect, rel=1e-12), label
+
+
+# ---------------------------------------------------------------------------
 # KMV sketch overlap
 # ---------------------------------------------------------------------------
 
