@@ -804,6 +804,18 @@ def orders_capped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey", delta.alias("delta"), rn.cast("int").alias("rn"))
     )
     ranked.createOrReplaceTempView("orders_ranked_rcte_v")
+    # the recursion accumulates one row per input order; Spark's default
+    # safety cap (spark.sql.cteRecursionRowLimit = 1e6) trips at ~sf1 —
+    # size it to the fact table, the knob a 100 TB deployment must set
+    # (int-typed conf: values must stay under 2^31)
+    try:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
+        # level cap = max orders per customer (loop iterations); the
+        # default 100 suffices for realistic per-key depth but a skewed
+        # key (or a replicated test corpus) can exceed it
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    except Exception:
+        pass  # locked-down session: the default caps apply
     return spark.sql(
         f"""WITH RECURSIVE rec(o_custkey, rn, spent) AS (
   SELECT o_custkey, rn, greatest(CAST(0 AS BIGINT), least(delta, {_CAP_CENTS}))
