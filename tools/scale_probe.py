@@ -93,6 +93,7 @@ QUERIES = [
     "orders_capped_cumsum",
     "events_zorder_scan",
     "corpus_kmv_overlap",
+    "events_conversion_latency",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
