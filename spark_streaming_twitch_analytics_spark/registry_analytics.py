@@ -728,6 +728,74 @@ def corpus_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_grouped_sql() -> str:
+    from .sources.io import hash48_sql
+
+    h = hash48_sql("token")
+    est = (
+        f"floor(({_KMV_K} - 1) * {_KMV_SPACE!r} / kth * 1000000.0) "
+        "/ 1000000.0"
+    )
+    return f"""WITH tok AS (
+  SELECT source, unnest({X.tokenize_sql("text")}) AS token FROM documents),
+hx AS (SELECT DISTINCT source, {h} AS h FROM tok),
+rk AS (SELECT source, h,
+       row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hx),
+sk AS (SELECT source, CAST(count(*) AS BIGINT) AS n, max(h) AS kth
+       FROM rk WHERE rn <= {_KMV_K} GROUP BY source),
+tr AS (SELECT source, CAST(count(*) AS BIGINT) AS true_distinct
+       FROM hx GROUP BY source)
+SELECT tr.source, true_distinct,
+  CASE WHEN sk.n < {_KMV_K} THEN CAST(sk.n AS DOUBLE) ELSE {est} END AS est
+FROM tr JOIN sk ON sk.source = tr.source"""
+
+
+@register(
+    "corpus_kmv_per_source",
+    _kmv_grouped_sql(),
+    survey="ext: GROUPED bottom-k sketch — per-source distinct-token "
+    "estimates in one pass (the per-tenant cardinality dashboard): each "
+    "source keeps its k smallest token hashes via a rank window, the "
+    "same KMV estimator per group, exact-fallback when a source's "
+    "vocabulary is smaller than k. Hash-exact like corpus_kmv_overlap",
+)
+def corpus_kmv_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, true_distinct, est): per-group KMV cardinality with the
+    truth column for evaluation. Scale shape: distinct (source, hash)
+    pairs shuffle once; the rank window per source is bounded by the
+    per-source distinct vocabulary; production drops the truth branch
+    and ships k longs per group (mergeable by sorted-merge + cut per
+    group — daily per-tenant sketches union for free)."""
+    from pyspark.sql import Window as W
+
+    from .cache import eager_persist
+    from .sources.io import hash48
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(X.tokenize(F.col("text"))).alias("token")
+    )
+    hx = eager_persist(
+        tok.select("source", hash48(F.col("token")).alias("h")).distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("source").orderBy("h"))
+    sk = (
+        hx.withColumn("rn", rn)
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+    )
+    tr = hx.groupBy("source").agg(F.count(F.lit(1)).alias("true_distinct"))
+    raw = (
+        F.floor(
+            F.lit(_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("kth") * F.lit(1e6)
+        )
+        / F.lit(1e6)
+    )
+    est = F.when(F.col("n") < _KMV_K, F.col("n").cast("double")).otherwise(raw)
+    return tr.join(sk, "source").select("source", "true_distinct", est.alias("est"))
+
+
 # ===========================================================================
 # Native recursive CTE: capped cumulative spend (non-window recurrence)
 # ===========================================================================

@@ -105,6 +105,7 @@ FUZZ_QUERIES = [
     "ann_sq8_index_topk",  # fingerprint-keyed layout rebuilds per corpus
     "events_zorder_scan",  # layout never changes answers; integer aggs
     "corpus_kmv_overlap",  # md5 order statistics; one shared IEEE division
+    "corpus_kmv_per_source",
     "events_conversion_latency",  # integer-microsecond latencies + lerp
 ]
 
