@@ -1,10 +1,23 @@
-"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+"""Per-round benchmark: ALL batch queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion via a count()-style action (collect
-for small results) after a shared session warm-up, so the number reflects
-plan execution, not JVM start.
+Selection rule (explicit, so the bench never silently caps coverage):
+every registered query runs EXCEPT the ``streaming_*`` family — those
+execute real Structured Streaming file-replay jobs whose wall time is
+dominated by micro-batch scheduling and sink flushes, not plan
+throughput; they are exercised end-to-end in tests/ and by the driver's
+correctness gate instead. The excluded names are listed in the output.
+
+Each query is executed to completion via a noop-sink write (materializes
+every column) after a shared session warm-up, so the number reflects
+plan execution, not JVM start. Protocol per query: one warm run
+(codegen + shuffle-file cache), then best-of-2 timed cold-cache runs —
+identical for every query.
+
+``HEADLINE`` is the historical round-1..4 comparison set; its subtotal
+is reported as ``headline_total`` so round-over-round deltas stay
+comparable now that the full registry is timed.
 """
 
 from __future__ import annotations
@@ -130,6 +143,17 @@ HEADLINE = [
 ]
 
 
+def bench_set() -> tuple[list[str], list[str]]:
+    """(timed, excluded): every registered query except ``streaming_*``.
+    Historical HEADLINE queries run first (stable warm-up order across
+    rounds), then the rest of the registry alphabetically."""
+    names = list(registry.all_queries())
+    excluded = sorted(n for n in names if n.startswith("streaming"))
+    rest = sorted(n for n in names if not n.startswith("streaming") and n not in HEADLINE)
+    timed = [n for n in HEADLINE if n in names] + rest
+    return timed, excluded
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -144,8 +168,9 @@ def main() -> None:
 
     from spark_streaming_twitch_analytics_spark.cache import release_all
 
+    timed_names, excluded = bench_set()
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in timed_names:
         fn = registry.get(name).fn
 
         def run() -> None:
@@ -166,12 +191,19 @@ def main() -> None:
         print(f"# {name}: {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    headline_total = round(sum(times[n] for n in HEADLINE if n in times), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
-        "metric": "headline_queries_total_runtime",
+        "metric": "batch_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "headline_total": headline_total,
+        "headline_queries": [n for n in HEADLINE if n in times],
+        "excluded": excluded,
+        "exclusion_rule": "streaming_* (real Structured Streaming replay "
+        "jobs: wall time = micro-batch scheduling, not plan throughput; "
+        "covered by tests/ and the correctness gate)",
         "sf": sf_val,
     }
     # Full per-query summary goes to a file (the harness tail-capture window
@@ -184,11 +216,13 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
+                "metric": "batch_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(times),
+                "headline_total": headline_total,
+                "n_excluded_streaming": len(excluded),
                 "full_summary": "bench_summary.json",
                 "sf": sf_val,
             },

@@ -64,6 +64,20 @@ MINHASH_HASHES = 8
 MINHASH_BANDS = 4  # rows-per-band = 2
 SHINGLE_N = 3
 
+# --- 100 TB production profile -------------------------------------------
+# The defaults above are sized to the sf0.01 test vocabulary (tiny docs,
+# tiny shingle space). A production corpus uses the tuple below — same
+# code path, just parameters. Banding theory: a pair with Jaccard s
+# becomes a candidate with p(s) = 1 - (1 - s^r)^b where r = hashes/bands;
+# the S-curve midpoint ("threshold") is t ≈ (1/b)^(1/r). The production
+# tuple targets t ≈ 0.707 with a sharp curve (near-dups at s ≥ 0.8 are
+# caught with p > 0.99, unrelated docs at s ≤ 0.4 leak with p < 0.01).
+# The recall/FPR table at these values lives in SCALING.md §"100 TB
+# parameter profile"; tests/test_properties.py asserts the formula holds
+# for this exact tuple so the profile can't drift from the math.
+PROD_MINHASH_HASHES = 128
+PROD_MINHASH_BANDS = 16  # r = 8 → t = (1/16)^(1/8) ≈ 0.707
+
 
 def shingle_sets(docs: DataFrame, text_col: str = "text", shingle_n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, sh): distinct word-shingle set per doc. MinHash over the

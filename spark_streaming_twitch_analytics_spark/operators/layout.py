@@ -32,9 +32,11 @@ def morton_key(a: Column, b: Column, bits: int = 16) -> Column:
     bit 2i+1 holds b's bit i. Pure integer expression (whole-stage
     codegen; 2·bits OR terms), deterministic on any engine.
 
-    Inputs are clamped into [0, 2^bits) by masking — callers should
-    pre-scale real values (e.g. epoch seconds) into that range; the key
-    only needs to ORDER well, not to be reversible."""
+    Inputs are WRAPPED (masked) into [0, 2^bits) — masking keeps only
+    the low bits, so out-of-range values alias onto distant coordinates
+    rather than saturating at the range edge. Callers MUST pre-normalize
+    real values (e.g. via ``scale_to_bits``) into the range; the key only
+    needs to ORDER well, not to be reversible."""
     mask = (1 << bits) - 1
     aa = a.cast("long").bitwiseAND(F.lit(mask))
     bb = b.cast("long").bitwiseAND(F.lit(mask))
@@ -130,34 +132,44 @@ def ensure_zordered_events(spark: SparkSession, sf_dir: str) -> str:
     )
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         # INT64 micros (not INT96) so parquet keeps min/max stats on ts —
-        # the whole point of the layout is stats-driven row-group skipping
-        spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-        ev = load_table(spark, sf_dir, "events")
-        # column ranges for coordinate normalization: one tiny aggregate,
-        # broadcast onto the rewrite scan
-        minutes = (F.unix_timestamp(F.col("ts")) / F.lit(60)).cast("long")
-        ranges = ev.agg(
-            F.min("user_id").cast("long").alias("ulo"),
-            F.max("user_id").cast("long").alias("uhi"),
-            F.min(minutes).alias("tlo"),
-            F.max(minutes).alias("thi"),
-        )
-        key = _events_zorder_key(
-            F.col("ts"),
-            F.col("user_id"),
-            F.col("ulo"),
-            F.col("uhi"),
-            F.col("tlo"),
-            F.col("thi"),
-        )
-        keyed = (
-            ev.crossJoin(F.broadcast(ranges))
-            .withColumn("_zk", key)
-            .select(*ev.columns, "_zk")  # range cols must not land on disk
-        )
-        write_zorder_parquet(keyed, loc, "_zk")
+        # the whole point of the layout is stats-driven row-group skipping.
+        # Scoped to THIS rewrite only: the prior session value is restored
+        # in the finally below so later parquet writers in the same session
+        # keep their own timestamp encoding.
+        _TS_KEY = "spark.sql.parquet.outputTimestampType"
+        prev_ts = spark.conf.get(_TS_KEY, None)
+        spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+        try:
+            ev = load_table(spark, sf_dir, "events")
+            # column ranges for coordinate normalization: one tiny
+            # aggregate, broadcast onto the rewrite scan
+            minutes = (F.unix_timestamp(F.col("ts")) / F.lit(60)).cast("long")
+            ranges = ev.agg(
+                F.min("user_id").cast("long").alias("ulo"),
+                F.max("user_id").cast("long").alias("uhi"),
+                F.min(minutes).alias("tlo"),
+                F.max(minutes).alias("thi"),
+            )
+            key = _events_zorder_key(
+                F.col("ts"),
+                F.col("user_id"),
+                F.col("ulo"),
+                F.col("uhi"),
+                F.col("tlo"),
+                F.col("thi"),
+            )
+            keyed = (
+                ev.crossJoin(F.broadcast(ranges))
+                .withColumn("_zk", key)
+                # range cols must not land on disk
+                .select(*ev.columns, "_zk")
+            )
+            write_zorder_parquet(keyed, loc, "_zk")
+        finally:
+            if prev_ts is None:
+                spark.conf.unset(_TS_KEY)
+            else:
+                spark.conf.set(_TS_KEY, prev_ts)
     return loc
 
 

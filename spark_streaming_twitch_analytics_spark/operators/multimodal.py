@@ -76,8 +76,32 @@ def fake_decoder(payload: bytes) -> np.ndarray:
 def strict_decoder(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         "real media decoding needs codec libraries not present in this "
-        "container; wire a Pillow/librosa/ffmpeg-backed decoder here"
+        "container; wire a Pillow/librosa/ffmpeg-backed decoder here "
+        "(pillow_decoder below is the image-backed one, used when Pillow "
+        "is importable)"
     )
+
+
+def pillow_decoder(payload: bytes) -> np.ndarray:
+    """REAL image decode, available when Pillow is importable (optional
+    dependency — absent from this container, so its tests skipif; on a
+    cluster with Pillow installed it drops straight into
+    :func:`decode_features` / :func:`resize_features`). Decodes the
+    payload, converts to grayscale, bilinear-resizes to FEATURE_DIM×1,
+    and returns the normalized pixel row — the minimal real decode →
+    fixed-width-feature contract the fake decoder stands in for."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - exercised via skipif
+        raise NotImplementedError(
+            "pillow_decoder requires Pillow (`pip install Pillow` on the "
+            "cluster image); this container does not ship it"
+        ) from exc
+    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+    img = img.resize((FEATURE_DIM, 1), resample=Image.BILINEAR)
+    return np.asarray(img, dtype=np.float64).ravel() / 255.0
 
 
 def decode_features(

@@ -31,6 +31,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+
+def _bin_cum_window():
+    """Cumulative-count window over the BIN HISTOGRAM — bounded by the
+    value range / bin_width, never by row count, so one partition is the
+    intended plan. Partitioned by a constant (not left unpartitioned) so
+    the deliberate single partition doesn't emit WindowExec's "No
+    Partition Defined" warning — keeping that warning a true signal for
+    accidental per-row global windows (the corpus_pack_bins class of
+    bug)."""
+    return (
+        Window.partitionBy(F.lit(0))
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+
 # (label, numerator, denominator): q = num/den, exact rationals so the
 # target rank k = ceil(q*n) never touches a float
 DEFAULT_QS: tuple[tuple[str, int, int], ...] = (
@@ -61,7 +77,7 @@ def exact_quantiles(
 
     # pass 1: bin histogram — size bounded by value range / bin_width
     bins = v.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w = _bin_cum_window()  # bounded bin table; constant-partitioned
     cum = bins.select(
         "bin",
         "c",
@@ -248,7 +264,7 @@ def interpolated_quantiles(
         .withColumn("bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long"))
     )
     bins = v.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w = _bin_cum_window()  # bounded bin table; constant-partitioned
     cum = bins.select(
         "bin",
         "c",

@@ -32,6 +32,20 @@ from ..functions.vectors import (
 
 DIM = 64  # embeddings table dimensionality (static → unrolled codegen dots)
 
+# --- 100 TB production profile -------------------------------------------
+# Test defaults (n_bits=4, n_cells=8) are sized so the sf0.01 embeddings
+# table (8k vectors) still fills every bucket/cell. Production sizing —
+# same code, different parameters (see SCALING.md §"100 TB parameter
+# profile" for the math):
+#   IVF: n_cells ≈ sqrt(N) keeps cell lists ~sqrt(N) long; at N = 1e10
+#        vectors use n_cells = 65_536 with n_probe = 32 (scan fraction
+#        n_probe/n_cells ≈ 0.05%, ~recall 0.9+ with rerank).
+#   sign-LSH: n_bits = 16 → 65_536 buckets (expected bucket ≈ N/65k);
+#        multiprobe (n_bits+1 flips) buys ~17× candidates per table.
+PROD_IVF_CELLS = 65_536
+PROD_IVF_PROBE = 32
+PROD_LSH_BITS = 16
+
 
 def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | None) -> DataFrame:
     """Each side carries its vector AND its precomputed norm — computing

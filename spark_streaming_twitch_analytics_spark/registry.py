@@ -89,9 +89,11 @@ def _certification_rounds() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            green = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
+            # Only a real driver hash-match counts as certification.  (A
+            # rows-only "no_oracle" run used to earn green credit here, which
+            # stranded queries that later gained oracles behind every
+            # never-sampled query in the stale-first ordering.)
+            green = row.get("hash_match") is True
             if green:
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
@@ -1262,7 +1264,9 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
     path = os.path.join(
         tempfile.gettempdir(), f"ssta_ann_{kind}_{_slug(sf_dir)}_{fp}"
     )
-    marker = os.path.join(path, "codes" if kind == "sq8" else "") or path
+    # sq8 writes two sibling datasets (codes/ + minmax/); its _SUCCESS
+    # marker lives under codes/. The other kinds write at the root.
+    marker = os.path.join(path, "codes") if kind == "sq8" else path
     if not os.path.exists(os.path.join(marker, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         if kind == "lsh":

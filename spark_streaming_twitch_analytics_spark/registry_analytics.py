@@ -308,10 +308,15 @@ def events_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (day, event_type): that day's count plus the trailing 15-day
     exponentially-decayed count sum (weight 2^-lag).
 
-    Exactness: counts are integers < 2^40, weights are exact powers of
-    two >= 2^-15, so every term is exactly representable and the <= 16
-    term sum stays far below the 53-bit mantissa — no rounding ever
-    happens, hence order-invariance without integer tricks.
+    Exactness: weights are exact powers of two >= 2^-15, so each term
+    cnt·2^-lag is a dyadic rational with lsb 2^-15. A double holds the
+    running sum exactly while it needs <= 53 mantissa bits, i.e. while
+    the total stays below 2^38 (53 - 15 bits above the lsb); with <= 16
+    terms that is guaranteed for per-(day,type) counts < 2^37 ≈ 1.4e11
+    (not 2^40 — at ~2^40-scale counts the sum would need ~56 bits and
+    round). Within that bound no rounding ever happens, hence
+    order-invariance without integer tricks; beyond it, accumulate in
+    integer 2^15-scaled units instead.
 
     Scale: the self-range-join runs on the AGGREGATED (day, type) table
     — days x types, trivially small at any corpus scale; the only big
@@ -357,9 +362,14 @@ def _proj_sql() -> str:
         V.int_dot_sql("xi", V.achlioptas_weights(k, _PROJ_DIM))
         for k in range(_PROJ_OUT)
     )
+    # Exploded (vec_id, k, coord) rows rather than an array column: the
+    # driver's oracle harness canonicalizes results in pandas, which
+    # cannot hash list cells — scalar rows are the certifiable shape.
     return f"""WITH e AS ({_EMB_CTE}),
-q AS (SELECT vec_id, {xi} AS xi FROM e)
-SELECT vec_id, [{cols}] AS proj FROM q"""
+q AS (SELECT vec_id, {xi} AS xi FROM e),
+p AS (SELECT vec_id, [{cols}] AS proj FROM q)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS k, proj[CAST(i AS INT)] AS coord
+FROM p CROSS JOIN range(1, {_PROJ_OUT + 1}) t(i)"""
 
 
 @register(
@@ -372,11 +382,14 @@ SELECT vec_id, [{cols}] AS proj FROM q"""
     "engine-exact with no float anywhere. Row-local map: zero shuffle",
 )
 def embedding_sparse_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, proj): 16 exact integer coordinates per embedding. The
-    dimensionality-reduction front end for any downstream index (LSH on
-    the projected space, cheap pre-filtering before exact cosine) —
-    Johnson-Lindenstrauss distance preservation with a multiply-free
-    matrix. At 100 TB this is a pure narrow map over the corpus."""
+    """(vec_id, k, coord): 16 exact integer coordinates per embedding,
+    one row per (vector, output dim). The dimensionality-reduction front
+    end for any downstream index (LSH on the projected space, cheap
+    pre-filtering before exact cosine) — Johnson-Lindenstrauss distance
+    preservation with a multiply-free matrix. Emitted in exploded scalar
+    form (not array<bigint>) so the result is hashable row-by-row; the
+    posexplode is still a narrow per-row map, so at 100 TB this remains
+    a pure zero-shuffle scan."""
     from .functions.vectors import as_double
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -391,7 +404,9 @@ def embedding_sparse_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_PROJ_OUT)
         ]
     )
-    return q.select("vec_id", proj.alias("proj"))
+    return q.select(
+        "vec_id", F.posexplode(proj).alias("k", "coord")
+    ).withColumn("k", F.col("k").cast("bigint"))
 
 
 # ===========================================================================
@@ -875,17 +890,29 @@ def orders_capped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the recursion accumulates one row per input order; Spark's default
     # safety cap (spark.sql.cteRecursionRowLimit = 1e6) trips at ~sf1 —
     # size it to the fact table, the knob a 100 TB deployment must set
-    # (int-typed conf: values must stay under 2^31)
+    # session-wide (int-typed conf: values must stay under 2^31). The
+    # raise is SCOPED: the recursion is materialized eagerly under the
+    # raised caps, then the session values are restored in the finally so
+    # later queries keep the runaway-recursion safety net. (If the
+    # persist is later released and the frame recomputed, the default
+    # caps apply again — harmless at test SFs, and a real deployment
+    # sets the caps in its session conf anyway.)
+    _ROW_KEY = "spark.sql.cteRecursionRowLimit"
+    _LVL_KEY = "spark.sql.cteRecursionLevelLimit"
+    prev_row = spark.conf.get(_ROW_KEY, None)
+    prev_lvl = spark.conf.get(_LVL_KEY, None)
     try:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
-        # level cap = max orders per customer (loop iterations); the
-        # default 100 suffices for realistic per-key depth but a skewed
-        # key (or a replicated test corpus) can exceed it
-        spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
-    except Exception:
-        pass  # locked-down session: the default caps apply
-    return spark.sql(
-        f"""WITH RECURSIVE rec(o_custkey, rn, spent) AS (
+        try:
+            spark.conf.set(_ROW_KEY, str(2_000_000_000))
+            # level cap = max orders per customer (loop iterations); the
+            # default 100 suffices for realistic per-key depth but a
+            # skewed key (or a replicated test corpus) can exceed it
+            spark.conf.set(_LVL_KEY, "10000")
+        except Exception:
+            pass  # locked-down session: the default caps apply
+        return eager_persist(
+            spark.sql(
+                f"""WITH RECURSIVE rec(o_custkey, rn, spent) AS (
   SELECT o_custkey, rn, greatest(CAST(0 AS BIGINT), least(delta, {_CAP_CENTS}))
   FROM orders_ranked_rcte_v WHERE rn = 1
   UNION ALL
@@ -894,7 +921,17 @@ def orders_capped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM rec JOIN orders_ranked_rcte_v o
     ON o.o_custkey = rec.o_custkey AND o.rn = rec.rn + 1)
 SELECT o_custkey, rn, spent FROM rec"""
-    )
+            )
+        )
+    finally:
+        for key, prev in ((_ROW_KEY, prev_row), (_LVL_KEY, prev_lvl)):
+            try:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+            except Exception:
+                pass
 
 
 # ===========================================================================

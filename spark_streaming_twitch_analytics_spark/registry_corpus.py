@@ -149,14 +149,63 @@ FROM c GROUP BY 1""",
     "ordered running token count; integer-exact on both engines)",
 )
 def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing via a DISTRIBUTED prefix sum (two-phase scan).
+
+    A naive ``Window.orderBy(doc_id)`` running sum funnels the whole
+    corpus through ONE task (single-partition WindowExec) — a
+    scale-killer at 100 TB. The scale-safe form used here:
+
+      1. range-repartition by doc_id (contiguous doc_id spans per
+         partition, partition ids ascending with doc_id), pin the
+         layout with ``localCheckpoint`` so the partition ids stay
+         stable across the two passes;
+      2. per-partition token subtotals — ONE tiny row per partition
+         (bounded by shuffle parallelism, ≤ a few thousand at any
+         scale) — collected and turned into exclusive cumulative
+         offsets on the driver;
+      3. broadcast the offsets back and compute the running sum with a
+         window partitioned BY the range-partition id, so every
+         WindowExec task sorts only its own contiguous slice.
+
+    prev_cum = offset[pid] + local running sum − n_toks is identical to
+    the global ordered prefix sum, so the bin assignment (and the
+    DuckDB oracle SQL) is unchanged.
+    """
     d = _docs(spark, sf_dir)
     n = F.size(X.tokenize(F.col("text"))).cast("long")
     t = d.select("doc_id", n.alias("n_toks"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = t.select(
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # localCheckpoint pins spark_partition_id across the subtotal pass
+    # and the final pass (same discipline as operators/clusters.py).
+    part = (
+        t.repartitionByRange(nparts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # bounded collect: one row per range partition (= nparts, tiny)
+    subtotals = {
+        r["pid"]: r["sub"]
+        for r in part.groupBy("pid")
+        .agg(F.sum("n_toks").alias("sub"))
+        .collect()
+    }
+    acc = 0
+    offsets = []
+    for p in sorted(subtotals):
+        offsets.append((p, acc))
+        acc += int(subtotals[p])
+    off = spark.createDataFrame(offsets, "pid int, offset long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = part.join(F.broadcast(off), "pid").select(
         "doc_id",
         "n_toks",
-        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("prev_cum"),
+        (F.col("offset") + F.sum("n_toks").over(w) - F.col("n_toks")).alias(
+            "prev_cum"
+        ),
     )
     return (
         c.groupBy(

@@ -159,3 +159,51 @@ def test_resize_features_dim_and_determinism(spark, docs):
     full = {r["doc_id"]: r["features"] for r in multimodal.decode_features(df).collect()}
     for k, v in a.items():
         assert abs(v[0] - full[k][0]) < 1e-6 and abs(v[-1] - full[k][-1]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Optional real decoder (Pillow) — same skipif pattern as the protobuf-gated
+# transformWithStateInPandas tests (tests/test_stateful.py): passes where the
+# dependency exists, skips cleanly in this container.
+# ---------------------------------------------------------------------------
+
+_HAS_PILLOW = True
+try:  # pragma: no cover - availability probe only
+    import PIL  # noqa: F401
+except ImportError:
+    _HAS_PILLOW = False
+
+
+@pytest.mark.skipif(not _HAS_PILLOW, reason="Pillow not installed in container")
+def test_pillow_decoder_real_image_roundtrip(spark):
+    """With Pillow present, pillow_decoder decodes REAL image bytes
+    through the same decode_features plumbing as the fake decoder."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    # 8x1 grayscale ramp: decoded features must equal pixel/255 exactly
+    Image.frombytes("L", (8, 1), bytes([0, 36, 73, 109, 146, 182, 219, 255])).save(
+        buf, format="PNG"
+    )
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, png, "image")], "doc_id long, payload binary, modality string"
+    )
+    rows = multimodal.decode_features(
+        df, decoder=multimodal.pillow_decoder
+    ).collect()
+    assert len(rows) == 1
+    feats = rows[0]["features"]
+    assert len(feats) == multimodal.FEATURE_DIM
+    assert abs(feats[0] - 0.0) < 1e-9 and abs(feats[-1] - 1.0) < 1e-9
+    assert all(0.0 <= x <= 1.0 for x in feats)
+
+
+@pytest.mark.skipif(_HAS_PILLOW, reason="only meaningful without Pillow")
+def test_pillow_decoder_contract_without_pillow():
+    """Without Pillow, pillow_decoder raises the same honest
+    NotImplementedError contract as strict_decoder."""
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.pillow_decoder(b"\x89PNG fake")

@@ -292,3 +292,15 @@ def test_typo_pairs_join_is_keyed_not_cartesian(spark):
 def test_sparse_projection_is_scan_only(spark):
     df = q(spark, "embedding_sparse_projection")
     assert EX.count_operator(df, "Exchange") == 0  # pure narrow map
+
+
+def test_pack_bins_prefix_sum_is_distributed(spark):
+    """corpus_pack_bins must never funnel the corpus through one task:
+    the running-sum window has to be partitioned (by the range-partition
+    id), not a global single-partition WindowExec."""
+    df = q(spark, "corpus_pack_bins")
+    plan = EX.formatted_plan(df)
+    assert EX.has_operator(df, "Window")
+    assert "SinglePartition" not in plan
+    # the window spec itself must carry a partition key
+    assert "windowspecdefinition(pid" in plan

@@ -611,3 +611,68 @@ def test_exact_quantiles_equal_order_statistics(spark, vals, width):
     for label, num, den in DEFAULT_QS:
         k = -(-num * n // den)
         assert got[label] == (k, srt[k - 1]), (label, width)
+
+
+# ---------------------------------------------------------------------------
+# LSH banding threshold — the 100 TB parameter profile's math must hold
+# (SCALING.md §"100 TB parameter profile"). Pure analytic property: a pair
+# with Jaccard s becomes a candidate with p(s) = 1 - (1 - s^r)^b; the
+# S-curve midpoint is t ≈ (1/b)^(1/r). If someone retunes the production
+# tuple without redoing the recall/FPR math, this test fails.
+# ---------------------------------------------------------------------------
+
+
+def _band_candidate_prob(s: float, num_hashes: int, num_bands: int) -> float:
+    r = num_hashes // num_bands
+    return 1.0 - (1.0 - s**r) ** num_bands
+
+
+@given(st.floats(min_value=0.0, max_value=1.0), st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=50, deadline=None)
+def test_banding_curve_is_monotone_for_prod_tuple(s1, s2):
+    from spark_streaming_twitch_analytics_spark.operators.dedup import (
+        PROD_MINHASH_BANDS,
+        PROD_MINHASH_HASHES,
+    )
+
+    lo, hi = sorted((s1, s2))
+    assert _band_candidate_prob(
+        lo, PROD_MINHASH_HASHES, PROD_MINHASH_BANDS
+    ) <= _band_candidate_prob(hi, PROD_MINHASH_HASHES, PROD_MINHASH_BANDS) + 1e-12
+
+
+def test_prod_banding_threshold_and_operating_points():
+    """The documented production tuple (128 hashes / 16 bands, r=8) must
+    deliver the SCALING.md table's numbers: threshold ≈ 0.707, recall
+    > 0.99 at s = 0.85, false-candidate rate ≈ 1% at s = 0.40 and
+    < 0.5% at s = 0.35."""
+    from spark_streaming_twitch_analytics_spark.operators.dedup import (
+        PROD_MINHASH_BANDS,
+        PROD_MINHASH_HASHES,
+    )
+
+    b, h = PROD_MINHASH_BANDS, PROD_MINHASH_HASHES
+    r = h // b
+    assert h % b == 0 and r >= 2
+    t = (1.0 / b) ** (1.0 / r)
+    assert abs(t - 0.7071) < 0.005  # (1/16)^(1/8) = 2^(-1/2)
+    # midpoint of the S-curve: p(t) = 1-(1-1/b)^b → 1-1/e for large b
+    assert 0.5 < _band_candidate_prob(t, h, b) < 0.7
+    # operating points quoted in SCALING.md
+    assert _band_candidate_prob(0.85, h, b) > 0.99
+    assert _band_candidate_prob(0.40, h, b) < 0.011
+    assert _band_candidate_prob(0.35, h, b) < 0.005
+
+
+def test_test_tuple_threshold_matches_docs():
+    """The sf0.01 test tuple (8 hashes / 4 bands, r=2) sits at t = 0.5 —
+    loose on purpose (tiny docs, tiny shingle space need generous
+    candidate generation for the oracle-checked recall queries)."""
+    from spark_streaming_twitch_analytics_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+    )
+
+    r = MINHASH_HASHES // MINHASH_BANDS
+    t = (1.0 / MINHASH_BANDS) ** (1.0 / r)
+    assert abs(t - 0.5) < 1e-9

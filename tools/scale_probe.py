@@ -94,6 +94,7 @@ QUERIES = [
     "events_zorder_scan",
     "corpus_kmv_overlap",
     "events_conversion_latency",
+    "corpus_pack_bins",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
