@@ -39,9 +39,12 @@ def _bin_cum_window():
     the deliberate single partition doesn't emit WindowExec's "No
     Partition Defined" warning — keeping that warning a true signal for
     accidental per-row global windows (the corpus_pack_bins class of
-    bug)."""
+    bug). The constant must be ``bin - bin``, not a literal (folded out
+    of the spec outright) and not ``bin * 0`` (folded too when the
+    window input is an aggregate): Catalyst keeps the subtraction, the
+    value is still one constant partition."""
     return (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.col("bin") - F.col("bin"))
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -850,8 +850,10 @@ SELECT o_custkey, rn, spent FROM rec"""
     "floor/cap-clamped running balance per customer over SIGNED deltas "
     "(refund orders), spent_i = clamp(spent_{i-1} + delta_i): a "
     "genuinely non-linear recurrence (the clamp re-opens headroom, so "
-    "no prefix-sum/window rewrite exists). The same SQL text runs on "
-    "both engines; integer cents keep every step engine-exact. "
+    "no window-frame rewrite exists; the key-local associative-fold "
+    "twin orders_capped_cumsum_fold is the scale-safe plan). The same "
+    "SQL text runs on both engines; integer cents keep every step "
+    "engine-exact. "
     "Complements the repo's driver-loop iterative ops "
     "(components/PageRank/BFS) with the engine-native recursion form",
 )
@@ -932,6 +934,75 @@ SELECT o_custkey, rn, spent FROM rec"""
                     spark.conf.set(key, prev)
             except Exception:
                 pass
+
+
+@register(
+    "orders_capped_cumsum_fold",
+    _CAPPED_CUMSUM_SQL_TPL.format(rel="orders"),
+    survey="ext: the SCALE-SAFE twin of orders_capped_cumsum — identical "
+    "clamped-running-balance semantics (same oracle SQL) computed as ONE "
+    "per-customer associative fold instead of a driver-sequenced "
+    "recursion. The recurrence is key-local, so collect each customer's "
+    "(date, key, delta) list, sort it in-row, and fold the clamp with "
+    "aggregate(): one shuffle total, zero iterative jobs — at 100 TB "
+    "this is a plain groupBy whose per-key state is bounded by orders "
+    "per customer, where the recursive CTE pays a driver round per rank",
+)
+def orders_capped_cumsum_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, rn, spent): spent_i = clamp(spent_{i-1} + delta_i,
+    0, cap) per customer in (o_orderdate, o_orderkey) order — exactly
+    orders_capped_cumsum, replanned.
+
+    Why a fold works where no window does: the clamp is non-linear, so
+    no window frame expresses it — but it IS associative under function
+    composition (each step is x -> min(max(x + d, 0), cap)), and more
+    simply the whole recurrence lives inside ONE key. So the scale
+    shape is: groupBy(o_custkey) -> sort_array(collect_list(...)) ->
+    aggregate() fold emitting the running array -> posexplode. Per-key
+    state is max-orders-per-customer (tens in TPC-H-like data; the
+    array is bounded by the data model, not the table size). One
+    Exchange in the whole plan (plan-asserted)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    delta = F.when(
+        F.col("o_orderstatus") == "F", -F.floor(cents / 2).cast("long")
+    ).otherwise(cents)
+    g = o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderdate").alias("d"),
+                    F.col("o_orderkey").alias("k"),
+                    delta.alias("delta"),
+                )
+            )
+        ).alias("xs")
+    )
+    zero = F.lit(0).cast("long")
+    spent_arr = F.aggregate(
+        F.col("xs"),
+        F.expr("CAST(array() AS array<bigint>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.greatest(
+                    zero,
+                    F.least(
+                        # try_element_at: NULL (not an ANSI error) on the
+                        # empty accumulator at the first fold step
+                        F.coalesce(F.try_element_at(acc, F.lit(-1)), zero)
+                        + x["delta"],
+                        F.lit(_CAP_CENTS).cast("long"),
+                    ),
+                )
+            ),
+        ),
+    )
+    return g.select(
+        "o_custkey", F.posexplode(spent_arr).alias("rn0", "spent")
+    ).select(
+        "o_custkey", (F.col("rn0") + 1).cast("int").alias("rn"), "spent"
+    )
 
 
 # ===========================================================================

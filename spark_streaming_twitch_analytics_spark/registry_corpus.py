@@ -1034,7 +1034,11 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a pushable-shape predicate."""
     d = _docs(spark, sf_dir)
     n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy()
+    # one window partition over the ~20-row source aggregate — BY DESIGN;
+    # partition by n_docs - n_docs (a constant Catalyst won't fold out of
+    # the spec) so the intended single partition doesn't emit the
+    # WindowExec warning
+    w = Window.partitionBy(F.col("n_docs") - F.col("n_docs"))
     wgt = F.pow(F.col("n_docs").cast("double"), _TEMP_ALPHA)
     f = n.select(
         "source",
@@ -3022,7 +3026,17 @@ FROM (
 )
 def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-occurrence coverage of the top-k vocabulary at three k's
-    (total order: count desc, word asc)."""
+    (total order: count desc, word asc).
+
+    Scale shape: only ranks <= max(k) = 2000 are ever consulted, so the
+    rank window runs over a TOP-2000 CUT (TakeOrderedAndProject — the
+    distributed partial top-K, each task keeps 2000 rows) rather than
+    the full vocabulary; the oracle keeps the plain full-vocab window
+    (ranks past 2000 contribute 0 to every conditional sum). The window
+    over those 2000 rows partitions by ``c - c`` — a deliberate single
+    partition that doesn't trip the WindowExec warning (a bare literal,
+    or ``c * 0`` over an aggregate input, is constant-folded out of the
+    spec)."""
     from pyspark.sql import Window as W
 
     d = _docs(spark, sf_dir)
@@ -3035,10 +3049,15 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    r = w.withColumn(
+    top = w.orderBy(F.desc("c"), F.asc("word")).limit(max(_COVER_KS))
+    r = top.withColumn(
         "rn",
         F.row_number()
-        .over(W.orderBy(F.desc("c"), F.asc("word")))
+        .over(
+            W.partitionBy(F.col("c") - F.col("c")).orderBy(
+                F.desc("c"), F.asc("word")
+            )
+        )
         .cast("long"),
     )
     t = w.agg(F.sum("c").cast("long").alias("total"))

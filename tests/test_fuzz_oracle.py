@@ -286,6 +286,7 @@ REL_FUZZ_QUERIES = [
     "lineitem_winsorized_revenue",  # clip bounds are selection-exact order
     # statistics; the winsorized sum is integer cents
     "orders_capped_cumsum",     # native WITH RECURSIVE, integer cents
+    "orders_capped_cumsum_fold",  # one-shuffle fold twin, same oracle
 ]
 
 _REL_DISCOUNTS = [0.0, 0.03125, 0.0625, 0.09375, 0.125, 0.25]  # 2^-5 grid

@@ -294,6 +294,14 @@ def test_sparse_projection_is_scan_only(spark):
     assert EX.count_operator(df, "Exchange") == 0  # pure narrow map
 
 
+def test_capped_cumsum_fold_is_one_shuffle(spark):
+    """The fold twin of the recursive CTE must be a single groupBy plan:
+    exactly one Exchange, no Window, no iterative sub-jobs."""
+    df = q(spark, "orders_capped_cumsum_fold")
+    assert EX.count_distinct_operator(df, "Exchange") == 1
+    assert not EX.has_operator(df, "Window")
+
+
 def test_pack_bins_prefix_sum_is_distributed(spark):
     """corpus_pack_bins must never funnel the corpus through one task:
     the running-sum window has to be partitioned (by the range-partition

@@ -352,6 +352,26 @@ def test_capped_cumsum_matches_python_fold_and_clamps(spark):
     assert capped and floored and reopened
 
 
+def test_capped_cumsum_fold_twin_is_row_identical(spark):
+    """The one-shuffle associative-fold plan must produce exactly the
+    recursive CTE's rows — same keys, same ranks, same clamped values."""
+    from spark_streaming_twitch_analytics_spark.registry_analytics import (
+        orders_capped_cumsum,
+        orders_capped_cumsum_fold,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rec = {
+        (r.o_custkey, r.rn): r.spent
+        for r in orders_capped_cumsum(spark, sf).collect()
+    }
+    fold = {
+        (r.o_custkey, r.rn): r.spent
+        for r in orders_capped_cumsum_fold(spark, sf).collect()
+    }
+    assert fold == rec and len(fold) > 0
+
+
 # ---------------------------------------------------------------------------
 # Z-order clustered layout
 # ---------------------------------------------------------------------------

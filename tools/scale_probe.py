@@ -95,6 +95,7 @@ QUERIES = [
     "corpus_kmv_overlap",
     "events_conversion_latency",
     "corpus_pack_bins",
+    "orders_capped_cumsum_fold",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
