@@ -676,3 +676,29 @@ def test_test_tuple_threshold_matches_docs():
     r = MINHASH_HASHES // MINHASH_BANDS
     t = (1.0 / MINHASH_BANDS) ** (1.0 / r)
     assert abs(t - 0.5) < 1e-9
+
+
+def test_prod_sketch_profile_math_holds():
+    """Pin the rest of the SCALING.md 100 TB parameter-profile table to
+    its formulas (same discipline as the banding test): KMV relative
+    error 1/sqrt(k-2), Bloom FPR (1-e^(-kn/m))^k with near-optimal k,
+    CMS error e/width at confidence 1-e^(-depth). If the documented
+    production tuple is retuned, these assertions force redoing the
+    math."""
+    import math
+
+    # KMV: production k = 1024 → ~3.1% relative error; test k = 16 → ~27%
+    assert abs(1.0 / math.sqrt(1024 - 2) - 0.031) < 0.002
+    assert abs(1.0 / math.sqrt(16 - 2) - 0.27) < 0.01
+
+    # Bloom: production m = 2^34 bits, k = 10 at n = 1e9 eval shingles
+    m, k, n = float(1 << 34), 10, 1e9
+    fpr = (1.0 - math.exp(-k * n / m)) ** k
+    assert fpr < 1e-3 and fpr > 1e-4  # table quotes ≈9e-4
+    k_opt = m / n * math.log(2.0)
+    assert 10 <= k_opt <= 13  # k=10 is near-optimal but cheaper to hash
+
+    # CMS: production width 2^20, depth 5
+    eps = math.e / float(1 << 20)
+    assert eps < 3e-6              # ±ε·L1-mass count error
+    assert math.exp(-5) < 0.01     # confidence 1 - e^{-depth} > 99%
