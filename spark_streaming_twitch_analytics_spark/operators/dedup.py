@@ -544,15 +544,34 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by cosine within a blocking key. The block join is
     an equi-join on the key — pair count is Σ block² not n², and blocks
-    shuffle independently."""
-    from ..functions.vectors import as_double, cosine
+    shuffle independently.
 
-    e = emb.select("vec_id", block_col.alias("blk"), as_double(F.col("embedding")).alias("v"))
-    a = e.select(F.col("vec_id").alias("a"), "blk", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), "blk", F.col("v").alias("vb"))
+    Each side carries its PRECOMPUTED norm through the join (same rule
+    as ``similarity._pairs``): recomputing ``norm(va)·norm(vb)`` per
+    pair triples the per-pair FLOPs. Bitwise identical to the
+    per-pair form — the norm is the same fold over the same values and
+    the denominator multiply order is unchanged — so the oracle hash is
+    unaffected."""
+    from ..functions.vectors import as_double, dot, norm, quantize
+
+    e = emb.select(
+        "vec_id", block_col.alias("blk"), as_double(F.col("embedding")).alias("v")
+    ).withColumn("n", norm(F.col("v"), dim))
+    a = e.select(
+        F.col("vec_id").alias("a"), "blk",
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"), "blk",
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(
+        denom != 0, quantize(dot(F.col("va"), F.col("vb"), dim) / denom, 6)
+    )
     return (
         a.join(b, "blk")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("va"), F.col("vb"), dim=dim).alias("cos"))
+        .select("a", "b", cos.alias("cos"))
         .filter(F.col("cos") >= min_cos)
     )
