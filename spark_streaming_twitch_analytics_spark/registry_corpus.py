@@ -1141,7 +1141,12 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset-release summary: everything a data card's statistics
     table needs from one scan. At 100 TB the count-distinct terms are
     the costly part — swap for approx_count_distinct when exactness
-    isn't required (flagged rows-only in that variant)."""
+    isn't required (flagged rows-only in that variant).
+
+    Two aggregates joined (1 row × 1 row), not one: co-locating the
+    count-distincts (planned via Expand) with the percentile object
+    buffer drags the buffer through the row-doubling expanded pipeline
+    — the approx_sketches lesson, applied repo-wide."""
     d = _docs(spark, sf_dir)
     toks = X.tokenize(F.col("text"))
     t = d.select(
@@ -1153,16 +1158,29 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_rate = (
         1.0 - F.count_distinct(F.md5("text")).cast("double") / F.count(F.lit(1))
     )
-    return t.agg(
+    distincts = t.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_toks").alias("n_tokens"),
         F.count_distinct("lang").alias("n_langs"),
         F.count_distinct(F.md5("text")).alias("n_unique_texts"),
         V.quantize(dup_rate, 6).alias("exact_dup_rate"),
+    )
+    plains = t.agg(
+        F.sum("n_toks").alias("n_tokens"),
         F.min("n_toks").cast("int").alias("min_toks"),
         F.max("n_toks").cast("int").alias("max_toks"),
         F.round(F.expr("percentile(n_toks, 0.5)"), 2).alias("p50_toks"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+    return distincts.crossJoin(F.broadcast(plains)).select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_unique_texts",
+        "exact_dup_rate",
+        "min_toks",
+        "max_toks",
+        "p50_toks",
+        "avg_quality",
     )
 
 
