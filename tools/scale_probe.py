@@ -96,6 +96,8 @@ QUERIES = [
     "events_conversion_latency",
     "corpus_pack_bins",
     "orders_capped_cumsum_fold",
+    "approx_sketches",
+    "dedup_embedding_cosine",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
