@@ -57,3 +57,46 @@ def count_distinct_operator(df: DataFrame, op: str) -> int:
     return len(
         set(re.findall(rf"^\((\d+)\) {re.escape(op)}\b", formatted_plan(df), re.M))
     )
+
+
+def tree_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """Parse the formatted-explain tree section into
+    ``(depth, operator_name, node_id)`` rows in print order (root
+    first). Depth comes from the 3-char-per-level indentation; the
+    branch glyphs (``+-``, ``:-``, ``:``) are part of the prefix."""
+    import re
+
+    lines = plan.splitlines()
+    try:
+        i = next(
+            j for j, l in enumerate(lines) if l.startswith("== Physical Plan ==")
+        )
+    except StopIteration:
+        return []
+    nodes = []
+    for line in lines[i + 1 :]:
+        if not line.strip():
+            break
+        m = re.match(r"^([\s:+|-]*?)([A-Za-z][^(]*)\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        prefix, name, nid = m.groups()
+        nodes.append((len(prefix) // 3, name.strip().split()[0], int(nid)))
+    return nodes
+
+
+def operator_has_descendant(plan: str, parent_op: str, child_op: str) -> bool:
+    """True if any ``parent_op`` node has a ``child_op`` node anywhere in
+    its INPUT subtree (ancestry from the tree indentation — sibling
+    subtrees of a join do NOT count, unlike a whole-plan substring
+    check)."""
+    nodes = tree_nodes(plan)
+    for idx, (depth, op, _) in enumerate(nodes):
+        if op != parent_op:
+            continue
+        for d2, op2, _ in nodes[idx + 1 :]:
+            if d2 <= depth:
+                break
+            if op2 == child_op:
+                return True
+    return False

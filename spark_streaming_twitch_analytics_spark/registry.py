@@ -51,15 +51,37 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QueryDef:
     name: str
     fn: QueryFn
-    sql: str | None  # DuckDB oracle; None → rows-only check
+    # DuckDB oracle; None → rows-only check. A zero-arg callable defers
+    # oracle construction (e.g. resource-file reads) past import time,
+    # so a missing/corrupt resource degrades to THIS query erroring
+    # instead of breaking `import registry` for every query.
+    _sql: str | None | Callable[[], str]
     survey: str = ""  # SURVEY §2 row ids this query evidences
     tags: tuple[str, ...] = field(default_factory=tuple)
+
+    @property
+    def sql(self) -> str | None:
+        if callable(self._sql):
+            try:
+                self._sql = self._sql()
+            except Exception as e:  # degrade: only this query's oracle fails
+                self._sql = (
+                    "SELECT 'oracle construction failed: "
+                    + str(e).replace("'", "''")
+                    + "' AS oracle_error"
+                )
+        return self._sql
 
 
 _REGISTRY: list[QueryDef] = []
 
 
-def register(name: str, sql: str | None, survey: str = "", tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    sql: str | None | Callable[[], str],
+    survey: str = "",
+    tags: tuple[str, ...] = (),
+):
     def deco(fn: QueryFn) -> QueryFn:
         _REGISTRY.append(QueryDef(name, fn, sql, survey, tags))
         return fn
@@ -520,18 +542,33 @@ def training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _roundtrip_loc(sf_dir: str, kind: str) -> str:
+def _code_token(fn) -> str:
+    """Short hash of a query function's source text, folded into its
+    round-trip cache key so editing the query definition invalidates the
+    cached result even when the source DATA is unchanged (ADVICE r5)."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = fn.__name__
+    return hashlib.md5(src.encode()).hexdigest()[:8]
+
+
+def _roundtrip_loc(sf_dir: str, kind: str, code_token: str = "") -> str:
     """Fingerprint-keyed tmp dir (same idempotence contract as
     ``operators.bucketed.ensure_partitioned_events``): rebuilt only when
-    the source content changes."""
+    the source content OR the query definition (code_token) changes."""
     import os
     import tempfile
 
     from .operators.bucketed import _slug, _source_fingerprint
 
     fp = _source_fingerprint(sf_dir, "documents")
+    suffix = f"_{code_token}" if code_token else ""
     return os.path.join(
-        tempfile.gettempdir(), f"ssta_rt_{kind}_{_slug(sf_dir)}_{fp}"
+        tempfile.gettempdir(), f"ssta_rt_{kind}_{_slug(sf_dir)}_{fp}{suffix}"
     )
 
 
@@ -561,7 +598,7 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.io import read_training_csv
 
-    loc = _roundtrip_loc(sf_dir, "csv")
+    loc = _roundtrip_loc(sf_dir, "csv", _code_token(csv_roundtrip_stats))
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         (
             _docs(spark, sf_dir)
@@ -609,7 +646,7 @@ def parquet_single_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.io import write_single_parquet
 
-    loc = _roundtrip_loc(sf_dir, "pq1")
+    loc = _roundtrip_loc(sf_dir, "pq1", _code_token(parquet_single_file_stats))
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         agg = _docs(spark, sf_dir).groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -635,7 +672,10 @@ def _label_values_sql() -> str:
 
 @register(
     "label_broadcast_decode",
-    f"""WITH labels(idx, name) AS (VALUES {_label_values_sql()})
+    # lazy (callable) oracle: the resource-file read happens at compare
+    # time, so a missing/corrupt encoder_classes.json fails THIS query
+    # instead of crashing registry import (ADVICE r5)
+    lambda: f"""WITH labels(idx, name) AS (VALUES {_label_values_sql()})
 SELECT name, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents d JOIN labels l ON d.doc_id % 50 = l.idx
 GROUP BY name""",

@@ -170,6 +170,16 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_cum = offset[pid] + local running sum − n_toks is identical to
     the global ordered prefix sum, so the bin assignment (and the
     DuckDB oracle SQL) is unchanged.
+
+    Fault-tolerance caveat: ``localCheckpoint`` trades lineage for the
+    pinned layout — on a real cluster an executor loss makes its
+    checkpointed partitions unrecoverable mid-query. A 100 TB
+    deployment should swap it for ``spark.sparkContext.setCheckpointDir``
+    + ``.checkpoint()`` (reliable storage) or persist with replication
+    (``StorageLevel.MEMORY_AND_DISK_2``); localCheckpoint is kept here
+    because single-JVM local mode cannot lose an executor. Note also
+    that the subtotal pass makes DataFrame construction eager (it runs
+    Spark jobs before the caller's action).
     """
     d = _docs(spark, sf_dir)
     n = F.size(X.tokenize(F.col("text"))).cast("long")

@@ -151,6 +151,18 @@ try:  # pragma: no cover - network/live path, exercised only manually
             if connect:
                 self._connect()
 
+        def __getstate__(self):
+            # Spark pickles the reader to ship the replay path
+            # (readBetweenOffsets) to a worker; sockets don't pickle.
+            # The shipped copy serves ONLY retained-log replays — it
+            # must never own the live connection — so strip the socket
+            # and the rx buffer (bytes of a partial line belong to the
+            # driver-side connection they came from).
+            state = self.__dict__.copy()
+            state["sock"] = None
+            state["rx"] = b""
+            return state
+
         def _connect(self) -> None:
             import socket
 

@@ -145,6 +145,20 @@ def test_query_lsh_index_matches_index_free_form(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+_ORACLE_PLANS: dict[str, str] = {}
+
+
+def _oracle_plans(spark) -> dict[str, str]:
+    """Formatted physical plan for every batch oracled query, built once
+    per test session and shared by the whole-registry plan lints."""
+    if not _ORACLE_PLANS:
+        for qd in registry._REGISTRY:
+            if qd.sql is None or qd.name.startswith("streaming_"):
+                continue
+            _ORACLE_PLANS[qd.name] = EX.formatted_plan(qd.fn(spark, SF))
+    return _ORACLE_PLANS
+
+
 def test_no_rowwise_python_udf_in_oracle_query_plans(spark):
     # everything SQL-expressible must stay off the row-at-a-time Python
     # path (no BatchEvalPython). Vectorized ArrowEvalPython nodes are
@@ -152,13 +166,10 @@ def test_no_rowwise_python_udf_in_oracle_query_plans(spark):
     # the numpy batch kernel beats the exploded-JVM form) — but must stay
     # rare, so the count is pinned.
     arrow_nodes = []
-    for qd in registry._REGISTRY:
-        if qd.sql is None or qd.name.startswith("streaming_"):
-            continue
-        plan = EX.formatted_plan(qd.fn(spark, SF))
-        assert "BatchEvalPython" not in plan, f"{qd.name} fell off the JVM path"
+    for name, plan in _oracle_plans(spark).items():
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
         if "ArrowEvalPython" in plan:
-            arrow_nodes.append(qd.name)
+            arrow_nodes.append(name)
     allowed = {
         "dedup_simhash64_hamming",
         "dedup_simhash_pairs",
@@ -167,6 +178,31 @@ def test_no_rowwise_python_udf_in_oracle_query_plans(spark):
     }
     assert set(arrow_nodes) <= allowed, (
         f"unexpected Arrow UDF in oracle plans: {sorted(set(arrow_nodes) - allowed)}"
+    )
+
+
+def test_no_object_agg_under_expand_in_oracle_query_plans(spark):
+    """The approx_sketches trap as a registry-wide lint (SCALING.md
+    "countDistinct/object-buffer split", r5: 10.3→1.6 s). Mixing
+    countDistinct with a TypedImperativeAggregate in ONE aggregate makes
+    Catalyst's multi-distinct rewrite insert an Expand (N× row blow-up)
+    feeding a codegen-disabled ObjectHashAggregate — the object buffers
+    then churn over the expanded rows. The fix is always to split the
+    distinct aggregates from the object-buffer aggregates into separate
+    plans and join the (tiny) results. This lint fails any oracled plan
+    where an ObjectHashAggregate has an Expand in its INPUT subtree
+    (tree-indentation ancestry via EX.operator_has_descendant — a
+    correctly-split plan like corpus_datacard keeps the Expand and the
+    percentile buffer in SIBLING subtrees of the final join, which must
+    not trip the lint; the fused form is verified caught by a live
+    two-countDistinct + collect_list repro)."""
+    offenders = []
+    for name, plan in _oracle_plans(spark).items():
+        if EX.operator_has_descendant(plan, "ObjectHashAggregate", "Expand"):
+            offenders.append(name)
+    assert not offenders, (
+        f"Expand feeding ObjectHashAggregate (multi-distinct + object-buffer "
+        f"aggregate in one plan — split them): {offenders}"
     )
 
 
