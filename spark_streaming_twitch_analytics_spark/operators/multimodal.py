@@ -104,6 +104,171 @@ def pillow_decoder(payload: bytes) -> np.ndarray:
     return np.asarray(img, dtype=np.float64).ravel() / 255.0
 
 
+# ---------------------------------------------------------------------------
+# Vendored stdlib PNG codec — a REAL image codec with zero dependencies
+# (zlib + struct), so the real-decoder path executes in every
+# environment instead of hiding behind a Pillow skipif. Correctness-
+# first and tiny-image-sized: a 100 TB pipeline swaps in Pillow/GPU
+# decoders via the same decoder-callable seam; the WIRE FORMAT here is
+# genuine PNG (public spec: 8-byte signature, IHDR/IDAT/IEND chunks,
+# CRC32, per-scanline filters 0-4), not a fake.
+# ---------------------------------------------------------------------------
+
+
+def png_encode_gray(pixels: np.ndarray) -> bytes:
+    """Minimal 8-bit grayscale PNG writer (filter 0 per scanline)."""
+    import struct
+    import zlib
+
+    arr = np.atleast_2d(np.asarray(pixels, dtype=np.uint8))
+    h, w = arr.shape
+    raw = b"".join(b"\x00" + row.tobytes() for row in arr)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray(payload: bytes) -> np.ndarray:
+    """Minimal 8-bit grayscale non-interlaced PNG reader: chunk walk,
+    zlib inflate, and full unfiltering (None/Sub/Up/Average/Paeth) —
+    returns the (h, w) uint8 pixel array."""
+    import struct
+    import zlib
+
+    data = bytes(payload)
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, size = 8, b"", None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit grayscale non-interlaced PNG supported"
+                )
+            size = (w, h)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if size is None:
+        raise ValueError("missing IHDR")
+    w, h = size
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    out = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        ftype = row[0]
+        scan = row[1:]
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(w, dtype=np.int32)
+        cur = np.zeros(w, dtype=np.int32)
+        for x in range(w):
+            a = int(cur[x - 1]) if x else 0  # left (bpp = 1)
+            b = int(prev[x])  # up
+            c = int(prev[x - 1]) if x else 0  # up-left
+            v = scan[x]
+            if ftype == 0:
+                r = v
+            elif ftype == 1:
+                r = v + a
+            elif ftype == 2:
+                r = v + b
+            elif ftype == 3:
+                r = v + (a + b) // 2
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                r = v + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad scanline filter {ftype}")
+            cur[x] = r & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def stdlib_png_decoder(payload: bytes) -> np.ndarray:
+    """Real PNG decode via the vendored stdlib codec, then the same
+    decode → fixed-width-feature contract as :func:`pillow_decoder`:
+    collapse to grayscale row (column mean), linear-resample to
+    FEATURE_DIM, normalize to [0, 1]."""
+    img = png_decode_gray(payload).astype(np.float64)
+    row = img.mean(axis=0)
+    if len(row) != FEATURE_DIM:
+        row = np.interp(
+            np.linspace(0.0, 1.0, FEATURE_DIM),
+            np.linspace(0.0, 1.0, len(row)),
+            row,
+        )
+    return row / 255.0
+
+
+def image_decoder(payload: bytes) -> np.ndarray:
+    """Real-codec dispatch: Pillow when importable (arbitrary formats,
+    true bilinear resize), the vendored stdlib PNG reader otherwise —
+    so the real-decode path runs in EVERY environment. For FEATURE_DIM-
+    wide single-row grayscale images the two are numerically identical;
+    for general images they are near but not bit-equal (different
+    resample kernels)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return stdlib_png_decoder(payload)
+    return pillow_decoder(payload)
+
+
+def png_roundtrip_features(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """Encode md5-derived pixels as REAL PNG bytes and decode them back
+    through :func:`image_decoder`, all inside one bounded-batch
+    mapInPandas pass. ``pixel_sum`` is the integer sum of the decoded
+    pixel bytes — the DuckDB oracle recomputes it from md5 hex pairs, so
+    a hash match proves the codec round-trip is lossless."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                dims, sums = [], []
+                for t in chunk["text"]:
+                    pix = np.frombuffer(
+                        hashlib.md5(t.encode("utf-8")).digest()[:FEATURE_DIM],
+                        dtype=np.uint8,
+                    )
+                    feats = image_decoder(png_encode_gray(pix.reshape(1, -1)))
+                    dims.append(len(feats))
+                    sums.append(int(round(float(feats.sum()) * 255.0)))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": chunk["doc_id"].to_numpy(),
+                        "n_features": np.array(dims, dtype=np.int32),
+                        "pixel_sum": np.array(sums, dtype=np.int64),
+                    }
+                )
+
+    return df.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, n_features int, pixel_sum long"
+    )
+
+
 def decode_features(
     df: DataFrame,
     decoder: Callable[[bytes], np.ndarray] = fake_decoder,

@@ -3059,6 +3059,30 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_png_roundtrip",
+    """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id, CAST(8 AS INT) AS n_features,
+  CAST(CAST('0x' || substr(hx, 1, 2) AS INT)
+     + CAST('0x' || substr(hx, 3, 2) AS INT)
+     + CAST('0x' || substr(hx, 5, 2) AS INT)
+     + CAST('0x' || substr(hx, 7, 2) AS INT)
+     + CAST('0x' || substr(hx, 9, 2) AS INT)
+     + CAST('0x' || substr(hx, 11, 2) AS INT)
+     + CAST('0x' || substr(hx, 13, 2) AS INT)
+     + CAST('0x' || substr(hx, 15, 2) AS INT) AS BIGINT) AS pixel_sum
+FROM h""",
+    survey="ext: REAL image-codec round-trip — md5-derived pixel rows are "
+    "encoded to genuine PNG bytes (vendored stdlib zlib/struct writer) and "
+    "decoded back through the real-decoder dispatch (Pillow when "
+    "importable, the stdlib PNG reader otherwise) in one bounded-batch "
+    "mapInPandas pass; the oracle recomputes the pixel bytes from md5 hex "
+    "pairs, so the hash match proves the codec round-trip is lossless",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.png_roundtrip_features(_docs(spark, sf_dir))
+
+
 # ===========================================================================
 # 12. Training-pipeline corpus ops (extensions): reproducible sampling,
 # dedup keep-list materialization, corpus shape statistics

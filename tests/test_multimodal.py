@@ -3,6 +3,7 @@ Arrow-batched decode (fake decoder), strict stub boundary."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from spark_streaming_twitch_analytics_spark.operators import multimodal
@@ -207,3 +208,89 @@ def test_pillow_decoder_contract_without_pillow():
     NotImplementedError contract as strict_decoder."""
     with pytest.raises(NotImplementedError, match="Pillow"):
         multimodal.pillow_decoder(b"\x89PNG fake")
+
+
+# ---------------------------------------------------------------------------
+# Vendored stdlib PNG codec: the real-decoder path that runs in EVERY
+# environment (no Pillow gate). Wire format is genuine PNG.
+# ---------------------------------------------------------------------------
+
+
+def test_png_codec_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 11), dtype=np.uint8)
+    png = multimodal.png_encode_gray(img)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"  # real signature
+    back = multimodal.png_decode_gray(png)
+    assert back.dtype == np.uint8 and (back == img).all()
+
+
+def test_png_decoder_handles_all_scanline_filters():
+    """Hand-built IDAT exercising filters Sub/Up/Average/Paeth (our
+    writer only emits None, so a spec-compliant external PNG is the
+    case these paths exist for). Expected values derived by hand from
+    the PNG spec's reconstruction functions."""
+    import struct
+    import zlib
+
+    w = h = 4
+    raw = (
+        b"\x01" + bytes([10, 10, 10, 10])  # Sub    -> 10 20 30 40
+        + b"\x02" + bytes([1, 1, 1, 1])    # Up     -> 11 21 31 41
+        + b"\x03" + bytes([5, 5, 5, 5])    # Average-> 10 20 30 40
+        + b"\x04" + bytes([3, 3, 3, 3])    # Paeth  -> 13 23 33 43
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.png_decode_gray(png)
+    expected = np.array(
+        [
+            [10, 20, 30, 40],
+            [11, 21, 31, 41],
+            [10, 20, 30, 40],
+            [13, 23, 33, 43],
+        ],
+        dtype=np.uint8,
+    )
+    assert (out == expected).all()
+
+
+def test_real_image_decoder_ramp_through_decode_features(spark):
+    """The REAL-codec path (image_decoder: Pillow or the stdlib PNG
+    reader) through the same decode_features plumbing as the fake
+    decoder — ungated, so it executes in every environment."""
+    ramp = bytes([0, 36, 73, 109, 146, 182, 219, 255])
+    png = multimodal.png_encode_gray(
+        np.frombuffer(ramp, dtype=np.uint8).reshape(1, -1)
+    )
+    df = spark.createDataFrame(
+        [(1, png, "image")], "doc_id long, payload binary, modality string"
+    )
+    rows = multimodal.decode_features(df, decoder=multimodal.image_decoder).collect()
+    assert len(rows) == 1
+    feats = rows[0]["features"]
+    assert len(feats) == multimodal.FEATURE_DIM
+    assert [round(f * 255) for f in feats] == list(ramp)
+
+
+def test_png_roundtrip_features_matches_md5_pixels(spark, docs):
+    out = {
+        r["doc_id"]: (r["n_features"], r["pixel_sum"])
+        for r in multimodal.png_roundtrip_features(docs.limit(20)).collect()
+    }
+    import hashlib
+
+    for r in docs.limit(20).collect():
+        pix = hashlib.md5(r["text"].encode()).digest()[: multimodal.FEATURE_DIM]
+        assert out[r["doc_id"]] == (multimodal.FEATURE_DIM, sum(pix))
