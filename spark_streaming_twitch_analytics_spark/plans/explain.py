@@ -63,7 +63,11 @@ def tree_nodes(plan: str) -> list[tuple[int, str, int]]:
     """Parse the formatted-explain tree section into
     ``(depth, operator_name, node_id)`` rows in print order (root
     first). Depth comes from the 3-char-per-level indentation; the
-    branch glyphs (``+-``, ``:-``, ``:``) are part of the prefix."""
+    branch glyphs (``+-``, ``:-``, ``:``) are part of the prefix. A
+    whole-stage-codegen marker (``+- * HashAggregate (2)``) is consumed
+    separately so it neither hides the node nor distorts its depth
+    (ADVICE r6: the old prefix class excluded ``*``, silently skipping
+    codegen-annotated lines on non-AQE / final adaptive plans)."""
     import re
 
     lines = plan.splitlines()
@@ -77,7 +81,7 @@ def tree_nodes(plan: str) -> list[tuple[int, str, int]]:
     for line in lines[i + 1 :]:
         if not line.strip():
             break
-        m = re.match(r"^([\s:+|-]*?)([A-Za-z][^(]*)\((\d+)\)\s*$", line)
+        m = re.match(r"^([\s:+|-]*?)(?:\*\s*)?([A-Za-z][^(]*)\((\d+)\)\s*$", line)
         if not m:
             continue
         prefix, name, nid = m.groups()

@@ -542,34 +542,47 @@ def training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _code_token(fn) -> str:
-    """Short hash of a query function's source text, folded into its
-    round-trip cache key so editing the query definition invalidates the
-    cached result even when the source DATA is unchanged (ADVICE r5)."""
+def _code_token(fn, *helpers) -> str:
+    """Short hash of a query function's source text PLUS the sources of
+    the helpers it writes through (``read_training_csv``,
+    ``write_single_parquet``, ``_docs``, …), folded into its round-trip
+    cache key so editing the query definition OR a helper one call-level
+    down invalidates the cached result even when the source DATA is
+    unchanged (ADVICE r5, extended to helpers per ADVICE r6)."""
     import hashlib
     import inspect
 
-    try:
-        src = inspect.getsource(fn)
-    except (OSError, TypeError):
-        src = fn.__name__
-    return hashlib.md5(src.encode()).hexdigest()[:8]
+    parts = []
+    for f in (fn, *helpers):
+        try:
+            parts.append(inspect.getsource(f))
+        except (OSError, TypeError):
+            parts.append(getattr(f, "__name__", repr(f)))
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:8]
 
 
 def _roundtrip_loc(sf_dir: str, kind: str, code_token: str = "") -> str:
     """Fingerprint-keyed tmp dir (same idempotence contract as
     ``operators.bucketed.ensure_partitioned_events``): rebuilt only when
-    the source content OR the query definition (code_token) changes."""
+    the source content OR the query/helper definitions (code_token)
+    change. Sibling dirs for the same (kind, sf_dir) under a DIFFERENT
+    fingerprint or token are stale by construction — pruned here so code
+    edits don't accrete orphaned tmp dirs (ADVICE r6)."""
+    import glob
     import os
+    import shutil
     import tempfile
 
     from .operators.bucketed import _slug, _source_fingerprint
 
     fp = _source_fingerprint(sf_dir, "documents")
     suffix = f"_{code_token}" if code_token else ""
-    return os.path.join(
-        tempfile.gettempdir(), f"ssta_rt_{kind}_{_slug(sf_dir)}_{fp}{suffix}"
-    )
+    base = tempfile.gettempdir()
+    current = os.path.join(base, f"ssta_rt_{kind}_{_slug(sf_dir)}_{fp}{suffix}")
+    for stale in glob.glob(os.path.join(base, f"ssta_rt_{kind}_{_slug(sf_dir)}_*")):
+        if stale != current:
+            shutil.rmtree(stale, ignore_errors=True)
+    return current
 
 
 @register(
@@ -598,7 +611,9 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.io import read_training_csv
 
-    loc = _roundtrip_loc(sf_dir, "csv", _code_token(csv_roundtrip_stats))
+    loc = _roundtrip_loc(
+        sf_dir, "csv", _code_token(csv_roundtrip_stats, read_training_csv, _docs)
+    )
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         (
             _docs(spark, sf_dir)
@@ -646,7 +661,11 @@ def parquet_single_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.io import write_single_parquet
 
-    loc = _roundtrip_loc(sf_dir, "pq1", _code_token(parquet_single_file_stats))
+    loc = _roundtrip_loc(
+        sf_dir,
+        "pq1",
+        _code_token(parquet_single_file_stats, write_single_parquet, _docs),
+    )
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         agg = _docs(spark, sf_dir).groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -143,16 +143,28 @@ def test_reader_connect_pong_reconnect_against_loopback_server():
         hs = server.handshakes[0]
         assert "PASS oauth:sekrit" in hs and "NICK botnick" in hs
         assert "JOIN #chan" in hs
-        # PING was answered with the server's token (IRCBot.scala:47-49)
-        assert server.got_pong.wait(10), server.errors
+        # PING was answered with the server's token (IRCBot.scala:47-49).
+        # The reader only services PINGs inside _poll (i.e. during read),
+        # so keep polling while we wait — a bare Event.wait could hang if
+        # the PING landed in a TCP segment after the read that delivered
+        # the third PRIVMSG (ADVICE r6). Reads are retained/idempotent.
+        extra = []  # rows delivered while polling (kept — could be session 2)
+        t0 = time.time()
+        while not server.got_pong.is_set() and time.time() - t0 < 10:
+            it, start = reader.read(start)
+            extra.extend(v for (v,) in it)
+            time.sleep(0.05)
+        assert server.got_pong.is_set(), server.errors
         assert server.pong_line == "PONG :tmi.twitch.tv"
         # commit prunes the retained log up to the committed offset
         reader.commit(start)
         assert not reader.log
 
         # the server dropped the connection: the next polls must
-        # reconnect (re-handshake) and deliver session-2 messages
-        rows2, start = _drain(reader, start, want=2)
+        # reconnect (re-handshake) and deliver session-2 messages (any
+        # already captured by the PONG-wait polls count toward the two)
+        rows2, start = _drain(reader, start, want=2 - len(extra))
+        rows2 = extra + rows2
         assert len(rows2) == 2, (rows2, server.errors)
         assert all("after reconnect" in v for v in rows2), rows2
         assert len(server.handshakes) == 2  # reconnect re-sent NICK/JOIN

@@ -294,3 +294,80 @@ def test_png_roundtrip_features_matches_md5_pixels(spark, docs):
     for r in docs.limit(20).collect():
         pix = hashlib.md5(r["text"].encode()).digest()[: multimodal.FEATURE_DIM]
         assert out[r["doc_id"]] == (multimodal.FEATURE_DIM, sum(pix))
+
+
+def _encode_png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Forward-filter a grayscale image with an explicit per-row filter
+    type (our writer only emits None; real encoders pick per-row) and
+    wrap it in genuine PNG chunks — the adversarial input for the
+    decoder's unfilter paths."""
+    import struct
+    import zlib
+
+    h, w = img.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        row = img[y].astype(np.int64)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for x in range(w):
+            a = int(row[x - 1]) if x else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x else 0
+            if ft == 0:
+                s = row[x]
+            elif ft == 1:
+                s = row[x] - a
+            elif ft == 2:
+                s = row[x] - b
+            elif ft == 3:
+                s = row[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                s = row[x] - pred
+            raw.append(int(s) & 0xFF)
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_real_size_mixed_filters():
+    """64x64 image with every scanline filter in rotation — exercises the
+    vectorized unfilter rows (None/Sub/Up) and the spec-forced sequential
+    ones (Average/Paeth) at a realistic size, through both the raw codec
+    and the image_decoder dispatch (VERDICT r6 task 4)."""
+    rng = np.random.default_rng(64)
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    png = _encode_png_with_filters(img, filters=[0, 1, 2, 3, 4])
+    back = multimodal.png_decode_gray(png)
+    assert back.shape == (64, 64) and (back == img).all()
+
+    feats = multimodal.image_decoder(png)
+    assert len(feats) == multimodal.FEATURE_DIM
+    # image_decoder (stdlib branch) = column mean -> linear resample -> /255
+    row = img.astype(np.float64).mean(axis=0)
+    expected = np.interp(
+        np.linspace(0.0, 1.0, multimodal.FEATURE_DIM),
+        np.linspace(0.0, 1.0, len(row)),
+        row,
+    ) / 255.0
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        assert np.allclose(feats, expected)
+    else:  # Pillow branch: different resample kernel — near, not bit-equal
+        assert np.allclose(feats, expected, atol=0.2)
