@@ -3102,6 +3102,32 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_roundtrip_features(_docs(spark, sf_dir))
 
 
+@register(
+    "multimodal_wav_roundtrip",
+    """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id, CAST(8 AS INT) AS n_features,
+  CAST(CAST('0x' || substr(hx, 17, 2) AS INT)
+     + CAST('0x' || substr(hx, 19, 2) AS INT)
+     + CAST('0x' || substr(hx, 21, 2) AS INT)
+     + CAST('0x' || substr(hx, 23, 2) AS INT)
+     + CAST('0x' || substr(hx, 25, 2) AS INT)
+     + CAST('0x' || substr(hx, 27, 2) AS INT)
+     + CAST('0x' || substr(hx, 29, 2) AS INT)
+     + CAST('0x' || substr(hx, 31, 2) AS INT) AS BIGINT) AS sample_sum,
+  CAST(8000 AS INT) AS sample_rate
+FROM h""",
+    survey="ext: REAL audio-container round-trip — md5 digest bytes 8..15 "
+    "are encoded to genuine RIFF/WAVE PCM bytes (stdlib wave module) and "
+    "decoded back through audio_decoder in one bounded-batch mapInPandas "
+    "pass; sample_rate comes from the parsed fmt chunk and the oracle "
+    "recomputes the sample bytes from md5 hex pairs, so the hash match "
+    "proves the container round-trip is lossless (audio twin of "
+    "multimodal_png_roundtrip)",
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.wav_roundtrip_features(_docs(spark, sf_dir))
+
+
 # ===========================================================================
 # 12. Training-pipeline corpus ops (extensions): reproducible sampling,
 # dedup keep-list materialization, corpus shape statistics

@@ -371,3 +371,55 @@ def test_png_decoder_real_size_mixed_filters():
         assert np.allclose(feats, expected)
     else:  # Pillow branch: different resample kernel — near, not bit-equal
         assert np.allclose(feats, expected, atol=0.2)
+
+
+def test_wav_codec_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    smp = rng.integers(0, 256, size=97, dtype=np.uint8)
+    wav = multimodal.wav_encode_pcm8(smp, rate=44100)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"  # real container
+    back, rate = multimodal.wav_decode_pcm8(wav)
+    assert rate == 44100 and back.dtype == np.uint8 and (back == smp).all()
+
+
+def test_wav_decoder_rejects_non_mono_or_16bit():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 8)
+    with pytest.raises(ValueError, match="mono 8-bit"):
+        multimodal.wav_decode_pcm8(buf.getvalue())
+
+
+def test_audio_decoder_through_decode_features(spark):
+    """The REAL audio path (wave-module container) through the same
+    decode_features plumbing as the image decoders."""
+    ramp = bytes([0, 36, 73, 109, 146, 182, 219, 255])
+    wav = multimodal.wav_encode_pcm8(np.frombuffer(ramp, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, wav, "audio")], "doc_id long, payload binary, modality string"
+    )
+    rows = multimodal.decode_features(df, decoder=multimodal.audio_decoder).collect()
+    assert len(rows) == 1
+    feats = rows[0]["features"]
+    assert len(feats) == multimodal.FEATURE_DIM
+    assert [round(f * 255) for f in feats] == list(ramp)
+
+
+def test_wav_roundtrip_features_matches_md5_samples(spark, docs):
+    import hashlib
+
+    out = {
+        r["doc_id"]: (r["n_features"], r["sample_sum"], r["sample_rate"])
+        for r in multimodal.wav_roundtrip_features(docs.limit(20)).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    assert out.keys() == src.keys()
+    for doc_id, text in src.items():
+        smp = hashlib.md5(text.encode("utf-8")).digest()[8:16]
+        assert out[doc_id] == (8, sum(smp), multimodal.WAV_RATE)
