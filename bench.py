@@ -175,6 +175,36 @@ def bench_set() -> tuple[list[str], list[str], list[str]]:
     return timed, excluded, demos
 
 
+def _canary_time(spark, sf_dir: str) -> float:
+    """Noise canary (VERDICT r6 task 1): a PINNED constant workload —
+    lineitem scan → groupBy(l_returnflag) sum — whose plan has not
+    changed since round 1. Timed identically at suite start / middle /
+    end; if the three differ materially, the host was noisy DURING the
+    suite and same-magnitude per-query drift is attributable to the
+    host, not to plan regressions. Do not edit this workload."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.tables import load_table
+
+    def run() -> None:
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_extendedprice").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    run()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -190,8 +220,11 @@ def main() -> None:
     from spark_streaming_twitch_analytics_spark.cache import release_all
 
     timed_names, excluded, demos = bench_set()
+    canary: dict[str, float] = {"start": _canary_time(spark, sf_dir)}
     times: dict[str, float] = {}
-    for name in timed_names:
+    for i, name in enumerate(timed_names):
+        if i == len(timed_names) // 2:
+            canary["mid"] = _canary_time(spark, sf_dir)
         fn = registry.get(name).fn
 
         def run() -> None:
@@ -220,12 +253,27 @@ def main() -> None:
         measure_stream_throughput,
     )
 
+    canary["end"] = _canary_time(spark, sf_dir)
+    print(f"# noise_canary: {canary}", file=sys.stderr)
+
     release_all()
     try:
         stream = measure_stream_throughput(spark, sf_dir)
     except Exception as e:  # never let the probe sink the batch numbers
         stream = {"error": str(e)[:200], "lines_per_sec": None}
     print(f"# stream_probe: {stream}", file=sys.stderr)
+    # Second pinned operating point (VERDICT r6 task 5): 10x bigger
+    # micro-batches through the same dataflow, so the batch-size
+    # elasticity claimed in SCALING.md is regression-tracked per round,
+    # not a one-off prose number.
+    release_all()
+    try:
+        stream_big = measure_stream_throughput(
+            spark, sf_dir, replicate=100, n_files=10
+        )
+    except Exception as e:
+        stream_big = {"error": str(e)[:200], "lines_per_sec": None}
+    print(f"# stream_probe_100x: {stream_big}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     headline_total = round(sum(times[n] for n in HEADLINE if n in times), 3)
@@ -246,6 +294,11 @@ def main() -> None:
             **stream,
             "protocol": f"replicate={BENCH_REPLICATE} n_files={BENCH_N_FILES}",
         },
+        "streaming_probe_100x": {
+            **stream_big,
+            "protocol": "replicate=100 n_files=10",
+        },
+        "noise_canary": canary,
         "sf": sf_val,
     }
     # Full per-query summary goes to a file (the harness tail-capture window
@@ -267,6 +320,8 @@ def main() -> None:
                 "n_excluded_streaming": len(excluded),
                 "n_excluded_demonstrators": len(demos),
                 "streaming_lines_per_sec": stream.get("lines_per_sec"),
+                "streaming_lines_per_sec_100x": stream_big.get("lines_per_sec"),
+                "noise_canary": canary,
                 "full_summary": "bench_summary.json",
                 "sf": sf_val,
             },
