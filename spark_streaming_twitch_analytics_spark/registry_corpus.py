@@ -817,7 +817,10 @@ _BM25_B = 0.75
 _BM25_TOPK = 20
 
 
-def _bm25_sql() -> str:
+def _bm25_scores_ctes() -> str:
+    """WITH-body computing the per-doc BM25 score over ``_BM25_TERMS``,
+    ending in ``lexs(doc_id, bm25)`` — shared by ``corpus_bm25_topk``
+    and ``retrieval_rrf_fusion`` so both oracles score identically."""
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     k1, b = _BM25_K1, _BM25_B
     pivots = ",\n   ".join(
@@ -825,7 +828,7 @@ def _bm25_sql() -> str:
         for i, t in enumerate(_BM25_TERMS)
     )
     total = " + ".join(f"coalesce(c{i}, 0.0)" for i in range(len(_BM25_TERMS)))
-    return f"""WITH t AS (
+    return f"""t AS (
   SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents),
 dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
 stats AS (SELECT count(*) AS n_docs,
@@ -840,8 +843,13 @@ sc AS (SELECT doc_id, term,
   FROM tf JOIN dfreq USING (term), stats),
 pd AS (SELECT doc_id,
    {pivots}
-   FROM sc GROUP BY 1)
-SELECT doc_id, {V.quantize_sql(total, 4)} AS bm25 FROM pd
+   FROM sc GROUP BY 1),
+lexs AS (SELECT doc_id, {V.quantize_sql(total, 4)} AS bm25 FROM pd)"""
+
+
+def _bm25_sql() -> str:
+    return f"""WITH {_bm25_scores_ctes()}
+SELECT doc_id, bm25 FROM lexs
 ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}"""
 
 
@@ -861,6 +869,16 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a max-pivot per term, then one expression-level sum), so the double
     is bit-identical on both engines — no cross-row float accumulation.
     Extension family; the reference has no retrieval scoring."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every doc matching ≥1 query term — the scoring
+    core shared by ``corpus_bm25_topk`` and ``retrieval_rrf_fusion``."""
     d = _docs(spark, sf_dir)
     k1, b = _BM25_K1, _BM25_B
     toks = d.select("doc_id", X.tokenize(F.col("text")).alias("toks"))
@@ -907,10 +925,85 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order as the SQL's left-assoc "+" chain after its leading coalesce;
     # the leading 0.0 is additive identity, bit-exact for finite doubles.
     # floor-quantize (not round): the top-K boundary compares this value
-    return (
-        pd_.select("doc_id", V.quantize(total, 4).alias("bm25"))
+    return pd_.select("doc_id", V.quantize(total, 4).alias("bm25"))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (Cormack et al., public) of the
+# BM25 lexical ranking and an embedding-cosine semantic ranking — the
+# standard way training-data pipelines combine keyword and vector search
+# for retrieval-based decontamination and hard-negative mining
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the canonical RRF damping constant
+_RRF_POOL = 50  # per-branch candidate pool (rank depth)
+_RRF_TOPK = 20
+
+
+def _rrf_sql() -> str:
+    return f"""WITH {_bm25_scores_ctes()},
+lext AS (SELECT doc_id, bm25 FROM lexs ORDER BY bm25 DESC, doc_id LIMIT {_RRF_POOL}),
+lexr AS (SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank FROM lext),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+sem AS (SELECT c.vec_id AS doc_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, q WHERE c.vec_id <> 0),
+semt AS (SELECT doc_id, cos FROM sem
+  ORDER BY cos DESC NULLS LAST, doc_id LIMIT {_RRF_POOL}),
+semr AS (SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY cos DESC NULLS LAST, doc_id) AS INT)
+    AS sem_rank FROM semt),
+f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+  coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.lex_rank), CAST(0.0 AS DOUBLE))
+    + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + s.sem_rank), CAST(0.0 AS DOUBLE))
+    AS rrf
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+SELECT doc_id, lex_rank, sem_rank, {V.quantize_sql("rrf", 8)} AS rrf_score
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}"""
+
+
+@register(
+    "retrieval_rrf_fusion",
+    _rrf_sql(),
+    survey="ext: hybrid retrieval — reciprocal-rank fusion (1/(60+rank), "
+    "the canonical constant) of the BM25 lexical top-50 and the "
+    "embedding-cosine top-50 for query vector 0. Both branches cut to "
+    "their pool via sort+limit (TakeOrderedAndProject — distributed; the "
+    "rank window then runs over ≤50 rows, never the corpus), fused with a "
+    "full-outer join; ranks are integers so the fused double is "
+    "engine-exact",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF = Σ_branches 1/(k + rank). The scale shape: each branch's
+    global top-pool is a TakeOrderedAndProject (no full sort), the rank
+    window sees only the pooled rows, and the fusion join is pool-sized.
+    At 100 TB the pools stay human-sized (50) regardless of corpus size."""
+    from .operators import similarity
+
+    lex = (
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(_BM25_TOPK)
+        .limit(_RRF_POOL)
+    )
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, _RRF_POOL
+    )
+    semr = sem.select(F.col("c_id").alias("doc_id"), F.col("rn").alias("sem_rank"))
+    fused = lexr.join(semr, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id", "lex_rank", "sem_rank", V.quantize(rrf, 8).alias("rrf_score")
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_TOPK)
     )
 
 

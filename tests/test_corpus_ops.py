@@ -718,3 +718,27 @@ def test_bpe_stops_when_fully_merged(spark):
     words = spark.createDataFrame([("ab", 1)], "word string, wcnt long")
     got = bpe.bpe_train(words, n_merges=5).collect()
     assert len(got) == 1  # one merge fuses the whole word; then no pairs
+
+
+def test_rrf_fusion_combines_lexical_and_semantic_ranks(spark):
+    """A doc present in BOTH branch pools outranks a doc present in one;
+    the score is exactly 1/(60+lex_rank) + 1/(60+sem_rank)."""
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _RRF_K,
+        _RRF_TOPK,
+        retrieval_rrf_fusion,
+    )
+
+    rows = retrieval_rrf_fusion(spark, SF).collect()
+    assert 0 < len(rows) <= _RRF_TOPK
+    both = [r for r in rows if r["lex_rank"] and r["sem_rank"]]
+    one = [r for r in rows if (r["lex_rank"] is None) != (r["sem_rank"] is None)]
+    assert both or one  # non-degenerate pools
+    for r in rows:
+        expected = (1.0 / (_RRF_K + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (_RRF_K + r["sem_rank"]) if r["sem_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - expected) < 1e-7, r
+    # output is the fused top-K: descending score, doc_id tiebreak
+    keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
