@@ -348,3 +348,17 @@ def test_pack_bins_prefix_sum_is_distributed(spark):
     assert "SinglePartition" not in plan
     # the window spec itself must carry a partition key
     assert "windowspecdefinition(pid" in plan
+
+
+def test_rrf_pools_use_topk_operator_not_global_sort(spark):
+    """Both RRF branch pools and the final fused cut must be
+    TakeOrderedAndProject (distributed partial top-K) — a global Sort
+    would materialize a full corpus ordering at 100 TB. The rank windows
+    run over pool-sized input only (after the limit), so the
+    single-partition window exchange is bounded at 50 rows."""
+    df = q(spark, "retrieval_rrf_fusion")
+    plan = EX.formatted_plan(df)
+    # lexical pool + semantic pool (inside brute_force_topk) + final cut
+    assert EX.count_distinct_operator(df, "TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-wise Python UDF
