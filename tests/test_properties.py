@@ -702,3 +702,51 @@ def test_prod_sketch_profile_math_holds():
     eps = math.e / float(1 << 20)
     assert eps < 3e-6              # ±ε·L1-mass count error
     assert math.exp(-5) < 0.01     # confidence 1 - e^{-depth} > 99%
+
+
+@given(
+    data=st.data(),
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_codec_roundtrip_under_all_filters(data, h, w):
+    """Decode(forward-filter(img, any per-row filter mix)) == img — the
+    unfilter paths (incl. the numpy-vectorized None/Sub/Up and the
+    sequential Average/Paeth) are exact inverses for arbitrary images."""
+    import numpy as np
+
+    from spark_streaming_twitch_analytics_spark.operators import multimodal
+    from tests.test_multimodal import _encode_png_with_filters
+
+    img = np.array(
+        data.draw(
+            st.lists(
+                st.lists(st.integers(0, 255), min_size=w, max_size=w),
+                min_size=h,
+                max_size=h,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    png = _encode_png_with_filters(img, filters)
+    out = multimodal.png_decode_gray(png)
+    assert out.shape == (h, w) and (out == img).all()
+
+
+@given(
+    samples=st.lists(st.integers(0, 255), min_size=1, max_size=256),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_codec_roundtrip_property(samples, rate):
+    import numpy as np
+
+    from spark_streaming_twitch_analytics_spark.operators import multimodal
+
+    smp = np.array(samples, dtype=np.uint8)
+    back, got_rate = multimodal.wav_decode_pcm8(
+        multimodal.wav_encode_pcm8(smp, rate=rate)
+    )
+    assert got_rate == rate and (back == smp).all()
