@@ -72,8 +72,15 @@ def main() -> None:
 
     out = {"sf_dir": sf_dir, "noise_canary": canary, "queries": times}
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "DRIFT_AB_r7.json"), "w") as fh:
-        json.dump(out, fh, indent=1, sort_keys=True)
+    path = os.path.join(here, "DRIFT_AB_r7.json")
+    doc = {"runs": []}
+    if os.path.exists(path):  # append, never clobber earlier runs
+        with open(path) as fh:
+            prev = json.load(fh)
+        doc = prev if "runs" in prev else {"runs": [prev]}
+    doc["runs"].append(out)
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
