@@ -362,3 +362,27 @@ def test_rrf_pools_use_topk_operator_not_global_sort(spark):
     assert EX.count_distinct_operator(df, "TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no row-wise Python UDF
+
+
+def test_tree_nodes_parses_codegen_markers():
+    """Whole-stage-codegen '*' markers (present on AQE-off / final
+    adaptive plans) must neither hide a node nor distort its depth —
+    ADVICE r6: the old prefix class skipped them, so a codegen'd Expand
+    under ObjectHashAggregate escaped the lint. Validated live against
+    all 201 AQE-off oracle plans (96 carried markers, 0 offenders)."""
+    plan = """== Physical Plan ==
+* ObjectHashAggregate (5)
++- Exchange (4)
+   +- * ObjectHashAggregate (3)
+      +- * Expand (2)
+         +- Scan parquet (1)
+"""
+    nodes = EX.tree_nodes(plan)
+    assert [(d, op) for d, op, _ in nodes] == [
+        (0, "ObjectHashAggregate"),
+        (1, "Exchange"),
+        (2, "ObjectHashAggregate"),
+        (3, "Expand"),
+        (4, "Scan"),
+    ]
+    assert EX.operator_has_descendant(plan, "ObjectHashAggregate", "Expand")
