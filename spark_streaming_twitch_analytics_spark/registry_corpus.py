@@ -413,6 +413,110 @@ def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram Kneser-Ney LM scoring (Kneser & Ney 1995, public) — the n-gram
+# LM quality filter shape (CCNet-style KenLM scoring) with absolute
+# discounting and continuation-count backoff
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # standard absolute discount
+
+
+def _kn_p_sql() -> str:
+    """Interpolated-KN bigram probability from integer count columns
+    (c12, c1, n1f, n1b, nbt). Only +,-,*,/ and greatest — IEEE-exact and
+    bit-identical across engines (no transcendentals), so the micro-int
+    quantization downstream can never flip on a ulp."""
+    return (
+        f"((greatest(CAST(c12 AS DOUBLE) - {_KN_D}, 0.0) / CAST(c1 AS DOUBLE))"
+        f" + ((({_KN_D} * CAST(n1f AS DOUBLE)) / CAST(c1 AS DOUBLE))"
+        f" * (CAST(n1b AS DOUBLE) / CAST(nbt AS DOUBLE))))"
+    )
+
+
+@register(
+    "corpus_bigram_kn_score",
+    f"""WITH t AS (SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents),
+b AS (SELECT doc_id, toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g),
+bf AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+  CAST(count(*) AS BIGINT) AS n1f FROM bf GROUP BY 1),
+back AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bf GROUP BY 1),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM bf),
+sc AS (SELECT doc_id,
+  CAST(floor({_kn_p_sql()} * 1000000.0) AS BIGINT) AS p_micro
+  FROM b JOIN bf USING (w1, w2) JOIN ctx USING (w1) JOIN back USING (w2)
+  CROSS JOIN nb)
+SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+  CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+  round((CAST(sum(p_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        / 1000000.0, 6) AS avg_p_kn
+FROM sc GROUP BY doc_id""",
+    survey="ext: interpolated Kneser-Ney bigram LM score per document — "
+    "the n-gram-LM quality-filter shape (CCNet/KenLM): one shuffle builds "
+    "the bigram-type table, the context (c1, N1+(w1,*)) and continuation "
+    "(N1+(*,w2)) tables aggregate over TYPES (vocab-bounded, far smaller "
+    "than the corpus), and the per-bigram probability is pure +,-,*,/ on "
+    "integer counts — bit-identical across engines — quantized to "
+    "micro-units and summed as BIGINT so the per-doc aggregate is exact "
+    "regardless of fold order",
+)
+def corpus_bigram_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean interpolated-KN bigram probability: docs of rare or
+    incoherent bigram sequences score low, fluent boilerplate scores
+    high — the bigram upgrade of ``corpus_unigram_logprob``, with the
+    discount mass routed through continuation counts exactly as KN
+    prescribes. Determinism: the per-bigram probability uses only
+    IEEE-exact arithmetic on integers, is floor-quantized to an integer,
+    and per-doc aggregation sums integers — no cross-row float folds."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", X.tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    b = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+    bf = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bf.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    back = bf.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    nb = bf.agg(F.count(F.lit(1)).alias("nbt"))
+    p = (
+        F.greatest(F.col("c12").cast("double") - F.lit(_KN_D), F.lit(0.0))
+        / F.col("c1").cast("double")
+    ) + (
+        (F.lit(_KN_D) * F.col("n1f").cast("double"))
+        / F.col("c1").cast("double")
+    ) * (F.col("n1b").cast("double") / F.col("nbt").cast("double"))
+    sc = (
+        b.join(bf, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(back, "w2")
+        .join(F.broadcast(nb))
+        .select(
+            "doc_id",
+            F.floor(p * F.lit(1000000.0)).cast("long").alias("p_micro"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum("p_micro").alias("sum_p_micro"),
+        F.round(
+            (F.sum("p_micro").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_p_kn"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vector centroid aggregation (per-label mean embedding)
 # ---------------------------------------------------------------------------
 

@@ -742,3 +742,44 @@ def test_rrf_fusion_combines_lexical_and_semantic_ranks(spark):
     # output is the fused top-K: descending score, doc_id tiebreak
     keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_bigram_kn_score_matches_hand_computation(spark):
+    """Tiny planted corpus, KN computed by hand: doc 0 repeats one
+    bigram (high p), doc 1 is one unseen-context-free chain of unique
+    bigrams (low p). Also checks the interpolation identity: for a w1
+    with one continuation seen c12=c1 times, p = (c1-D)/c1 + D/c1 *
+    n1b/nbt."""
+    import spark_streaming_twitch_analytics_spark.registry_corpus as RC
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _KN_D,
+        corpus_bigram_kn_score,
+    )
+
+    rows = [(0, "a b a b a b"), (1, "c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = RC._docs
+    RC._docs = lambda s, d: df
+    try:
+        got = {r["doc_id"]: r for r in corpus_bigram_kn_score(spark, "x").collect()}
+    finally:
+        RC._docs = orig
+    # bigram types: (a,b) c12=3, (b,a) c12=2, (c,d), (d,e), (e,f) each 1
+    # -> nbt=5; every w2 here has n1b=1
+    nbt = 5.0
+
+    def p(c12, c1, n1f, n1b):
+        return (c12 - _KN_D) / c1 + (_KN_D * n1f / c1) * (n1b / nbt)
+
+    import math
+
+    def micro(x):
+        return math.floor(x * 1e6)
+
+    # doc 0: bigrams a b, b a, a b, b a, a b
+    exp0 = 3 * micro(p(3, 3, 1, 1)) + 2 * micro(p(2, 2, 1, 1))
+    assert got[0]["n_bigrams"] == 5 and got[0]["sum_p_micro"] == exp0
+    # doc 1: c d, d e, e f — each the sole continuation of its context
+    exp1 = 3 * micro(p(1, 1, 1, 1))
+    assert got[1]["n_bigrams"] == 3 and got[1]["sum_p_micro"] == exp1
+    assert got[0]["avg_p_kn"] > got[1]["avg_p_kn"]  # fluent repeats win
