@@ -631,3 +631,51 @@ def make_sentence_udtf():
                     yield i, seg, len(seg)
 
     return SentenceSplitter
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy (gibberish / repetitive-text signal)
+# ---------------------------------------------------------------------------
+
+
+def _entropy_micro_term(run: Column) -> Column:
+    """floor(run·log2(run)·10⁶) as BIGINT — the micro-int entropy term.
+    Integer micro-terms sum exactly in any order, so the per-row fold
+    here and the oracle's explode+groupBy produce the SAME integer
+    total (the Kneser-Ney determinism trick, registry_corpus.py)."""
+    return (
+        F.when(
+            run > 0,
+            F.floor(run.cast("double") * F.log2(run) * F.lit(1000000.0)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def char_entropy_parts(text_col: Column) -> tuple[Column, Column]:
+    """(n_chars, micro_sum): character count and the integer micro-sum
+    Σ floor(c·log2(c)·10⁶) over per-character run lengths — computed as
+    a per-row ``array_sort`` + ``aggregate`` run-length fold (same
+    zero-shuffle shape as :func:`top_bigram_count`): no row explosion,
+    no shuffle, O(len·log len) per document at any corpus size. Shannon
+    entropy follows as log2(n) − (micro/10⁶)/n."""
+    chars = F.array_sort(F.split(text_col, ""))
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("acc"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        total = F.when(same, acc["acc"]).otherwise(
+            acc["acc"] + _entropy_micro_term(acc["run"])
+        )
+        return F.struct(x.alias("prev"), run.alias("run"), total.alias("acc"))
+
+    micro = F.aggregate(
+        chars, zero, step, lambda a: a["acc"] + _entropy_micro_term(a["run"])
+    )
+    return F.size(chars), micro

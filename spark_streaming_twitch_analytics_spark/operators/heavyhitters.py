@@ -1,0 +1,115 @@
+"""Deterministic heavy hitters by Misra-Gries candidates + exact recount.
+
+``corpus_cms_counts`` answers point queries against a fixed sketch; the
+complementary production question is ENUMERATION — "every token whose
+frequency is at least a phi-fraction of the stream" (frequent-items /
+iceberg query). Exact enumeration needs a full-vocabulary shuffle whose
+reduction state is the vocabulary itself, which is exactly what stops
+fitting first at 100 TB. The classic scalable form is two passes:
+
+1. **Candidate pass** — each partition summarizes its token stream with
+   a Misra-Gries summary of k counters (k = ceil(1/phi)); per-partition
+   memory is O(k) REGARDLESS of vocabulary size, and the summaries are
+   mergeable (Agarwal et al., "Mergeable Summaries", PODS 2012): the
+   union of the per-partition survivor sets is a superset of every
+   token with global frequency > N/(k+1) — and phi·N > N/(k+1) holds by
+   the choice of k, so NO true heavy hitter can be missed.
+2. **Recount pass** — the candidate set (≤ k·num_partitions rows) is
+   broadcast and the stream is re-scanned counting ONLY candidates;
+   the shuffle now carries at most |candidates| distinct keys instead
+   of |vocabulary|.
+
+The final filter compares exact counts against the threshold with pure
+integer arithmetic (``phi_inv·freq ≥ N`` rather than ``freq ≥ phi·N``),
+so the output is a deterministic function of the data — independent of
+partitioning, batch boundaries, and engine — even though the
+intermediate MG summaries are not. That is what makes the query
+hash-checkable against a plain ``GROUP BY ... HAVING`` oracle.
+
+MG merge rule used here (vectorized, per Arrow batch): add the batch's
+exact counts to the summary; while more than k counters survive,
+subtract the (k+1)-th largest count from every counter and drop the
+non-positive ones. Each batch's exact counter table is itself an
+error-0 MG summary, so by the merge theorem the partition summary's
+undercount never exceeds n_partition/(k+1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_merge_batch(
+    counts: dict[str, int], batch_counts: dict[str, int], k: int
+) -> dict[str, int]:
+    """One Misra-Gries merge step: add a batch's exact counts into the
+    running summary, then (if over k counters) subtract the (k+1)-th
+    largest count from every counter and drop the non-positive ones —
+    the mergeable-summaries rule, which keeps the total undercount of
+    any token ≤ n_seen/(k+1)."""
+    for tok, c in batch_counts.items():
+        counts[tok] = counts.get(tok, 0) + int(c)
+    if len(counts) > k:
+        arr = np.fromiter(counts.values(), dtype=np.int64)
+        # (k+1)-th largest value; subtracting it from every counter
+        # kills at least len-k counters (all ≤ m).
+        m = int(np.partition(arr, len(arr) - k - 1)[len(arr) - k - 1])
+        counts = {t: c - m for t, c in counts.items() if c > m}
+    return counts
+
+
+def mg_summarize_partitions(tokens: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries over a ``token`` column:
+    one ``mapInPandas`` pass, O(k) state per task, emits the surviving
+    ``(token, lower_bound)`` counters of each partition (``lower_bound``
+    undercounts the partition-local frequency by ≤ n_partition/(k+1))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            counts = mg_merge_batch(counts, dict(vc), k)
+        yield pd.DataFrame(
+            {
+                "token": list(counts.keys()),
+                "lower_bound": np.fromiter(
+                    counts.values(), dtype=np.int64, count=len(counts)
+                ),
+            }
+        )
+
+    return tokens.select("token").mapInPandas(run, "token string, lower_bound long")
+
+
+def heavy_hitters(
+    tokens: DataFrame, phi_inv: int = 1000, k: int | None = None
+) -> DataFrame:
+    """All tokens with exact frequency ≥ N/phi_inv (N = stream length),
+    via MG candidates + broadcast recount. Returns ``(token, freq)``
+    with exact BIGINT frequencies; deterministic for any partitioning
+    because the candidate superset guarantee (k ≥ phi_inv ⇒ threshold
+    phi·N = N/phi_inv > N/(k+1)) plus the exact recount make the MG
+    nondeterminism unobservable in the output."""
+    if k is None:
+        k = phi_inv
+    if k < phi_inv:
+        raise ValueError("k must be ≥ phi_inv for the superset guarantee")
+    candidates = (
+        mg_summarize_partitions(tokens, k).select("token").distinct()
+    )
+    counted = (
+        tokens.join(F.broadcast(candidates), "token", "inner")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = tokens.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * phi_inv >= F.col("n_total"))
+        .select("token", "freq")
+    )

@@ -474,3 +474,62 @@ def resize_features(
     return df.select("doc_id", "modality", "payload").mapInPandas(
         run, schema="doc_id long, modality string, resized array<double>"
     )
+
+
+def audio_frame_features(df: DataFrame, frame_len: int = 4) -> DataFrame:
+    """Frame-level audio DSP features through the REAL WAV codec: the
+    md5-derived samples (digest bytes 8..15, same range the round-trip
+    query certifies) are encoded to genuine RIFF/WAVE bytes, decoded
+    back via :func:`wav_decode_pcm8`, centered at the PCM8 midpoint
+    (128), split into ``frame_len``-sample frames, and reduced to the
+    three classic frame features — energy (Σ s²), zero-crossing count
+    (sign changes of the centered signal), and peak (max |s|). All
+    three are INTEGER functions of the sample bytes, so the DuckDB
+    oracle recomputes them exactly from md5 hex pairs — no float
+    tolerance anywhere.
+
+    Shape: one bounded-batch ``mapInPandas`` pass with a 1→n_frames
+    fan-out (the same explode-after-decode shape a real feature
+    extractor has); per-task memory is one Arrow batch of digests, and
+    the pass is embarrassingly parallel — no shuffle at any size. A
+    100 TB pipeline swaps the decode seam for ffmpeg/librosa and raises
+    ``frame_len`` to the usual 25 ms windows; the plan is unchanged."""
+    n_frames = FEATURE_DIM // frame_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, energy, zcr, peak = [], [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                smp = np.frombuffer(
+                    hashlib.md5(t.encode("utf-8")).digest()[
+                        FEATURE_DIM : 2 * FEATURE_DIM
+                    ],
+                    dtype=np.uint8,
+                )
+                decoded, _ = wav_decode_pcm8(wav_encode_pcm8(smp))
+                centered = decoded.astype(np.int64) - 128
+                frames = centered.reshape(n_frames, frame_len)
+                nonneg = frames >= 0
+                ids.extend([doc_id] * n_frames)
+                fidx.extend(range(n_frames))
+                energy.extend((frames * frames).sum(axis=1).tolist())
+                zcr.extend(
+                    (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1).tolist()
+                )
+                peak.extend(np.abs(frames).max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype=np.int64),
+                    "frame_idx": np.array(fidx, dtype=np.int32),
+                    "n_samples": np.full(len(ids), frame_len, dtype=np.int32),
+                    "energy": np.array(energy, dtype=np.int64),
+                    "zero_crossings": np.array(zcr, dtype=np.int32),
+                    "peak": np.array(peak, dtype=np.int32),
+                }
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        run,
+        "doc_id long, frame_idx int, n_samples int, energy long, "
+        "zero_crossings int, peak int",
+    )

@@ -680,6 +680,48 @@ def parquet_single_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(loc)
 
 
+@register(
+    "orc_roundtrip_stats",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+  CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents""",
+    survey="ext: ORC source/sink round-trip — columnar-format breadth "
+    "beside the parquet/CSV sinks (Spark's native vectorized ORC "
+    "reader/writer, zlib stripes); the oracle aggregates the ORIGINAL "
+    "parquet rows, so the hash certifies value fidelity through the "
+    "second columnar format, not just row counts",
+)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents written through Spark's ORC sink and read back, then
+    reduced to row/id/lang/char checksums the oracle recomputes from
+    the source-of-truth parquet. ORC round-trips the same logical types
+    (long/string) with its own encoders — a real second-format proof,
+    and at 100 TB the per-task multi-file write (no coalesce here,
+    unlike the single-file parquet contract) is the scalable layout."""
+    import os
+
+    loc = _roundtrip_loc(sf_dir, "orc", _code_token(orc_roundtrip_stats, _docs))
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        (
+            _docs(spark, sf_dir)
+            .select("doc_id", "lang", "text")
+            .write.mode("overwrite")
+            .option("compression", "zlib")
+            .orc(loc)
+        )
+    back = spark.read.orc(loc)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def _label_values_sql() -> str:
     from .sources.io import load_label_map
 
@@ -3126,6 +3168,56 @@ FROM h""",
 )
 def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_roundtrip_features(_docs(spark, sf_dir))
+
+
+def _audio_centered_sql() -> str:
+    """CTE exposing the 8 decoded PCM samples centered at 128 (md5
+    digest bytes 8..15 — the range multimodal_wav_roundtrip certifies
+    survives the WAV container losslessly)."""
+    cols = ",\n  ".join(
+        f"CAST('0x' || substr(hx, {17 + 2 * j}, 2) AS INT) - 128 AS a{j}"
+        for j in range(8)
+    )
+    return (
+        "WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),\n"
+        f"s AS (SELECT doc_id,\n  {cols}\n FROM h)"
+    )
+
+
+def _audio_frame_sql(frame_idx: int) -> str:
+    """One frame's (energy, zero_crossings, peak) over samples
+    a{4f}..a{4f+3} — pure integer arithmetic, identical to the numpy
+    reduction in operators/multimodal.py:audio_frame_features."""
+    a = [f"a{4 * frame_idx + i}" for i in range(4)]
+    energy = " + ".join(f"{x}*{x}" for x in a)
+    zcr = " + ".join(
+        f"CASE WHEN ({a[i + 1]} >= 0) <> ({a[i]} >= 0) THEN 1 ELSE 0 END"
+        for i in range(3)
+    )
+    peak = ", ".join(f"abs({x})" for x in a)
+    return (
+        f"SELECT doc_id, CAST({frame_idx} AS INT) AS frame_idx, "
+        "CAST(4 AS INT) AS n_samples, "
+        f"CAST({energy} AS BIGINT) AS energy, "
+        f"CAST({zcr} AS INT) AS zero_crossings, "
+        f"CAST(greatest({peak}) AS INT) AS peak FROM s"
+    )
+
+
+@register(
+    "multimodal_audio_frames",
+    f"""{_audio_centered_sql()}
+{_audio_frame_sql(0)}
+UNION ALL
+{_audio_frame_sql(1)}""",
+    survey="ext: frame-level audio feature extraction through the REAL "
+    "WAV codec — encode → stdlib-wave decode → center → frame → "
+    "energy/zero-crossings/peak, one mapInPandas pass with a 1→n_frames "
+    "fan-out; every feature is an integer function of the sample bytes, "
+    "so the oracle recomputes them exactly from md5 hex pairs",
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.audio_frame_features(_docs(spark, sf_dir))
 
 
 # ===========================================================================

@@ -308,6 +308,46 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_char_entropy",
+    f"""WITH c AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+f AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+m AS (SELECT doc_id,
+        sum(CAST(floor(c * log2(c) * 1000000.0) AS BIGINT)) AS micro,
+        sum(c) AS n
+      FROM f GROUP BY 1)
+SELECT doc_id, CAST(n AS INT) AS n_chars,
+  {V.quantize_sql('log2(CAST(n AS DOUBLE)) - (micro / 1000000.0) / n', 6)}
+    AS char_entropy
+FROM m""",
+    survey="ext: character-entropy quality signal (CCNet-class gibberish/"
+    "repetition filter) — per-row array_sort + run-length fold, ZERO "
+    "shuffle and no row explosion (the oracle's explode+groupBy twin "
+    "would 30x the corpus through a shuffle at 100 TB); micro-int "
+    "entropy terms make the cross-row sum order-free, so both plans "
+    "produce bit-identical doubles before the final floor-quantize",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy over characters per document: near-zero for
+    single-character spam, low for repetitive boilerplate, high for
+    natural text and highest for random gibberish — the cheap two-sided
+    quality cut (drop BOTH tails). Computed per row (no shuffle): sort
+    the char array, fold run lengths, accumulate integer micro-terms
+    floor(c·log2(c)·10⁶); H = log2(n) − (micro/10⁶)/n."""
+    d = _docs(spark, sf_dir)
+    n, micro = X.char_entropy_parts(F.col("text"))
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_chars"),
+        V.quantize(
+            F.log2(n.cast("double"))
+            - (micro / F.lit(1000000.0)) / n,
+            6,
+        ).alias("char_entropy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (train ∩ eval n-gram overlap)
 # ---------------------------------------------------------------------------
@@ -2058,6 +2098,37 @@ def corpus_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "true_cnt")
         .agg(F.min("counter").alias("est_cnt"))
     )
+
+
+_HH_PHI_INV = 1000  # heavy hitter ⇔ freq ≥ N/1000 (φ = 0.1%)
+
+
+@register(
+    "corpus_heavy_hitters",
+    f"""WITH w AS (
+  SELECT unnest({X.tokenize_sql('text')}) AS token FROM documents),
+tot AS (SELECT count(*) AS n FROM w)
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM w GROUP BY token
+HAVING count(*) * {_HH_PHI_INV} >= (SELECT n FROM tot)""",
+    survey="ext: frequent-items enumeration (iceberg query) — per-partition "
+    "Misra-Gries summaries (O(k) state per task, mergeable per Agarwal et "
+    "al. PODS'12) feed a broadcast exact recount; the integer threshold "
+    "filter (phi_inv·freq ≥ N) makes the output partition-independent, so "
+    "it hashes against a plain GROUP BY/HAVING oracle",
+)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every token with frequency ≥ N/1000, found the scalable way: the
+    candidate pass touches each token once with bounded (k-counter)
+    per-task state instead of shuffling the full vocabulary, then the
+    recount pass shuffles only the ≤ k·num_partitions candidates. The
+    DuckDB oracle IS the naive full-vocab plan — the hash match proves
+    the bounded-memory algorithm loses nothing above the threshold."""
+    from .operators import heavyhitters
+
+    d = _docs(spark, sf_dir)
+    tokens = d.select(F.explode(X.tokenize(F.col("text"))).alias("token"))
+    return heavyhitters.heavy_hitters(tokens, phi_inv=_HH_PHI_INV)
 
 
 # ---------------------------------------------------------------------------

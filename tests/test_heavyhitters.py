@@ -1,0 +1,119 @@
+"""Misra-Gries heavy hitters: merge-rule guarantees, partition
+independence of the final output, and the broadcast-recount plan."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from spark_streaming_twitch_analytics_spark import registry
+from spark_streaming_twitch_analytics_spark.operators import heavyhitters as HH
+
+SF = "/root/testdata/sf0.001"
+
+
+def _random_stream(rng: random.Random, n: int, vocab: int) -> list[str]:
+    # Zipf-ish: small ids hugely more likely, so real heavy hitters exist
+    return [f"t{int(vocab ** rng.random())}" for _ in range(n)]
+
+
+def test_mg_merge_bound_and_no_missed_heavy_hitter():
+    """After merging arbitrary batch splits: ≥ the k largest survive
+    with undercount ≤ n/(k+1) — so every token with freq > n/(k+1)
+    is present in the summary (the superset guarantee the two-pass
+    operator rests on)."""
+    rng = random.Random(7)
+    for k in (5, 16, 64):
+        stream = _random_stream(rng, 20_000, 1_000)
+        truth = Counter(stream)
+        n = len(stream)
+        summary: dict[str, int] = {}
+        i = 0
+        while i < n:  # ragged batch boundaries
+            step = rng.randint(1, 4_000)
+            summary = HH.mg_merge_batch(
+                summary, dict(Counter(stream[i : i + step])), k
+            )
+            i += step
+        bound = n / (k + 1)
+        for tok, lb in summary.items():
+            assert 0 < lb <= truth[tok]
+            assert truth[tok] - lb <= bound
+        for tok, c in truth.items():
+            if c > bound:
+                assert tok in summary, f"missed heavy hitter {tok} (c={c})"
+
+
+def test_mg_merge_state_bounded():
+    rng = random.Random(3)
+    k = 10
+    summary: dict[str, int] = {}
+    for _ in range(50):
+        batch = Counter(_random_stream(rng, 500, 10_000))
+        summary = HH.mg_merge_batch(summary, dict(batch), k)
+        # strictly > the (k+1)-th largest survives ⇒ at most k counters
+        assert len(summary) <= k
+
+
+def test_heavy_hitters_output_partition_independent(spark):
+    rng = random.Random(11)
+    stream = _random_stream(rng, 8_000, 400)
+    truth = Counter(stream)
+    n = len(stream)
+    phi_inv = 50
+    expect = sorted(
+        (t, c) for t, c in truth.items() if c * phi_inv >= n
+    )
+    assert expect, "test stream must contain heavy hitters"
+    results = []
+    for parts in (1, 3, 8):
+        df = spark.createDataFrame(
+            [(t,) for t in stream], "token string"
+        ).repartition(parts)
+        out = HH.heavy_hitters(df, phi_inv=phi_inv, k=64).collect()
+        results.append(sorted((r["token"], r["freq"]) for r in out))
+    assert results[0] == results[1] == results[2] == expect
+
+
+def test_heavy_hitters_rejects_undersized_k(spark):
+    df = spark.createDataFrame([("a",)], "token string")
+    try:
+        HH.heavy_hitters(df, phi_inv=100, k=10)
+    except ValueError as e:
+        assert "superset" in str(e)
+    else:
+        raise AssertionError("k < phi_inv must be rejected")
+
+
+def test_registry_heavy_hitters_plan_broadcasts_recount(spark):
+    from spark_streaming_twitch_analytics_spark.plans import explain as EX
+
+    df = registry.get("corpus_heavy_hitters").fn(spark, SF)
+    # candidate set and total must be broadcast — a sort-merge join here
+    # would mean the recount shuffles the full token stream by key
+    assert EX.count_operator(df, "BroadcastHashJoin") >= 1
+    assert not EX.has_operator(df, "SortMergeJoin")
+    plan = EX.formatted_plan(df)
+    assert "MapInPandas" in plan  # the bounded-memory candidate pass
+
+
+def test_registry_heavy_hitters_matches_exact(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    from spark_streaming_twitch_analytics_spark.functions import text as X
+
+    tokens = d.select(F.explode(X.tokenize(F.col("text"))).alias("token"))
+    n = tokens.count()
+    exact = {
+        (r["token"], r["c"])
+        for r in tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * 1000 >= n)
+        .collect()
+    }
+    got = {
+        (r["token"], r["freq"])
+        for r in registry.get("corpus_heavy_hitters").fn(spark, SF).collect()
+    }
+    assert got == exact

@@ -283,3 +283,24 @@ def test_kv_append_preserves_ttl(spark, tmp_path):
     assert meta["ttl"] == 3600
     schema = T._parse_datatype_string("k string, v int")
     assert store.get_table("t", schema).count() == 2
+
+
+def test_orc_roundtrip_stats_query_matches_source(spark, docs):
+    """The registered ORC round-trip query's checksums must equal the
+    same aggregate computed directly on the source parquet — value
+    fidelity through the second columnar format, not just row counts."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark import registry
+
+    got = registry.get("orc_roundtrip_stats").fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    ).collect()[0]
+    assert got.asDict() == want.asDict()

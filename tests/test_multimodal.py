@@ -423,3 +423,60 @@ def test_wav_roundtrip_features_matches_md5_samples(spark, docs):
     for doc_id, text in src.items():
         smp = hashlib.md5(text.encode("utf-8")).digest()[8:16]
         assert out[doc_id] == (8, sum(smp), multimodal.WAV_RATE)
+
+
+def test_audio_frame_features_matches_numpy(spark, docs):
+    """Frame features through the REAL WAV codec equal the direct numpy
+    reduction over the md5-derived samples (energy/ZCR/peak, centered
+    at the PCM8 midpoint)."""
+    import hashlib
+
+    out = {
+        (r["doc_id"], r["frame_idx"]): (
+            r["n_samples"],
+            r["energy"],
+            r["zero_crossings"],
+            r["peak"],
+        )
+        for r in multimodal.audio_frame_features(docs.limit(20)).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    assert len(out) == 2 * len(src)  # 8 samples → two 4-sample frames
+    for doc_id, text in src.items():
+        smp = np.frombuffer(
+            hashlib.md5(text.encode("utf-8")).digest()[8:16], dtype=np.uint8
+        )
+        centered = smp.astype(np.int64) - 128
+        for fi in range(2):
+            fr = centered[fi * 4 : (fi + 1) * 4]
+            nonneg = fr >= 0
+            assert out[(doc_id, fi)] == (
+                4,
+                int((fr * fr).sum()),
+                int((nonneg[1:] != nonneg[:-1]).sum()),
+                int(np.abs(fr).max()),
+            )
+
+
+def test_audio_frame_features_zcr_convention(spark):
+    """Pin the zero-crossing convention: sign = (sample >= 128), crossing
+    counted per adjacent pair WITHIN a frame only (no cross-frame pair)."""
+    import hashlib
+
+    # find a text whose md5 bytes 8..16 alternate around 128 at the
+    # frame boundary — the boundary pair must NOT be counted
+    for i in range(10_000):
+        t = f"probe-{i}"
+        smp = hashlib.md5(t.encode()).digest()[8:16]
+        if (smp[3] >= 128) != (smp[4] >= 128):
+            break
+    else:
+        raise AssertionError("no boundary-crossing probe found")
+    df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    rows = multimodal.audio_frame_features(df).collect()
+    total_zcr = sum(r["zero_crossings"] for r in rows)
+    centered = np.frombuffer(smp, dtype=np.uint8).astype(np.int64) - 128
+    nonneg = centered >= 0
+    full_stream_zcr = int((nonneg[1:] != nonneg[:-1]).sum())
+    # the boundary crossing exists in the full stream but not per-frame
+    assert total_zcr == full_stream_zcr - 1

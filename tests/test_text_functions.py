@@ -243,3 +243,67 @@ def test_simhash64_np_and_expr_agree_on_null_tokens(spark):
     for r in both:
         assert list(r["expr"]) == list(r["np"]), r["id"]
     assert list(both[0]["expr"]) == [0, 0, 0, 0]  # null → empty-doc signature
+
+
+def _entropy_ref(text: str) -> tuple[int, float]:
+    """Reference char entropy via the same micro-int formula: integer
+    micro-terms make the sum order-free, so this must match the Spark
+    fold bit-for-bit before the 6dp floor-quantize."""
+    import math
+    from collections import Counter
+
+    chars = list(text) if text else [""]
+    n = len(chars)
+    micro = sum(
+        math.floor(c * math.log2(c) * 1_000_000.0)
+        for c in Counter(chars).values()
+    )
+    h = math.log2(float(n)) - (micro / 1_000_000.0) / n
+    return n, math.floor(h * 1_000_000.0) / 1_000_000.0
+
+
+def test_char_entropy_known_values(spark):
+    cases = {
+        "aaaa": 0.0,  # one symbol → zero entropy
+        "ab": 1.0,  # two equiprobable symbols → exactly 1 bit
+        "abcd": 2.0,
+        "": 0.0,  # split('') yields [''] → n=1 → defined as 0
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    n, micro = X.char_entropy_parts(F.col("text"))
+    from spark_streaming_twitch_analytics_spark.functions import vectors as V
+
+    got = {
+        r["text"]: r["h"]
+        for r in df.select(
+            "text",
+            V.quantize(
+                F.log2(n.cast("double")) - (micro / F.lit(1e6)) / n, 6
+            ).alias("h"),
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_char_entropy_fold_matches_counter_reference(spark, docs):
+    sample = [r["text"] for r in docs.limit(30).collect()]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(sample)], "doc_id long, text string"
+    )
+    n, micro = X.char_entropy_parts(F.col("text"))
+    rows = df.select(
+        "doc_id", n.alias("n"), micro.alias("micro")
+    ).collect()
+    import math
+    from collections import Counter
+
+    for r in rows:
+        t = sample[r["doc_id"]]
+        chars = list(t) if t else [""]
+        micro_ref = sum(
+            math.floor(c * math.log2(c) * 1_000_000.0)
+            for c in Counter(chars).values()
+        )
+        assert (r["n"], r["micro"]) == (len(chars), micro_ref)
