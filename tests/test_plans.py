@@ -386,3 +386,22 @@ def test_tree_nodes_parses_codegen_markers():
         (4, "Scan"),
     ]
     assert EX.operator_has_descendant(plan, "ObjectHashAggregate", "Expand")
+
+
+def test_char_entropy_is_narrow_map(spark):
+    """The entropy fold must stay per-row: zero Exchange, no explode of
+    the character stream (the oracle's explode+groupBy twin would 30x
+    the corpus through a shuffle at scale)."""
+    df = q(spark, "text_char_entropy")
+    assert EX.count_operator(df, "Exchange") == 0
+    plan = EX.formatted_plan(df)
+    assert "Generate" not in plan  # no explode anywhere
+    assert "BatchEvalPython" not in plan
+
+
+def test_audio_frames_is_shuffle_free_arrow_pass(spark):
+    """Decode → frame → reduce must be one embarrassingly-parallel
+    mapInPandas pass: zero Exchange at any corpus size."""
+    df = q(spark, "multimodal_audio_frames")
+    assert EX.count_operator(df, "Exchange") == 0
+    assert "MapInPandas" in EX.formatted_plan(df)

@@ -98,6 +98,10 @@ QUERIES = [
     "orders_capped_cumsum_fold",
     "approx_sketches",
     "dedup_embedding_cosine",
+    "corpus_heavy_hitters",
+    "text_char_entropy",
+    "multimodal_audio_frames",
+    "orc_roundtrip_stats",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
