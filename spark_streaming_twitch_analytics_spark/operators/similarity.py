@@ -1011,3 +1011,102 @@ def ivfpq_rerank(
     )
     pairs = c.join(F.broadcast(short), "c_id").join(F.broadcast(q), "q_id")
     return _topk(_scored(pairs), k)
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    n_candidates: int = 12,
+    n_select: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    SIGIR 1998, public): greedily pick ``n_select`` of the top
+    ``n_candidates`` cosine neighbours, each step maximizing
+    ``lam·rel − (1−lam)·max_sim_to_already_selected`` — the standard
+    de-redundancy re-rank for retrieval and training-data curation
+    (near-identical top hits waste the budget a diverse set would use).
+
+    Scale shape: the candidate pool per query is bounded (``n_candidates``
+    rows from :func:`brute_force_topk` or any ANN variant), the pairwise
+    similarity stage is a q_id-keyed self-join of that bounded pool
+    (≤ C² rows per query), and the greedy loop — inherently sequential,
+    the one genuinely iterative step — runs per-group in
+    ``applyInPandas`` over ≤ C·(C−1) rows, so it distributes across
+    queries and touches no unbounded state.
+
+    Determinism: rel and sim are the engine-exact quantized cosines
+    (identical fold order both engines, functions/vectors.py), the MMR
+    score is two multiplies and a subtract on those quantized doubles
+    (bit-identical IEEE), ties break on c_id — so the greedy trajectory
+    is reproducible and the unrolled-step SQL oracle hashes exactly.
+    """
+    import pandas as pd
+
+    # NULL rel (zero-norm query or candidate) is ranked last by the
+    # top-k cut and dropped here — a zero-norm QUERY thus yields no MMR
+    # rows (no meaningful relevance order exists), matching the oracle
+    cand = (
+        brute_force_topk(queries, candidates, n_candidates)
+        .filter(F.col("cos").isNotNull())
+        .select("q_id", "c_id", F.col("cos").alias("rel"))
+    )
+    emb = candidates.select(
+        F.col("vec_id").alias("c_id"),
+        as_double(F.col("embedding")).alias("cv"),
+        norm(as_double(F.col("embedding")), DIM).alias("cn"),
+    )
+    ce = cand.join(emb, "c_id")
+    left = ce.select("q_id", "c_id", "rel", "cv", "cn")
+    right = ce.select(
+        F.col("q_id"),
+        F.col("c_id").alias("other_id"),
+        F.col("cv").alias("ov"),
+        F.col("cn").alias("onorm"),
+    )
+    denom = F.col("cn") * F.col("onorm")
+    # zero-norm OTHER → treat as orthogonal (sim 0), same coalesce in SQL
+    sim = F.coalesce(
+        F.when(
+            denom != 0, quantize(dot(F.col("cv"), F.col("ov"), DIM) / denom, 6)
+        ),
+        F.lit(0.0),
+    )
+    pairs = (
+        left.join(right, "q_id")
+        .filter(F.col("c_id") != F.col("other_id"))
+        .select("q_id", "c_id", "rel", "other_id", sim.alias("sim"))
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = dict(zip(pdf["c_id"], pdf["rel"]))
+        simd = dict(zip(zip(pdf["c_id"], pdf["other_id"]), pdf["sim"]))
+        q_id = int(pdf["q_id"].iloc[0])
+        selected: list[int] = []
+        out = []
+        remaining = sorted(rel)  # ascending c_id = the tie order
+        for step in range(1, n_select + 1):
+            best = None
+            for c in remaining:
+                if selected:
+                    maxsim = max(simd[(c, s)] for s in selected)
+                else:
+                    maxsim = 0.0
+                score = lam * rel[c] - (1.0 - lam) * maxsim
+                if best is None or score > best[1]:  # ties keep lower c_id
+                    best = (c, score)
+            if best is None:
+                break
+            selected.append(best[0])
+            remaining.remove(best[0])
+            out.append((q_id, step, best[0], best[1]))
+        return pd.DataFrame(
+            out, columns=["q_id", "step", "c_id", "score"]
+        )
+
+    picked = pairs.groupBy("q_id").applyInPandas(
+        greedy, "q_id long, step int, c_id long, score double"
+    )
+    return picked.select(
+        "q_id", "step", "c_id", quantize(F.col("score"), 6).alias("score")
+    )

@@ -1814,6 +1814,85 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_C = 12  # candidate pool per query (any ANN variant can feed it)
+_MMR_M = 5  # diversified picks per query
+_MMR_LAM = 0.7  # relevance weight; (1-λ) penalizes redundancy
+
+
+def _mmr_sql() -> str:
+    """Unrolled-step MMR oracle: the greedy argmax is inherently
+    sequential, but with M fixed it unrolls to M chained CTEs — each
+    step a window argmax of λ·rel − (1−λ)·max_sim_to_selected over the
+    not-yet-selected candidates. Coefficients are emitted with repr()
+    so BOTH engines multiply by the same doubles (1−0.7 is
+    0.30000000000000004, not 0.3)."""
+    lam, one_m = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    parts = [
+        f"""WITH e AS ({_EMB_CTE}),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, q WHERE c.vec_id <> q_id),
+cand0 AS ({topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", _MMR_C, ["c_id"])}),
+cand AS (SELECT q_id, c_id, cos AS rel FROM cand0 WHERE cos IS NOT NULL),
+ce AS (SELECT cand.q_id, cand.c_id, cand.rel, e.v FROM cand
+  JOIN e ON e.vec_id = cand.c_id),
+ps AS (SELECT a.q_id, a.c_id AS d1, b.c_id AS d2,
+  coalesce({V.cosine_sql("a.v", "b.v", 64)}, 0.0) AS sim
+  FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+s1 AS (SELECT q_id, c_id, CAST(1 AS INT) AS step, score FROM (
+  SELECT q_id, c_id, {lam} * rel - {one_m} * 0.0 AS score,
+    row_number() OVER (PARTITION BY q_id
+      ORDER BY {lam} * rel - {one_m} * 0.0 DESC, c_id ASC) AS rn
+  FROM cand) WHERE rn = 1),
+sel1 AS (SELECT q_id, c_id FROM s1)"""
+    ]
+    for i in range(2, _MMR_M + 1):
+        parts.append(
+            f""",
+m{i} AS (SELECT ps.q_id, ps.d1 AS c_id, max(ps.sim) AS ms
+  FROM ps JOIN sel{i - 1} s ON s.q_id = ps.q_id AND s.c_id = ps.d2
+  GROUP BY 1, 2),
+s{i} AS (SELECT q_id, c_id, CAST({i} AS INT) AS step, score FROM (
+  SELECT c.q_id, c.c_id, {lam} * c.rel - {one_m} * m.ms AS score,
+    row_number() OVER (PARTITION BY c.q_id
+      ORDER BY {lam} * c.rel - {one_m} * m.ms DESC, c.c_id ASC) AS rn
+  FROM cand c
+  JOIN m{i} m ON m.q_id = c.q_id AND m.c_id = c.c_id
+  LEFT JOIN sel{i - 1} x ON x.q_id = c.q_id AND x.c_id = c.c_id
+  WHERE x.c_id IS NULL) WHERE rn = 1),
+sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT q_id, c_id FROM s{i})"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, _MMR_M + 1))
+    parts.append(
+        f"""
+SELECT q_id, step, c_id, {V.quantize_sql("score", 6)} AS score
+FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "retrieval_mmr_diverse",
+    _mmr_sql(),
+    survey="ext: MMR diversification (Carbonell & Goldstein SIGIR'98) — "
+    "bounded candidate pool per query, q_id-keyed C² pairwise-sim stage, "
+    "greedy argmax per group in applyInPandas; engine-exact quantized "
+    "cosines + repr'd coefficients make the greedy trajectory identical "
+    "to the unrolled-step SQL oracle, hash-exact",
+)
+def retrieval_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse top-M retrieval: rank by relevance, then re-rank so each
+    pick maximizes λ·rel − (1−λ)·max-sim-to-already-picked. The greedy
+    loop (the only sequential part) runs over ≤ C·(C−1) rows per query
+    group; everything feeding it is bounded joins over the candidate
+    pool, so the operator distributes across queries at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return similarity.mmr_rerank(
+        queries, emb, n_candidates=_MMR_C, n_select=_MMR_M, lam=_MMR_LAM
+    )
+
+
 _SEMDEDUP_CELLS = 8
 _SEMDEDUP_TAU = 0.4  # synthetic embeddings top out near cos 0.51 (see
 # dedup_embedding_cosine); production near-dup would use ~0.95

@@ -538,3 +538,62 @@ def test_rerank_recall_dominates_raw_ivfpq(spark):
     ).collect()[0]
     assert rr["recall"] >= raw["recall"]
     assert rr["total"] == raw["total"] > 0
+
+
+def _unit_embed(spark, rows):
+    """rows: (vec_id, 64-dim list) → embeddings-shaped DataFrame."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_mmr_promotes_diverse_pick_over_redundant_twin(spark):
+    """Planted geometry: candidates 1 and 2 are near-identical and most
+    relevant; 3 is orthogonal-ish and less relevant. Pure relevance
+    ranks (1, 2, 3); MMR must rank (1, 3, 2) — the redundant twin pays
+    the (1−λ)·max_sim penalty."""
+    import numpy as np
+
+    d = 64
+    q = np.zeros(d); q[0] = 1.0
+    c1 = np.zeros(d); c1[0] = 1.0; c1[1] = 0.99  # most relevant (cos .711)
+    c2 = np.zeros(d); c2[0] = 1.0; c2[1] = 1.0   # ~duplicate of c1 (cos .707)
+    c3 = np.zeros(d); c3[0] = 1.0; c3[2] = 1.0   # equal rel, diverse (sim to c1 ≈ .50)
+    # query vec_id must satisfy the operator's caller contract (any id);
+    # candidates exclude the query id inside brute_force_topk
+    df = _unit_embed(spark, [(0, q), (1, c1), (2, c2), (3, c3)])
+    out = similarity.mmr_rerank(
+        df.filter(F.col("vec_id") == 0), df, n_candidates=3, n_select=3
+    ).collect()
+    order = [r["c_id"] for r in sorted(out, key=lambda r: r["step"])]
+    assert order == [1, 3, 2]
+    # and pure relevance (the pool order) would have been 1, 2, 3
+    rel = similarity.brute_force_topk(
+        df.filter(F.col("vec_id") == 0), df, 3
+    ).collect()
+    assert [r["c_id"] for r in sorted(rel, key=lambda r: r["rn"])] == [1, 2, 3]
+
+
+def test_mmr_zero_norm_query_yields_no_rows(spark):
+    import numpy as np
+
+    d = 64
+    z = np.zeros(d)
+    c = np.zeros(d); c[0] = 1.0
+    df = _unit_embed(spark, [(0, z), (1, c), (2, c)])
+    out = similarity.mmr_rerank(
+        df.filter(F.col("vec_id") == 0), df, n_candidates=2, n_select=2
+    ).collect()
+    assert out == []
+
+
+def test_mmr_plan_groups_in_pandas_no_rowwise_udf(spark):
+    from spark_streaming_twitch_analytics_spark import registry
+    from spark_streaming_twitch_analytics_spark.plans import explain as EX
+
+    df = registry.get("retrieval_mmr_diverse").fn(spark, "/root/testdata/sf0.001")
+    plan = EX.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan  # the greedy step, per-group
+    assert "BatchEvalPython" not in plan  # no row-wise Python UDF
+    assert "CartesianProduct" not in plan  # pair stage is q_id-keyed
