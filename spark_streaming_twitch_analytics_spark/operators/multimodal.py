@@ -533,3 +533,74 @@ def audio_frame_features(df: DataFrame, frame_len: int = 4) -> DataFrame:
         "doc_id long, frame_idx int, n_samples int, energy long, "
         "zero_crossings int, peak int",
     )
+
+
+# 8-point DFT twiddle tables: every angle is a multiple of π/4, so the
+# factors are EXACT doubles from this table — no trig call on any engine,
+# which is what makes the spectrum hash-checkable (math.cos/duckdb cos
+# could differ in the last ulp; a shared literal cannot).
+_SQRT2_2 = 0.7071067811865476  # repr(math.sqrt(2) / 2)
+_COS8 = [1.0, _SQRT2_2, 0.0, -_SQRT2_2, -1.0, -_SQRT2_2, 0.0, _SQRT2_2]
+_SIN8 = [0.0, _SQRT2_2, 1.0, _SQRT2_2, 0.0, -_SQRT2_2, -1.0, -_SQRT2_2]
+
+
+def dft8_power(centered: "np.ndarray") -> list[float]:
+    """Naive 8-point real-input DFT power spectrum (bins 0..4), summed
+    in strict left-to-right order so the doubles are bit-identical to a
+    left-associated SQL sum of the same products. Input: the 8 centered
+    samples as integers."""
+    powers = []
+    for k in range(5):
+        re = 0.0
+        im = 0.0
+        for n in range(8):
+            m = (k * n) % 8
+            re = re + float(centered[n]) * _COS8[m]
+            im = im - float(centered[n]) * _SIN8[m]
+        powers.append(re * re + im * im)
+    return powers
+
+
+def audio_spectrum_features(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """Frequency-domain twin of :func:`audio_frame_features`: decode the
+    REAL WAV bytes back to samples, center at the PCM8 midpoint, and
+    emit the 5-bin one-sided DFT power spectrum (1→5 fan-out). The
+    twiddle factors are exact table doubles (angles are multiples of
+    π/4), products and the left-associated sums are IEEE-identical on
+    both engines, so the oracle recomputes the spectrum exactly from
+    md5 hex pairs. Same embarrassingly-parallel mapInPandas shape as
+    the other codec passes — no shuffle at any size; production swaps
+    the 8-point naive DFT for an FFT over real windows behind the same
+    decode seam (an FFT's different summation ORDER would then put the
+    oracle behind a tolerance, which is why this pinned-size operator
+    keeps the naive order)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                ids, bins, powers = [], [], []
+                for doc_id, t in zip(chunk["doc_id"], chunk["text"]):
+                    smp = np.frombuffer(
+                        hashlib.md5(t.encode("utf-8")).digest()[
+                            FEATURE_DIM : 2 * FEATURE_DIM
+                        ],
+                        dtype=np.uint8,
+                    )
+                    decoded, _ = wav_decode_pcm8(wav_encode_pcm8(smp))
+                    centered = decoded.astype(np.int64) - 128
+                    for k, p in enumerate(dft8_power(centered)):
+                        ids.append(doc_id)
+                        bins.append(k)
+                        powers.append(p)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array(ids, dtype=np.int64),
+                        "bin": np.array(bins, dtype=np.int32),
+                        "power": np.array(powers, dtype=np.float64),
+                    }
+                )
+
+    return df.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, bin int, power double"
+    )

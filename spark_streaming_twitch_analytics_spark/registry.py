@@ -2170,6 +2170,49 @@ def streaming_stateful_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updates.groupBy("word").agg(F.max("cnt").alias("cnt"))
 
 
+_STREAM_HH_PHI_INV = 500  # stream heavy hitter ⇔ freq ≥ N/500 (φ = 0.2%)
+
+
+@register(
+    "streaming_heavy_hitters",
+    f"""{_STREAM_ROUNDTRIP_CTE},
+wc AS ({messages.word_counts_sql("text", "fmt")}),
+tot AS (SELECT sum(cnt) AS n FROM wc)
+SELECT word, CAST(cnt AS BIGINT) AS freq FROM wc
+WHERE cnt * {_STREAM_HH_PHI_INV} >= (SELECT n FROM tot)""",
+    survey="ext: streaming iceberg query — the frequent-items cut over "
+    "live per-key state (applyInPandasWithState running counts), the "
+    "streaming twin of corpus_heavy_hitters: same integer threshold "
+    "(phi_inv·freq ≥ N), applied to the final state snapshot, so the "
+    "result is the exact heavy-hitter set of everything streamed so far",
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a live stream: words accumulate running counts
+    in keyed state; the threshold cut reads the state snapshot. Keyed
+    state shards across executors (state size = vocabulary of the
+    stream; production bounds it with state TTL — the idle_timeout seam
+    below — or swaps in per-partition MG summaries when even the hot
+    vocabulary is too large, as corpus_heavy_hitters does for batch)."""
+    from .functions.text import countable_words
+    from .operators.messages import format_raw_messages
+    from .streaming.stateful import running_count_with_expiry
+
+    def build(raw: DataFrame) -> DataFrame:
+        words = format_raw_messages(raw).select(
+            F.explode(countable_words(F.col("text"), DEFAULT_LANG)).alias("word")
+        )
+        return running_count_with_expiry(words, idle_timeout_ms=None)
+
+    updates = _run_stream_over_docs(spark, sf_dir, build, mode="update")
+    final = updates.groupBy("word").agg(F.max("cnt").alias("freq"))
+    total = final.agg(F.sum("freq").alias("n"))
+    return (
+        final.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * _STREAM_HH_PHI_INV >= F.col("n"))
+        .select("word", "freq")
+    )
+
+
 def _has_tws_runtime() -> bool:
     """transformWithStateInPandas needs the protobuf runtime for its
     state-server protocol (pyspark/sql/streaming/proto/StateMessage_pb2)."""
@@ -3280,6 +3323,47 @@ def _audio_frame_sql(frame_idx: int) -> str:
         f"CAST({energy} AS BIGINT) AS energy, "
         f"CAST({zcr} AS INT) AS zero_crossings, "
         f"CAST(greatest({peak}) AS INT) AS peak FROM s"
+    )
+
+
+def _audio_spectrum_bin_sql(k: int) -> str:
+    """One DFT bin's power over centered samples a0..a7, with the exact
+    twiddle-table doubles and the same left-associated op sequence as
+    ``operators.multimodal.dft8_power`` — bit-identical, no trig call."""
+    def d(x: float) -> str:
+        # plain decimal literals parse as DECIMAL in DuckDB (bounded
+        # precision → overflow, non-IEEE arithmetic); force DOUBLE
+        return f"CAST({x!r} AS DOUBLE)"
+
+    re_terms = "".join(
+        f" + (a{n}) * {d(multimodal._COS8[(k * n) % 8])}" for n in range(8)
+    )
+    im_terms = "".join(
+        f" - (a{n}) * {d(multimodal._SIN8[(k * n) % 8])}" for n in range(8)
+    )
+    re = f"({d(0.0)}{re_terms})"
+    im = f"({d(0.0)}{im_terms})"
+    return (
+        f"SELECT doc_id, CAST({k} AS INT) AS bin, "
+        f"{V.quantize_sql(f'{re} * {re} + {im} * {im}', 6)}"
+        " AS power FROM s"
+    )
+
+
+@register(
+    "multimodal_audio_spectrum",
+    lambda: f"""{_audio_centered_sql()}
+{" UNION ALL ".join(_audio_spectrum_bin_sql(k) for k in range(5))}""",
+    survey="ext: frequency-domain audio features through the REAL WAV "
+    "codec — 8-point DFT power spectrum (bins 0..4) with exact "
+    "twiddle-table doubles (angles are multiples of π/4: 0, ±1, ±√2/2), "
+    "so no engine ever calls trig and the left-associated sums are "
+    "IEEE-identical; one shuffle-free mapInPandas pass, 1→5 fan-out",
+)
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = multimodal.audio_spectrum_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "bin", V.quantize(F.col("power"), 6).alias("power")
     )
 
 

@@ -480,3 +480,36 @@ def test_audio_frame_features_zcr_convention(spark):
     full_stream_zcr = int((nonneg[1:] != nonneg[:-1]).sum())
     # the boundary crossing exists in the full stream but not per-frame
     assert total_zcr == full_stream_zcr - 1
+
+
+def test_dft8_power_matches_numpy_rfft():
+    """The naive table-driven DFT must agree with numpy's FFT to within
+    float tolerance on arbitrary sample vectors (the table constants and
+    summation order are exact; rfft differs only in op order)."""
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        c = rng.integers(-128, 128, size=8).astype(np.int64)
+        mine = multimodal.dft8_power(c)
+        ref = np.abs(np.fft.rfft(c)) ** 2
+        assert np.allclose(mine, ref, rtol=1e-12, atol=1e-9)
+
+
+def test_audio_spectrum_features_parseval(spark, docs):
+    """Parseval check through the full Spark pass: Σ|X_k|² over the full
+    two-sided spectrum equals 8·Σx². Bins 1..3 appear twice (conjugate
+    pairs); bins 0 and 4 once."""
+    import hashlib
+
+    rows = multimodal.audio_spectrum_features(docs.limit(10)).collect()
+    by_doc: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["bin"]] = r["power"]
+    src = {r["doc_id"]: r["text"] for r in docs.limit(10).collect()}
+    for doc_id, text in src.items():
+        smp = np.frombuffer(
+            hashlib.md5(text.encode("utf-8")).digest()[8:16], dtype=np.uint8
+        ).astype(np.int64) - 128
+        p = by_doc[doc_id]
+        assert sorted(p) == [0, 1, 2, 3, 4]
+        two_sided = p[0] + p[4] + 2 * (p[1] + p[2] + p[3])
+        assert abs(two_sided - 8.0 * float((smp * smp).sum())) < 1e-6

@@ -405,3 +405,9 @@ def test_audio_frames_is_shuffle_free_arrow_pass(spark):
     df = q(spark, "multimodal_audio_frames")
     assert EX.count_operator(df, "Exchange") == 0
     assert "MapInPandas" in EX.formatted_plan(df)
+
+
+def test_audio_spectrum_is_shuffle_free_arrow_pass(spark):
+    df = q(spark, "multimodal_audio_spectrum")
+    assert EX.count_operator(df, "Exchange") == 0
+    assert "MapInPandas" in EX.formatted_plan(df)
