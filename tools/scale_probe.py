@@ -102,6 +102,9 @@ QUERIES = [
     "text_char_entropy",
     "multimodal_audio_frames",
     "orc_roundtrip_stats",
+    "retrieval_mmr_diverse",
+    "multimodal_audio_spectrum",
+    "streaming_heavy_hitters",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
