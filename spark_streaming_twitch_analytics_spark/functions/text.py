@@ -679,3 +679,22 @@ def char_entropy_parts(text_col: Column) -> tuple[Column, Column]:
         chars, zero, step, lambda a: a["acc"] + _entropy_micro_term(a["run"])
     )
     return F.size(chars), micro
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalizer (Python ``unicodedata`` implements
+    the Unicode normalization algorithm; no JVM built-in exists). The
+    genuinely-Python Unicode-tables work rides the vectorized pandas_udf
+    path — never a row-at-a-time UDF. DuckDB's ``nfc_normalize`` is the
+    oracle twin (same public algorithm, verified byte-identical)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return nfc

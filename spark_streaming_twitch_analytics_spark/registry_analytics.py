@@ -1222,3 +1222,74 @@ def lineitem_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("flag", "lo", "hi", "n", "winsorized_sum")
     )
+
+
+# ===========================================================================
+# Robust outlier detection: median / MAD (median absolute deviation)
+# ===========================================================================
+
+_MAD_Q = (("med", 1, 2),)  # rank ceil(n/2): the lower-median order statistic
+
+
+@register(
+    "events_mad_outliers",
+    f"""WITH med0 AS ({quantiles.grouped_exact_quantiles_sql(
+        "SELECT event_type, value FROM events", "event_type", "value", qs=_MAD_Q)}),
+med AS (SELECT event_type, value AS med FROM med0),
+dv AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type) WHERE e.value IS NOT NULL),
+mad0 AS ({quantiles.grouped_exact_quantiles_sql(
+        "SELECT event_type, dev FROM dv", "event_type", "dev", qs=_MAD_Q)}),
+mad AS (SELECT event_type, value AS mad FROM mad0)
+SELECT dv.event_type, CAST(count(*) AS BIGINT) AS n,
+  max(dv.med) AS med, max(a.mad) AS mad,
+  CAST(sum(CASE WHEN dv.dev > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM dv JOIN mad a USING (event_type)
+GROUP BY dv.event_type""",
+    survey="ext: robust outlier detection — per-group median and MAD via "
+    "TWO passes of the histogram-select exact-quantile operator (bin "
+    "table bounded by value range, never row count; a global per-group "
+    "sort never happens), medians broadcast back onto the fact scan; "
+    "med/mad are SELECTED values and the 3·MAD flag is one exact "
+    "multiply, so the report hashes with no tolerance",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier report per event type: the robust twin of the
+    z-score detector (events_anomaly_zscore) — a fat-tailed value
+    column moves mean/stddev but barely moves median/MAD, so this cut
+    survives exactly the data that breaks the parametric one. Both
+    medians are exact order statistics from the two-pass histogram
+    select (operators/quantiles.py); no sort of the full group at any
+    scale."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = quantiles.grouped_exact_quantiles(
+        ev, "event_type", "value", bin_width=1.0, qs=_MAD_Q
+    ).select("event_type", F.col("value").alias("med"))
+    dv = (
+        ev.filter(F.col("value").isNotNull())
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("dev"),
+        )
+    )
+    mad = quantiles.grouped_exact_quantiles(
+        dv.select("event_type", "dev"), "event_type", "dev", bin_width=1.0, qs=_MAD_Q
+    ).select("event_type", F.col("value").alias("mad"))
+    return (
+        dv.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

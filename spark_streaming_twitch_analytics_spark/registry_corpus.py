@@ -308,6 +308,90 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KANON_K = 5  # the k in k-anonymity
+_KANON_BUCKET = 100  # n_chars generalization width (quasi-id coarsening)
+
+
+@register(
+    "privacy_k_anonymity",
+    f"""WITH g AS (SELECT lang, source,
+  CAST(n_chars // {_KANON_BUCKET} AS INT) AS size_bucket,
+  count(*) AS n FROM documents GROUP BY 1, 2, 3)
+SELECT lang, source, size_bucket, CAST(n AS BIGINT) AS n,
+  CAST(n < {_KANON_K} AS INT) AS violates
+FROM g""",
+    survey="ext: k-anonymity audit over the quasi-identifier tuple "
+    "(lang, source, generalized size) — the release-gate report a "
+    "training-data pipeline runs before publishing corpus metadata: "
+    "equivalence classes smaller than k re-identify their members and "
+    "must be suppressed or generalized further; one partial-agg shuffle "
+    "keyed by the quasi-id tuple",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence-class census for k-anonymity: every quasi-identifier
+    combination with its population and a violation flag (n < k). The
+    generalization knob is the size-bucket width — widening it is the
+    standard remediation, re-runnable as the same one-shuffle query."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / _KANON_BUCKET)
+            .cast("int")
+            .alias("size_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "lang",
+            "source",
+            "size_bucket",
+            "n",
+            (F.col("n") < _KANON_K).cast("int").alias("violates"),
+        )
+    )
+
+
+# decomposed suffix (space, e, COMBINING ACUTE, A, COMBINING DIAERESIS):
+# the testdata is ASCII-clean, so — like text_redact_pii's fake PII — a
+# deterministic decorated tail makes the normalization observable: NFC
+# composes e+U+0301 → é and A+U+0308 → Ä, shrinking the text by 2 chars
+_NFC_SUFFIX = " e\u0301A\u0308"  # decomposed: combining acute + diaeresis
+_NFC_SUFFIX_SQL = "' e' || chr(769) || 'A' || chr(776)"
+
+
+@register(
+    "text_nfc_normalize",
+    f"""WITH d AS (SELECT doc_id, text || {_NFC_SUFFIX_SQL} AS t FROM documents)
+SELECT doc_id, CAST(length(t) AS INT) AS n_before,
+  CAST(length(nfc_normalize(t)) AS INT) AS n_after,
+  md5(nfc_normalize(t)) AS digest
+FROM d""",
+    survey="ext: Unicode NFC normalization (the canonical first step of "
+    "corpus text cleaning — mixed composed/decomposed sources hash and "
+    "dedup differently until normalized) — Arrow-batched pandas_udf over "
+    "Python's unicodedata, verified byte-identical to DuckDB's "
+    "nfc_normalize; the decorated decomposed tail proves real "
+    "composition happened (length shrinks by 2)",
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalize every document (with a deterministic decomposed
+    tail appended so the composition is observable on ASCII testdata)
+    and emit before/after char counts plus the md5 of the normalized
+    bytes — the digest the oracle recomputes, certifying byte-exact
+    agreement between the two engines' Unicode tables. Narrow map, one
+    Arrow pass, no shuffle."""
+    d = _docs(spark, sf_dir)
+    nfc = X.nfc_normalize_udf()
+    t = F.concat(F.col("text"), F.lit(_NFC_SUFFIX))
+    return d.select(
+        "doc_id",
+        F.length(t).cast("int").alias("n_before"),
+        F.length(nfc(t)).cast("int").alias("n_after"),
+        F.md5(nfc(t).cast("binary")).alias("digest"),
+    )
+
+
 @register(
     "text_char_entropy",
     f"""WITH c AS (

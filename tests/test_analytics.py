@@ -130,3 +130,27 @@ def test_grouped_quantiles_match_per_group_sort(spark):
         for label, num, den in DEFAULT_QS:
             k = -(-num * n // den)
             assert got[(g, label)] == (k, srt[k - 1]), (g, label)
+
+
+def test_mad_outliers_matches_pandas_recompute(spark):
+    """Per-group median (rank ceil(n/2) order statistic), MAD, and the
+    3·MAD outlier count recomputed in pandas from the raw parquet."""
+    import pandas as pd
+
+    out = {
+        r["event_type"]: r.asDict()
+        for r in registry.get("events_mad_outliers").fn(spark, SF).collect()
+    }
+    raw = pd.read_parquet(f"{SF}/events.parquet")[["event_type", "value"]]
+    raw = raw[raw["value"].notna()]
+    for etype, grp in raw.groupby("event_type"):
+        v = grp["value"].sort_values().to_numpy()
+        n = len(v)
+        med = v[(n + 1) // 2 - 1]  # lower median, 1-based rank ceil(n/2)
+        dev = abs(grp["value"].to_numpy() - med)
+        mad = sorted(dev)[(n + 1) // 2 - 1]
+        got = out[etype]
+        assert got["n"] == n
+        assert got["med"] == med
+        assert got["mad"] == mad
+        assert got["n_outliers"] == int((dev > 3.0 * mad).sum())

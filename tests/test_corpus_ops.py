@@ -783,3 +783,37 @@ def test_bigram_kn_score_matches_hand_computation(spark):
     exp1 = 3 * micro(p(1, 1, 1, 1))
     assert got[1]["n_bigrams"] == 3 and got[1]["sum_p_micro"] == exp1
     assert got[0]["avg_p_kn"] > got[1]["avg_p_kn"]  # fluent repeats win
+
+
+def test_nfc_normalize_composes_decorated_tail(spark):
+    """NFC must compose the appended decomposed pairs (−2 chars per doc)
+    and produce the digest Python's unicodedata computes."""
+    import hashlib
+    import unicodedata
+
+    rows = registry.get("text_nfc_normalize").fn(spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r["n_before"] - r["n_after"] == 2
+        want = unicodedata.normalize(
+            "NFC", docs[r["doc_id"]] + " éÄ"
+        )
+        assert r["digest"] == hashlib.md5(want.encode("utf-8")).hexdigest()
+
+
+def test_k_anonymity_flags_exactly_the_small_classes(spark):
+    import pandas as pd
+
+    rows = registry.get("privacy_k_anonymity").fn(spark, SF).collect()
+    raw = pd.read_parquet(f"{SF}/documents.parquet")
+    raw["size_bucket"] = (raw["n_chars"] // 100).astype(int)
+    truth = raw.groupby(["lang", "source", "size_bucket"]).size()
+    assert len(rows) == len(truth)
+    for r in rows:
+        n = truth[(r["lang"], r["source"], r["size_bucket"])]
+        assert r["n"] == n
+        assert r["violates"] == int(n < 5)
