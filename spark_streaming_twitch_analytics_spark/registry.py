@@ -722,6 +722,61 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jsonl_roundtrip_stats",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+  CAST(sum(CASE WHEN contains(text, '"') OR contains(text, chr(92))
+                OR contains(text, chr(10)) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_escaped
+FROM documents""",
+    survey="ext: JSONL source/sink round-trip (gzip) — the interchange "
+    "format of training corpora, written through write_jsonl and read "
+    "back schema-enforced (no inference scan); the oracle aggregates "
+    "the ORIGINAL rows and n_escaped counts exactly the texts whose "
+    "JSON encoding is non-trivial (quotes/backslashes/newlines), so the "
+    "hash certifies escaping fidelity, not just row counts",
+)
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents through the JSONL sink (gzip) and back through the
+    schema-enforced reader, reduced to checksums the oracle recomputes
+    from the source parquet. Completes the format matrix (parquet / CSV
+    / ORC / JSONL); per-task multi-file write — already the 100 TB
+    layout."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .sources.io import read_jsonl, write_jsonl
+
+    loc = _roundtrip_loc(
+        sf_dir, "jsonl", _code_token(jsonl_roundtrip_stats, write_jsonl, _docs)
+    )
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        write_jsonl(
+            _docs(spark, sf_dir).select("doc_id", "text"), loc, compression="gzip"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = read_jsonl(spark, loc, schema)
+    needs_escape = (
+        F.col("text").contains('"')
+        | F.col("text").contains("\\")
+        | F.col("text").contains("\n")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(F.when(needs_escape, 1).otherwise(0)).alias("n_escaped"),
+    )
+
+
 def _label_values_sql() -> str:
     from .sources.io import load_label_map
 

@@ -304,3 +304,25 @@ def test_orc_roundtrip_stats_query_matches_source(spark, docs):
         F.sum("doc_id").alias("id_sum"),
     ).collect()[0]
     assert got.asDict() == want.asDict()
+
+
+def test_jsonl_roundtrip_stats_query_matches_source(spark, docs):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark import registry
+
+    got = registry.get("jsonl_roundtrip_stats").fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    needs_escape = (
+        F.col("text").contains('"')
+        | F.col("text").contains("\\")
+        | F.col("text").contains("\n")
+    )
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(F.when(needs_escape, 1).otherwise(0)).alias("n_escaped"),
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
