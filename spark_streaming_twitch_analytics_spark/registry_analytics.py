@@ -1293,3 +1293,70 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ===========================================================================
+# Time-weighted average (TWAP): value held between events, weighted by
+# the integer-microsecond interval — the ops/finance aggregate where a
+# plain AVG over irregular samples is simply wrong
+# ===========================================================================
+
+
+@register(
+    "events_twap",
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+  CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+l AS (SELECT *, lead(ts) OVER (PARTITION BY user_id, day
+        ORDER BY ts, event_id) AS nxt FROM e)
+SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN nxt IS NOT NULL
+    THEN cents * (epoch_us(nxt) - epoch_us(ts)) END) AS DOUBLE)
+   / (100.0 * sum(CASE WHEN nxt IS NOT NULL
+    THEN epoch_us(nxt) - epoch_us(ts) END)) AS twap
+FROM l GROUP BY 1, 2
+HAVING sum(CASE WHEN nxt IS NOT NULL
+  THEN epoch_us(nxt) - epoch_us(ts) END) > 0""",
+    survey="ext: time-weighted average per user-day — irregular samples "
+    "weighted by the held interval; integer micro-cents·microseconds "
+    "sums (order-free, overflow-checked: cents·Δt_day < 2⁵³) with ONE "
+    "final division, so the double is bit-identical on both engines; "
+    "one window pass + one keyed aggregate",
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP per user-day: each event's value is held until the next
+    event; the average weights by the integer-microsecond gap. All
+    accumulation is BIGINT (cents × micros), so no float fold order
+    exists to disagree on — the single num/den division at the end is
+    the only floating-point op. Single-event groups (no held interval)
+    are excluded by the HAVING on both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = F.to_date("ts").alias("day")
+    cents = F.round(F.col("value") * 100).cast("long").alias("cents")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    l = ev.select("user_id", day, "ts", "event_id", cents).withColumn(
+        "nxt", F.lead("ts").over(w)
+    )
+    dt = F.unix_micros("nxt") - F.unix_micros("ts")
+    held = F.when(F.col("nxt").isNotNull(), dt)
+    return (
+        l.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("nxt").isNotNull(), F.col("cents") * dt)).alias(
+                "_num"
+            ),
+            F.sum(held).alias("_den"),
+        )
+        .filter(F.col("_den") > 0)
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            (F.col("_num").cast("double") / (F.lit(100.0) * F.col("_den"))).alias(
+                "twap"
+            ),
+        )
+    )

@@ -4,6 +4,8 @@ the numbers meaningful)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from spark_streaming_twitch_analytics_spark import registry
 
 SF = "/root/testdata/sf0.001"
@@ -154,3 +156,32 @@ def test_mad_outliers_matches_pandas_recompute(spark):
         assert got["med"] == med
         assert got["mad"] == mad
         assert got["n_outliers"] == int((dev > 3.0 * mad).sum())
+
+
+def test_twap_hand_computed_series(spark):
+    """2h at 10.00 then 1h at 20.00 → TWAP (10·2 + 20·1)/3 = 13.33…;
+    the trailing event holds nothing. Single-event users are excluded."""
+    from spark_streaming_twitch_analytics_spark.registry_analytics import (
+        events_twap,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "x", 10.0, None),
+        (2, "2024-01-01 02:00:00", 7, "x", 20.0, None),
+        (3, "2024-01-01 03:00:00", 7, "x", 99.0, None),  # trailing
+        (4, "2024-01-01 05:00:00", 8, "x", 42.0, None),  # single event
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = events_twap(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_id"], r["n_events"]) == (7, 3)
+    assert abs(r["twap"] - (10.0 * 2 + 20.0 * 1) / 3) < 1e-12
