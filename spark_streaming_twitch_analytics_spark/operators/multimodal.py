@@ -604,3 +604,43 @@ def audio_spectrum_features(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
     return df.select("doc_id", "text").mapInPandas(
         run, "doc_id long, bin int, power double"
     )
+
+
+def image_stats_features(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """Spatial image features through the REAL PNG codec: encode the
+    md5-derived pixel row (digest bytes 0..7 — the range the round-trip
+    query certifies) to genuine PNG bytes, decode back via
+    :func:`png_decode_gray`, and reduce to integer features — total
+    variation (Σ|p_{i+1}−p_i|, the 1-D edge-energy / blur-detector
+    statistic), min, max, and range. All integers, so the DuckDB oracle
+    recomputes them exactly from md5 hex pairs; same shuffle-free
+    mapInPandas shape as the other codec passes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                ids, tv, mn, mx = [], [], [], []
+                for doc_id, t in zip(chunk["doc_id"], chunk["text"]):
+                    pix = np.frombuffer(
+                        hashlib.md5(t.encode("utf-8")).digest()[:FEATURE_DIM],
+                        dtype=np.uint8,
+                    )
+                    img = png_decode_gray(png_encode_gray(pix.reshape(1, -1)))
+                    row = img[0].astype(np.int64)
+                    ids.append(doc_id)
+                    tv.append(int(np.abs(np.diff(row)).sum()))
+                    mn.append(int(row.min()))
+                    mx.append(int(row.max()))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array(ids, dtype=np.int64),
+                        "total_variation": np.array(tv, dtype=np.int64),
+                        "px_min": np.array(mn, dtype=np.int32),
+                        "px_max": np.array(mx, dtype=np.int32),
+                    }
+                )
+
+    return df.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, total_variation long, px_min int, px_max int"
+    )

@@ -3381,6 +3381,38 @@ def _audio_frame_sql(frame_idx: int) -> str:
     )
 
 
+def _png_pixels_sql() -> str:
+    """CTE exposing the 8 decoded pixels (md5 digest bytes 0..7 — the
+    range multimodal_png_roundtrip certifies survives the PNG codec)."""
+    cols = ",\n  ".join(
+        f"CAST('0x' || substr(hx, {1 + 2 * j}, 2) AS INT) AS p{j}"
+        for j in range(8)
+    )
+    return (
+        "WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),\n"
+        f"s AS (SELECT doc_id,\n  {cols}\n FROM h)"
+    )
+
+
+@register(
+    "multimodal_image_stats",
+    lambda: f"""{_png_pixels_sql()}
+SELECT doc_id,
+  CAST({" + ".join(f"abs(p{j + 1} - p{j})" for j in range(7))} AS BIGINT)
+    AS total_variation,
+  CAST(least({", ".join(f"p{j}" for j in range(8))}) AS INT) AS px_min,
+  CAST(greatest({", ".join(f"p{j}" for j in range(8))}) AS INT) AS px_max
+FROM s""",
+    survey="ext: spatial image feature extraction through the REAL PNG "
+    "codec — total variation (1-D edge energy, the classic blur/flat "
+    "detector), min/max; all-integer features recomputed exactly by the "
+    "oracle from md5 hex pairs; shuffle-free mapInPandas pass (the image "
+    "twin of multimodal_audio_frames)",
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.image_stats_features(_docs(spark, sf_dir))
+
+
 def _audio_spectrum_bin_sql(k: int) -> str:
     """One DFT bin's power over centered samples a0..a7, with the exact
     twiddle-table doubles and the same left-associated op sequence as

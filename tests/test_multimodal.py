@@ -513,3 +513,21 @@ def test_audio_spectrum_features_parseval(spark, docs):
         assert sorted(p) == [0, 1, 2, 3, 4]
         two_sided = p[0] + p[4] + 2 * (p[1] + p[2] + p[3])
         assert abs(two_sided - 8.0 * float((smp * smp).sum())) < 1e-6
+
+
+def test_image_stats_matches_numpy(spark, docs):
+    import hashlib
+
+    out = {
+        r["doc_id"]: (r["total_variation"], r["px_min"], r["px_max"])
+        for r in multimodal.image_stats_features(docs.limit(20)).collect()
+    }
+    for r in docs.limit(20).collect():
+        pix = np.frombuffer(
+            hashlib.md5(r["text"].encode("utf-8")).digest()[:8], dtype=np.uint8
+        ).astype(np.int64)
+        assert out[r["doc_id"]] == (
+            int(np.abs(np.diff(pix)).sum()),
+            int(pix.min()),
+            int(pix.max()),
+        )
