@@ -411,3 +411,25 @@ def test_audio_spectrum_is_shuffle_free_arrow_pass(spark):
     df = q(spark, "multimodal_audio_spectrum")
     assert EX.count_operator(df, "Exchange") == 0
     assert "MapInPandas" in EX.formatted_plan(df)
+
+
+def test_nfc_is_arrow_batched_not_rowwise(spark):
+    df = q(spark, "text_nfc_normalize")
+    plan = EX.formatted_plan(df)
+    assert "ArrowEvalPython" in plan  # vectorized pandas_udf path
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+    assert EX.count_operator(df, "Exchange") == 0
+
+
+def test_twap_reuses_window_partitioning_for_the_aggregate(spark):
+    """The groupBy(user_id, day) must ride the window's (user_id, day)
+    exchange — exactly one shuffle in the whole plan."""
+    df = q(spark, "events_twap")
+    assert EX.count_operator(df, "Exchange") == 1
+    assert EX.count_operator(df, "Window") == 1
+
+
+def test_k_anonymity_single_partial_agg_shuffle(spark):
+    df = q(spark, "privacy_k_anonymity")
+    assert EX.count_operator(df, "Exchange") == 1
+    assert EX.count_operator(df, "HashAggregate") >= 2  # partial+final
