@@ -1360,3 +1360,82 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ===========================================================================
+# Periodicity detection: 24-point DFT over the hour-of-day event profile.
+# Trig constants are computed ONCE here (Python math) and injected into
+# BOTH engines as the same literal doubles — neither engine ever calls
+# cos/sin, so libm differences cannot exist. Per-term micro-int floors
+# make the cross-row sums order-free (the Kneser-Ney trick), and the
+# only remaining float ops are per-row IEEE on identical inputs.
+# ===========================================================================
+
+
+def _dft24_constants() -> list[tuple[int, int, float, float]]:
+    import math
+
+    out = []
+    for k in range(13):  # one-sided bins of a 24-point real DFT
+        for h in range(24):
+            ang = 2.0 * math.pi * ((k * h) % 24) / 24.0
+            out.append((k, h, math.cos(ang), math.sin(ang)))
+    return out
+
+
+def _dft24_values_sql() -> str:
+    return ", ".join(
+        f"({k}, {h}, CAST({c!r} AS DOUBLE), CAST({s!r} AS DOUBLE))"
+        for k, h, c, s in _dft24_constants()
+    )
+
+
+@register(
+    "events_periodicity_dft",
+    lambda: f"""WITH prof AS (
+  SELECT CAST(extract(hour FROM ts) AS INT) AS h, count(*) AS c
+  FROM events GROUP BY 1),
+tw(k, h, cosv, sinv) AS (VALUES {_dft24_values_sql()}),
+acc AS (SELECT tw.k,
+  sum(CAST(floor(CAST(c AS DOUBLE) * cosv * 1000000.0) AS BIGINT)) AS re_u,
+  sum(CAST(floor(CAST(c AS DOUBLE) * sinv * 1000000.0) AS BIGINT)) AS im_u
+  FROM tw JOIN prof USING (h) GROUP BY 1)
+SELECT k, {V.quantize_sql(
+        "(re_u / 1000000.0) * (re_u / 1000000.0)"
+        " + (im_u / 1000000.0) * (im_u / 1000000.0)", 4)} AS power
+FROM acc""",
+    survey="ext: periodicity detection — 24-point DFT over the "
+    "hour-of-day event profile; trig constants are shared literal "
+    "doubles (computed once, injected into both engines — no libm call "
+    "anywhere), per-term micro-int floors make the sums order-free, so "
+    "the spectrum hashes exactly; the first aggregate is the only "
+    "data-sized stage, everything after is 24 rows",
+)
+def events_periodicity_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which periods dominate the event stream: power at bin k means a
+    24/k-hour cycle in hourly volume (k=0 is total mass; a flat profile
+    puts ~everything there). The data-sized work is one partial-agg
+    shuffle to the 24-row profile; the DFT is a broadcast join against
+    312 constant rows — at any corpus size the spectrum costs one scan."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(F.hour("ts").cast("int").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tw = spark.createDataFrame(
+        _dft24_constants(), "k int, h int, cosv double, sinv double"
+    )
+    micro = lambda col: F.floor(  # noqa: E731
+        F.col("c").cast("double") * F.col(col) * F.lit(1000000.0)
+    ).cast("long")
+    acc = (
+        tw.join(F.broadcast(prof), "h")
+        .groupBy("k")
+        .agg(
+            F.sum(micro("cosv")).alias("re_u"),
+            F.sum(micro("sinv")).alias("im_u"),
+        )
+    )
+    p = (F.col("re_u") / 1e6) * (F.col("re_u") / 1e6) + (
+        F.col("im_u") / 1e6
+    ) * (F.col("im_u") / 1e6)
+    return acc.select("k", V.quantize(p, 4).alias("power"))

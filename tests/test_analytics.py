@@ -185,3 +185,35 @@ def test_twap_hand_computed_series(spark):
     r = out[0]
     assert (r["user_id"], r["n_events"]) == (7, 3)
     assert abs(r["twap"] - (10.0 * 2 + 20.0 * 1) / 3) < 1e-12
+
+
+def test_periodicity_dft_finds_planted_12h_cycle(spark):
+    """Events concentrated at hours {0, 12} → a pure 12h cycle: after
+    DC (k=0), bin k=2 (period 24/2 = 12h) must dominate the spectrum,
+    and odd bins vanish (the profile is symmetric under +12h)."""
+    from spark_streaming_twitch_analytics_spark.registry_analytics import (
+        events_periodicity_dft,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        for hour in (0, 12):
+            for i in range(5):
+                rows.append(
+                    (eid, f"2024-01-{day:02d} {hour:02d}:10:{i:02d}", 1, "x", 1.0, None)
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        p = {r["k"]: r["power"] for r in events_periodicity_dft(spark, d).collect()}
+    nonzero = {k: v for k, v in p.items() if k > 0 and v > 1e-6}
+    assert max(nonzero, key=nonzero.get) == 2
+    assert p[1] < 1e-6 and p[3] < 1e-6  # odd harmonics cancel
