@@ -105,6 +105,13 @@ QUERIES = [
     "retrieval_mmr_diverse",
     "multimodal_audio_spectrum",
     "streaming_heavy_hitters",
+    "events_mad_outliers",
+    "text_nfc_normalize",
+    "privacy_k_anonymity",
+    "jsonl_roundtrip_stats",
+    "events_twap",
+    "multimodal_image_stats",
+    "events_periodicity_dft",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
