@@ -165,8 +165,13 @@ def grouped_exact_quantiles(
         .cast("long")
         .alias("k"),
     )
+    # targets is |groups|·|qs| rows BY CONSTRUCTION — always broadcast.
+    # Unhinted, Catalyst falls back to SortMergeJoin when the input's
+    # size estimate is unknown (e.g. the MAD second pass over a derived
+    # frame), shuffling the bin table for a join against a handful of
+    # rank rows.
     chosen = (
-        targets.alias("t")
+        F.broadcast(targets.alias("t"))
         .join(
             cum.alias("m"),
             (F.col("t.g") == F.col("m.g"))

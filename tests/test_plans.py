@@ -175,6 +175,9 @@ def test_no_rowwise_python_udf_in_oracle_query_plans(spark):
         "dedup_simhash_pairs",
         # the model boundary: a Scorer-protocol pandas_udf IS the point
         "sentiment_model_labels",
+        # Unicode NFC: the normalization tables live in Python's
+        # unicodedata (no JVM built-in) — deliberately Arrow-batched
+        "text_nfc_normalize",
     }
     assert set(arrow_nodes) <= allowed, (
         f"unexpected Arrow UDF in oracle plans: {sorted(set(arrow_nodes) - allowed)}"
