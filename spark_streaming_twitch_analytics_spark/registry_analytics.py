@@ -1439,3 +1439,77 @@ def events_periodicity_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("im_u") / 1e6
     ) * (F.col("im_u") / 1e6)
     return acc.select("k", V.quantize(p, 4).alias("power"))
+
+
+# ===========================================================================
+# CUSUM change-point detection over the daily event series. The textbook
+# recurrence S_t = max(0, S_{t-1} + a_t) looks inherently sequential, but
+# it has the max-plus closed form S_t = cum_t − min(0, min_{j≤t} cum_j) —
+# two window passes, no recursion, no per-row loop. All arithmetic stays
+# in scaled integers (a_t = n·c_t − total avoids the fractional mean), so
+# both engines compute identical BIGINTs.
+# ===========================================================================
+
+
+@register(
+    "events_cusum_changepoint",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1),
+t AS (SELECT count(*) AS n, sum(c) AS total FROM d),
+a AS (SELECT day, c, n * c - total AS a, total FROM d, t),
+cm AS (SELECT day, c, total,
+  sum(a) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum FROM a),
+s AS (SELECT day, c, total, cum,
+  least(CAST(0 AS BIGINT),
+        min(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS floor_min
+  FROM cm)
+SELECT day, CAST(c AS BIGINT) AS c, CAST(cum - floor_min AS BIGINT) AS s_scaled,
+  CAST((cum - floor_min) > 2 * total AS INT) AS alarm
+FROM s""",
+    survey="ext: CUSUM change-point detection — the sequential "
+    "max(0, S+a) recurrence rewritten via its max-plus closed form "
+    "(cumsum minus clamped running min) into two window passes; "
+    "scaled-integer arithmetic (n·c − total) keeps every engine "
+    "BIGINT-identical, no tolerance; the data-sized stage is one "
+    "daily partial-agg scan, the windows run over calendar-bounded rows",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward mean-shift detector on daily event volume: S accumulates
+    n·c_t − total (the scaled deviation from the series mean) and clamps
+    at zero; a run of above-mean days drives S up and trips the alarm at
+    2·total. The window frame is the day series — bounded by the
+    calendar, never by corpus size (the same single-partition-by-
+    construction shape as the quantile bin windows)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("total")
+    )
+    a = d.crossJoin(F.broadcast(t)).select(
+        "day", "c", (F.col("n") * F.col("c") - F.col("total")).alias("a"), "total"
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cm = a.select("day", "c", "total", F.sum("a").over(w).alias("cum"))
+    s = cm.select(
+        "day",
+        "c",
+        "total",
+        "cum",
+        F.least(F.lit(0).cast("long"), F.min("cum").over(w)).alias("floor_min"),
+    )
+    return s.select(
+        "day",
+        "c",
+        (F.col("cum") - F.col("floor_min")).alias("s_scaled"),
+        ((F.col("cum") - F.col("floor_min")) > 2 * F.col("total"))
+        .cast("int")
+        .alias("alarm"),
+    )

@@ -217,3 +217,49 @@ def test_periodicity_dft_finds_planted_12h_cycle(spark):
     nonzero = {k: v for k, v in p.items() if k > 0 and v > 1e-6}
     assert max(nonzero, key=nonzero.get) == 2
     assert p[1] < 1e-6 and p[3] < 1e-6  # odd harmonics cancel
+
+
+def test_cusum_closed_form_equals_naive_recurrence(spark):
+    """The window-pass closed form must equal the sequential
+    S_t = max(0, S_{t-1} + a_t) on the real data."""
+    rows = sorted(
+        q(spark, "events_cusum_changepoint").collect(), key=lambda r: r["day"]
+    )
+    cs = [r["c"] for r in rows]
+    n, total = len(cs), sum(cs)
+    s = 0
+    for r, c in zip(rows, cs):
+        s = max(0, s + n * c - total)
+        assert r["s_scaled"] == s
+        assert r["alarm"] == int(s > 2 * total)
+
+
+def test_cusum_alarms_on_planted_level_shift(spark):
+    """20 quiet days (2/day) then 10 loud days (40/day): the alarm must
+    be off through the quiet regime and ON by the end of the shift."""
+    from spark_streaming_twitch_analytics_spark.registry_analytics import (
+        events_cusum_changepoint,
+    )
+
+    rows, eid = [], 0
+    for day in range(1, 31):
+        rate = 2 if day <= 20 else 40
+        for i in range(rate):
+            rows.append(
+                (eid, f"2024-01-{day:02d} 03:00:{i % 60:02d}", 1, "x", 1.0, None)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = sorted(
+            events_cusum_changepoint(spark, d).collect(), key=lambda r: r["day"]
+        )
+    assert all(r["alarm"] == 0 for r in out[:20])
+    assert out[-1]["alarm"] == 1
