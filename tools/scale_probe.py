@@ -112,6 +112,7 @@ QUERIES = [
     "events_twap",
     "multimodal_image_stats",
     "events_periodicity_dft",
+    "events_cusum_changepoint",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
