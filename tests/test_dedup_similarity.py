@@ -597,3 +597,8 @@ def test_mmr_plan_groups_in_pandas_no_rowwise_udf(spark):
     assert "FlatMapGroupsInPandas" in plan  # the greedy step, per-group
     assert "BatchEvalPython" not in plan  # no row-wise Python UDF
     assert "CartesianProduct" not in plan  # pair stage is q_id-keyed
+    # the pair self-join may SMJ on q_id — that partitioning is REUSED by
+    # the grouped-pandas step, and broadcasting a query-proportional side
+    # would be wrong at scale; what must never appear is a broadcast NLJ
+    # (an unkeyed C²·|Q| expansion)
+    assert "BroadcastNestedLoopJoin" not in plan
