@@ -1056,7 +1056,13 @@ def mmr_rerank(
         as_double(F.col("embedding")).alias("cv"),
         norm(as_double(F.col("embedding")), DIM).alias("cn"),
     )
-    ce = cand.join(emb, "c_id")
+    from ..cache import eager_persist
+
+    # ce feeds BOTH sides of the pair self-join; unpersisted, the whole
+    # candidate pipeline (scan → brute-force score → top-k window) would
+    # execute twice (two BroadcastNestedLoopJoin nodes in the plan). The
+    # pool is ≤ n_candidates·|Q| rows — persisting it is always cheap.
+    ce = eager_persist(cand.join(emb, "c_id"))
     left = ce.select("q_id", "c_id", "rel", "cv", "cn")
     right = ce.select(
         F.col("q_id"),
