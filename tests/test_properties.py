@@ -750,3 +750,74 @@ def test_wav_codec_roundtrip_property(samples, rate):
         multimodal.wav_encode_pcm8(smp, rate=rate)
     )
     assert got_rate == rate and (back == smp).all()
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(fuzz_text, min_size=1, max_size=25))
+def test_char_entropy_micro_matches_duckdb_on_random_strings(spark, texts):
+    """The per-row entropy fold's integer micro-sum must equal DuckDB's
+    explode+groupBy twin on ARBITRARY printable input — the order-free
+    micro-int property the oracle hash depends on."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n, micro = X.char_entropy_parts(F.col("text"))
+    got = {
+        r["doc_id"]: (r["n"], r["m"])
+        for r in df.select("doc_id", n.alias("n"), micro.alias("m")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(texts)))
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """WITH c AS (SELECT doc_id, unnest(string_split(text,'')) AS ch FROM d),
+f AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1,2)
+SELECT doc_id, CAST(sum(c) AS INT),
+  sum(CAST(floor(c * log2(c) * 1000000.0) AS BIGINT)) FROM f GROUP BY 1"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=600),
+    k=st.integers(min_value=3, max_value=40),
+    cuts=st.lists(st.integers(min_value=1, max_value=599), max_size=6),
+)
+def test_mg_merge_guarantee_on_arbitrary_streams(stream, k, cuts):
+    """Misra-Gries merge invariants under ARBITRARY batch boundaries:
+    ≤ k survivors, undercount ≤ n/(k+1), and no item above the bound is
+    ever missing — the superset guarantee heavy_hitters rests on."""
+    from collections import Counter
+
+    from spark_streaming_twitch_analytics_spark.operators import heavyhitters as HH
+
+    toks = [f"t{v}" for v in stream]
+    truth = Counter(toks)
+    n = len(toks)
+    bounds = sorted({c for c in cuts if c < n})
+    pieces = []
+    prev = 0
+    for b in bounds + [n]:
+        if b > prev:
+            pieces.append(toks[prev:b])
+            prev = b
+    summary: dict[str, int] = {}
+    for piece in pieces:
+        summary = HH.mg_merge_batch(summary, dict(Counter(piece)), k)
+    assert len(summary) <= k
+    for tok, lb in summary.items():
+        assert 0 < lb <= truth[tok]
+        assert truth[tok] - lb <= n / (k + 1)
+    for tok, c in truth.items():
+        if c > n / (k + 1):
+            assert tok in summary
