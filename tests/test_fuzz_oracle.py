@@ -107,6 +107,27 @@ FUZZ_QUERIES = [
     "corpus_kmv_overlap",  # md5 order statistics; one shared IEEE division
     "corpus_kmv_per_source",
     "events_conversion_latency",  # integer-microsecond latencies + lerp
+    # round 7: every addition is integer-exact, selection-exact, or
+    # shared-literal/identical-fold IEEE — the classes this gate exists
+    # to stress on adversarial input (dup texts, whitespace runs, zero
+    # vectors, duplicate timestamps, 0.25-grid values)
+    "corpus_heavy_hitters",  # MG candidates + exact recount, int threshold
+    "streaming_heavy_hitters",  # same cut over live state
+    "text_char_entropy",  # order-free micro-int entropy terms
+    "text_nfc_normalize",  # byte-identical Unicode tables
+    "privacy_k_anonymity",  # integer class census
+    "events_mad_outliers",  # selection-exact med/mad; grid-tie-safe '>'
+    "events_twap",  # BIGINT cents*micros; 0.25-grid * 100 never half-way
+    "events_periodicity_dft",  # shared-literal twiddles + micro-int sums
+    "events_cusum_changepoint",  # pure integer max-plus closed form
+    "retrieval_mmr_diverse",  # quantized cosines; zero-norm query handled
+    "multimodal_audio_frames",  # integer DSP through the real WAV codec
+    "multimodal_audio_spectrum",  # exact pi/4 twiddle table
+    "multimodal_image_stats",  # integer TV/min/max through the PNG codec
+    "multimodal_png_roundtrip",  # real-codec round-trips, md5-exact
+    "multimodal_wav_roundtrip",
+    "orc_roundtrip_stats",  # format sinks rebuild per fuzz corpus
+    "jsonl_roundtrip_stats",  # whitespace-run texts stress JSON escaping
 ]
 
 
