@@ -1492,8 +1492,13 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.crossJoin(F.broadcast(t)).select(
         "day", "c", (F.col("n") * F.col("c") - F.col("total")).alias("a"), "total"
     )
+    # constant partition via c - c (the quantiles _bin_cum_window trick:
+    # a bare literal is folded out of the window spec and WindowExec
+    # then warns "No Partition Defined" — the warning should stay a true
+    # signal for ACCIDENTAL global windows; this one is deliberate and
+    # calendar-bounded)
     w = (
-        Window.partitionBy(F.lit(1))
+        Window.partitionBy(F.col("c") - F.col("c"))
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
