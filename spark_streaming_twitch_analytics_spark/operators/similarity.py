@@ -1019,6 +1019,7 @@ def mmr_rerank(
     n_candidates: int = 12,
     n_select: int = 5,
     lam: float = 0.7,
+    pool: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification (Carbonell & Goldstein,
     SIGIR 1998, public): greedily pick ``n_select`` of the top
@@ -1045,10 +1046,14 @@ def mmr_rerank(
 
     # NULL rel (zero-norm query or candidate) is ranked last by the
     # top-k cut and dropped here — a zero-norm QUERY thus yields no MMR
-    # rows (no meaningful relevance order exists), matching the oracle
+    # rows (no meaningful relevance order exists), matching the oracle.
+    # The pool source is pluggable: brute-force is the exact meter, any
+    # ANN form (e.g. ivf_topk) is the serving shape — the MMR stages
+    # downstream are bounded per query either way.
+    if pool is None:
+        pool = brute_force_topk(queries, candidates, n_candidates)
     cand = (
-        brute_force_topk(queries, candidates, n_candidates)
-        .filter(F.col("cos").isNotNull())
+        pool.filter(F.col("cos").isNotNull())
         .select("q_id", "c_id", F.col("cos").alias("rel"))
     )
     emb = candidates.select(

@@ -1874,21 +1874,19 @@ _MMR_M = 5  # diversified picks per query
 _MMR_LAM = 0.7  # relevance weight; (1-λ) penalizes redundancy
 
 
-def _mmr_sql() -> str:
+def _mmr_steps_sql(pool_prefix: str) -> str:
     """Unrolled-step MMR oracle: the greedy argmax is inherently
     sequential, but with M fixed it unrolls to M chained CTEs — each
     step a window argmax of λ·rel − (1−λ)·max_sim_to_selected over the
     not-yet-selected candidates. Coefficients are emitted with repr()
     so BOTH engines multiply by the same doubles (1−0.7 is
-    0.30000000000000004, not 0.3)."""
+    0.30000000000000004, not 0.3). ``pool_prefix`` supplies everything
+    through a ``cand(q_id, c_id, rel)`` CTE (plus an ``e`` CTE exposing
+    vectors) — brute-force for the exact meter, IVF-probed for the
+    serving shape; the steps below are identical either way."""
     lam, one_m = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
     parts = [
-        f"""WITH e AS ({_EMB_CTE}),
-q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 20 = 0),
-scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
-  FROM e c, q WHERE c.vec_id <> q_id),
-cand0 AS ({topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", _MMR_C, ["c_id"])}),
-cand AS (SELECT q_id, c_id, cos AS rel FROM cand0 WHERE cos IS NOT NULL),
+        f"""{pool_prefix}
 ce AS (SELECT cand.q_id, cand.c_id, cand.rel, e.v FROM cand
   JOIN e ON e.vec_id = cand.c_id),
 ps AS (SELECT a.q_id, a.c_id AS d1, b.c_id AS d2,
@@ -1926,6 +1924,19 @@ FROM ({union})"""
     return "".join(parts)
 
 
+def _mmr_brute_pool_sql() -> str:
+    return f"""WITH e AS ({_EMB_CTE}),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM e c, q WHERE c.vec_id <> q_id),
+cand0 AS ({topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", _MMR_C, ["c_id"])}),
+cand AS (SELECT q_id, c_id, cos AS rel FROM cand0 WHERE cos IS NOT NULL),"""
+
+
+def _mmr_sql() -> str:
+    return _mmr_steps_sql(_mmr_brute_pool_sql())
+
+
 @register(
     "retrieval_mmr_diverse",
     _mmr_sql(),
@@ -1945,6 +1956,49 @@ def retrieval_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return similarity.mmr_rerank(
         queries, emb, n_candidates=_MMR_C, n_select=_MMR_M, lam=_MMR_LAM
+    )
+
+
+def _mmr_ivf_pool_sql() -> str:
+    """IVF-probed candidate pool for MMR (same assign/2-probe CTEs the
+    ann_ivf_* oracles share, query set vec_id % 20)."""
+    return f"""WITH e AS ({_EMB_CTE}),
+{_IVF_SQL_ASSIGN},
+qm AS (SELECT vec_id, v, cs, cell,
+  list_transform(cs, x -> CASE WHEN x = list_max(cs) THEN -1e18 ELSE x END) AS cs2
+  FROM ac WHERE vec_id % 20 = 0),
+qp AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM qm
+  UNION
+  SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM qm),
+scored AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM ac c JOIN qp ON c.cell = qp.cell WHERE c.vec_id <> q_id),
+cand0 AS ({topk.top_k_per_group_sql("SELECT * FROM scored", ["q_id"], "cos", _MMR_C, ["c_id"])}),
+cand AS (SELECT q_id, c_id, cos AS rel FROM cand0 WHERE cos IS NOT NULL),"""
+
+
+@register(
+    "retrieval_mmr_ivf",
+    lambda: _mmr_steps_sql(_mmr_ivf_pool_sql()),
+    survey="ext: MMR diversification at serving shape — the candidate "
+    "pool comes from the IVF 2-probe index scan (n_probe/n_cells scan "
+    "fraction, the ×10-replica fix for the brute-force meter's ~N² pair "
+    "growth) and feeds the IDENTICAL unrolled greedy steps; same "
+    "quantized-cosine determinism, hash-exact",
+)
+def retrieval_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production pairing of retrieval_mmr_diverse: the exact meter
+    scores every query against every candidate (pairs ∝ N²); here the
+    pool is the IVF-probed scan (bounded fraction of cells per query),
+    so the whole operator scales like ann_ivf_topk plus a constant
+    per-query re-rank — the mmr_rerank contract is pool-source-agnostic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    pool = similarity.ivf_topk(
+        queries, emb, _MMR_C, n_cells=_IVF_CELLS, n_probe=2
+    )
+    return similarity.mmr_rerank(
+        queries, emb, n_candidates=_MMR_C, n_select=_MMR_M, lam=_MMR_LAM, pool=pool
     )
 
 

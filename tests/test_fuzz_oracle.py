@@ -121,6 +121,7 @@ FUZZ_QUERIES = [
     "events_periodicity_dft",  # shared-literal twiddles + micro-int sums
     "events_cusum_changepoint",  # pure integer max-plus closed form
     "retrieval_mmr_diverse",  # quantized cosines; zero-norm query handled
+    "retrieval_mmr_ivf",  # same greedy over the IVF-probed pool
     "multimodal_audio_frames",  # integer DSP through the real WAV codec
     "multimodal_audio_spectrum",  # exact pi/4 twiddle table
     "multimodal_image_stats",  # integer TV/min/max through the PNG codec

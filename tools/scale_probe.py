@@ -113,6 +113,7 @@ QUERIES = [
     "multimodal_image_stats",
     "events_periodicity_dft",
     "events_cusum_changepoint",
+    "retrieval_mmr_ivf",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
