@@ -233,18 +233,26 @@ def exact_quantiles_sql(
     values_rel: str,
     value_col: str,
     qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
+    cte_prefix: str = "",
 ) -> str:
     """DuckDB twin: the same order statistics by one global row_number —
     fine at oracle scale, and value-identical to the histogram-select
-    path because both SELECT the k-th smallest, computing nothing."""
+    path because both SELECT the k-th smallest, computing nothing.
+
+    ``cte_prefix`` uniquifies the internal CTE names so the block can be
+    NESTED inside an outer WITH more than once (DuckDB's binder reports
+    a circular reference when sibling subqueries re-define the same
+    nested CTE name)."""
+    p = cte_prefix
     q_vals = ", ".join(f"('{lb}', {num}, {den})" for lb, num, den in qs)
-    return f"""WITH v AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM ({values_rel})
+    return f"""WITH {p}v AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM ({values_rel})
   WHERE {value_col} IS NOT NULL),
-t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
-q(label, num, den) AS (VALUES {q_vals}),
-k AS (SELECT label, CAST((num * n + den - 1) // den AS BIGINT) AS k FROM q, t),
-r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
-SELECT label, k, v AS value FROM k JOIN r ON r.rn = k.k"""
+{p}t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {p}v),
+{p}q(label, num, den) AS (VALUES {q_vals}),
+{p}k AS (SELECT label, CAST((num * n + den - 1) // den AS BIGINT) AS k
+  FROM {p}q, {p}t),
+{p}r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM {p}v)
+SELECT label, k, v AS value FROM {p}k JOIN {p}r ON {p}r.rn = {p}k.k"""
 
 
 def interpolated_quantiles(

@@ -3463,3 +3463,120 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("coverage"),
     )
+
+
+# ===========================================================================
+# Composite quality score: decile-bucket rank normalization. Exact
+# percent_rank would need a GLOBAL sort (undistributable window); the
+# scale-correct normalizer is 9 exact decile thresholds per signal from
+# the histogram-select quantile engine, broadcast back onto the scan —
+# per-doc buckets are then 9 integer comparisons, and the composite is
+# pure integer arithmetic.
+# ===========================================================================
+
+_DECILES = tuple((f"p{i * 10}", i, 10) for i in range(1, 10))
+
+
+def _qc_ent_sql() -> str:
+    """(doc_id, ent): the char-entropy value, identical formulation to
+    text_char_entropy's oracle."""
+    return f"""SELECT doc_id, {V.quantize_sql(
+        'log2(CAST(n AS DOUBLE)) - (micro / 1000000.0) / n', 6)} AS ent
+FROM (SELECT doc_id,
+        sum(CAST(floor(c * log2(c) * 1000000.0) AS BIGINT)) AS micro,
+        sum(c) AS n
+      FROM (SELECT doc_id, ch, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                  FROM documents) GROUP BY 1, 2) GROUP BY 1)"""
+
+
+def _qc_sql() -> str:
+    from .operators.quantiles import exact_quantiles_sql
+
+    ths = {
+        name: exact_quantiles_sql(
+            f"SELECT {col} FROM sig", col, _DECILES, cte_prefix=f"{name}_"
+        )
+        for name, col in (("tht", "s_tok"), ("thd", "s_dup"), ("the", "s_ent"))
+    }
+    return f"""WITH t AS (SELECT doc_id, {X.tokenize_sql('text')} AS toks FROM documents),
+ent AS ({_qc_ent_sql()}),
+sig AS (SELECT t.doc_id,
+  CAST(len(toks) AS DOUBLE) AS s_tok,
+  {X.dup_word_frac_sql('toks')} AS s_dup,
+  ent.ent AS s_ent
+ FROM t JOIN ent USING (doc_id)),
+tht AS (SELECT list_sort(list(value)) AS arr FROM ({ths['tht']})),
+thd AS (SELECT list_sort(list(value)) AS arr FROM ({ths['thd']})),
+the AS (SELECT list_sort(list(value)) AS arr FROM ({ths['the']})),
+b AS (SELECT doc_id,
+  CAST(len(list_filter(tht.arr, x -> s_tok >= x)) AS INT) AS b_tok,
+  CAST(len(list_filter(thd.arr, x -> s_dup >= x)) AS INT) AS b_dup,
+  CAST(len(list_filter(the.arr, x -> s_ent >= x)) AS INT) AS b_ent
+ FROM sig, tht, thd, the)
+SELECT doc_id, b_tok, b_dup, b_ent,
+  CAST(b_tok + (9 - b_dup) + b_ent AS INT) AS quality_score
+FROM b"""
+
+
+@register(
+    "corpus_quality_composite",
+    lambda: _qc_sql(),
+    survey="ext: rank-normalized composite quality score — per-signal "
+    "decile buckets from exact histogram-select thresholds (9 broadcast "
+    "doubles per signal; the percent_rank alternative is a GLOBAL sort "
+    "no cluster should run), composite is pure integer arithmetic; "
+    "token count rewards length, duplicate-word fraction penalizes "
+    "repetition, char entropy penalizes single-symbol spam",
+)
+def corpus_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter-stack capstone: three independent quality signals
+    (token count, Gopher duplicate-word fraction, character entropy)
+    are decile-bucketed against exact corpus-wide thresholds and summed
+    into a 0–27 integer score — the reusable shape for 'keep the top X%
+    by combined quality' cuts where each signal's scale is arbitrary
+    but its ORDER is meaningful. Thresholds are selected values from
+    the two-pass quantile engine (never computed, hence engine-exact);
+    bucketing is 9 integer comparisons per signal per doc."""
+    from .operators import quantiles
+
+    d = _docs(spark, sf_dir)
+    toks = X.tokenize(F.col("text"))
+    n_ent, micro = X.char_entropy_parts(F.col("text"))
+    ent = V.quantize(
+        F.log2(n_ent.cast("double")) - (micro / F.lit(1000000.0)) / n_ent, 6
+    )
+    sig = d.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("s_tok"),
+        X.dup_word_frac(toks).alias("s_dup"),
+        ent.alias("s_ent"),
+    )
+
+    def ths(col: str, width: float, alias: str) -> DataFrame:
+        q = quantiles.exact_quantiles(sig, col, bin_width=width, qs=_DECILES)
+        return q.agg(F.sort_array(F.collect_list("value")).alias(alias))
+
+    out = (
+        sig.crossJoin(F.broadcast(ths("s_tok", 1.0, "tht")))
+        .crossJoin(F.broadcast(ths("s_dup", 0.01, "thd")))
+        .crossJoin(F.broadcast(ths("s_ent", 0.1, "the")))
+    )
+
+    def bucket(arr: str, v: str) -> Column:
+        return F.size(
+            F.filter(F.col(arr), lambda x: F.col(v) >= x)
+        ).cast("int")
+
+    b_tok, b_dup, b_ent = (
+        bucket("tht", "s_tok"),
+        bucket("thd", "s_dup"),
+        bucket("the", "s_ent"),
+    )
+    return out.select(
+        "doc_id",
+        b_tok.alias("b_tok"),
+        b_dup.alias("b_dup"),
+        b_ent.alias("b_ent"),
+        (b_tok + (F.lit(9) - b_dup) + b_ent).cast("int").alias("quality_score"),
+    )

@@ -817,3 +817,45 @@ def test_k_anonymity_flags_exactly_the_small_classes(spark):
         n = truth[(r["lang"], r["source"], r["size_bucket"])]
         assert r["n"] == n
         assert r["violates"] == int(n < 5)
+
+
+def test_quality_composite_matches_numpy_recompute(spark):
+    """Thresholds are k-th-smallest selections (k = ceil(q·n)); buckets
+    are >= comparisons against them; score = b_tok + (9−b_dup) + b_ent.
+    Recompute the whole thing from the signal frame."""
+    import math
+
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        corpus_quality_composite,
+    )
+
+    out = {r["doc_id"]: r.asDict() for r in corpus_quality_composite(spark, SF).collect()}
+    d = load_table(spark, SF, "documents")
+    toks = X.tokenize(F.col("text"))
+    n_ent, micro = X.char_entropy_parts(F.col("text"))
+    from spark_streaming_twitch_analytics_spark.functions import vectors as V
+
+    ent = V.quantize(
+        F.log2(n_ent.cast("double")) - (micro / F.lit(1e6)) / n_ent, 6
+    )
+    sig = {
+        r["doc_id"]: (r["s_tok"], r["s_dup"], r["s_ent"])
+        for r in d.select(
+            "doc_id",
+            F.size(toks).cast("double").alias("s_tok"),
+            X.dup_word_frac(toks).alias("s_dup"),
+            ent.alias("s_ent"),
+        ).collect()
+    }
+    n = len(sig)
+
+    def deciles(vals):
+        srt = sorted(vals)
+        return [srt[math.ceil(i * n / 10) - 1] for i in range(1, 10)]
+
+    th = [deciles([v[i] for v in sig.values()]) for i in range(3)]
+    for doc_id, (s_tok, s_dup, s_ent) in sig.items():
+        b = [sum(1 for t in th[i] if v >= t) for i, v in enumerate((s_tok, s_dup, s_ent))]
+        got = out[doc_id]
+        assert (got["b_tok"], got["b_dup"], got["b_ent"]) == tuple(b)
+        assert got["quality_score"] == b[0] + (9 - b[1]) + b[2]

@@ -129,6 +129,7 @@ FUZZ_QUERIES = [
     "multimodal_wav_roundtrip",
     "orc_roundtrip_stats",  # format sinks rebuild per fuzz corpus
     "jsonl_roundtrip_stats",  # whitespace-run texts stress JSON escaping
+    "corpus_quality_composite",  # selection-exact thresholds, int buckets
 ]
 
 

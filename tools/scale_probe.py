@@ -114,6 +114,7 @@ QUERIES = [
     "events_periodicity_dft",
     "events_cusum_changepoint",
     "retrieval_mmr_ivf",
+    "corpus_quality_composite",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
