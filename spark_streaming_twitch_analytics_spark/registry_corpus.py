@@ -3546,11 +3546,20 @@ def corpus_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = V.quantize(
         F.log2(n_ent.cast("double")) - (micro / F.lit(1000000.0)) / n_ent, 6
     )
-    sig = d.select(
-        "doc_id",
-        F.size(toks).cast("double").alias("s_tok"),
-        X.dup_word_frac(toks).alias("s_dup"),
-        ent.alias("s_ent"),
+    from .cache import eager_persist
+
+    # sig feeds three threshold pipelines (two passes each) plus the
+    # final bucketing scan — seven evaluations of the tokenize/entropy
+    # folds unpersisted. The frame is doc_id + three doubles (~32 B/row);
+    # at pipeline scale this is the materialized signals table every
+    # quality stack builds anyway.
+    sig = eager_persist(
+        d.select(
+            "doc_id",
+            F.size(toks).cast("double").alias("s_tok"),
+            X.dup_word_frac(toks).alias("s_dup"),
+            ent.alias("s_ent"),
+        )
     )
 
     def ths(col: str, width: float, alias: str) -> DataFrame:
