@@ -575,3 +575,41 @@ def embedding_dup_pairs(
         .select("a", "b", cos.alias("cos"))
         .filter(F.col("cos") >= min_cos)
     )
+
+
+def pair_evidence(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_evidence: int = 3,
+) -> DataFrame:
+    """Near-dup AUDIT: the minhash candidate pairs with the evidence a
+    human reviewer (or a dedup appeal process) needs — shared-shingle
+    count, exact Jaccard, and the first ``top_evidence`` shared shingles
+    in lexicographic order. Same shape as the verify stage (shingle sets
+    ride the pair join as bounded per-row arrays; no explode), so the
+    audit costs one extra per-row intersect over the frame the pipeline
+    already builds."""
+    from ..functions.vectors import quantize
+
+    sh = eager_persist(shingle_sets(docs, text_col))
+    pairs = candidate_pairs(minhash_bands(docs, text_col, shingles=sh))
+    x = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    y = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    shared = F.array_sort(F.array_intersect(F.col("sha"), F.col("shb")))
+    n_shared = F.size(shared)
+    union_n = F.greatest(
+        F.size("sha") + F.size("shb") - n_shared, F.lit(1)
+    )
+    return (
+        pairs.join(x, "a")
+        .join(y, "b")
+        .select(
+            "a",
+            "b",
+            n_shared.cast("int").alias("n_shared"),
+            quantize(n_shared.cast("double") / union_n, 6).alias("jaccard"),
+            F.array_join(F.slice(shared, 1, top_evidence), " | ").alias(
+                "evidence"
+            ),
+        )
+    )

@@ -1183,6 +1183,37 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_pair_evidence",
+    f"""
+WITH shx AS ({_sh_cte()}),
+sig AS (SELECT doc_id, {X.minhash_signature_sql("sh", dedup.MINHASH_HASHES)} AS sig FROM shx),
+bands AS (
+  SELECT doc_id, b.band,
+  coalesce(array_to_string(list_slice(sig, b.band * 2 + 1, b.band * 2 + 2), '|'), '') AS key
+  FROM sig, (SELECT unnest(range(0, {dedup.MINHASH_BANDS})) AS band) b),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  AND l.doc_id < r.doc_id),
+shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shx),
+ev AS (SELECT a, b, list_sort(list_intersect(x.sh, y.sh)) AS shared,
+  len(x.sh) AS nx, len(y.sh) AS ny
+  FROM cand JOIN shd x ON x.doc_id = a JOIN shd y ON y.doc_id = b)
+SELECT a, b, CAST(len(shared) AS INT) AS n_shared,
+(floor((CAST(len(shared) AS DOUBLE) /
+  greatest(nx + ny - len(shared), 1)) * 1000000.0) / 1000000.0) AS jaccard,
+coalesce(array_to_string(shared[1:3], ' | '), '') AS evidence
+FROM ev""",
+    survey="ext: near-dup pair EVIDENCE — the audit/appeal view of the "
+    "minhash candidate pairs: shared-shingle count, exact Jaccard, and "
+    "the first shared shingles in lexicographic order; shingle sets ride "
+    "the pair join as bounded per-row arrays (no explode), so the audit "
+    "costs one per-row intersect over the pipeline's existing frames",
+)
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.pair_evidence(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_simhash",
     f"""WITH t AS (SELECT doc_id,
 list_transform({X.tokenize_sql("text")}, t -> md5(t)) AS md5s FROM documents)
@@ -2040,6 +2071,47 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _TOKS_CTE = f"SELECT doc_id, text, {X.tokenize_sql('text')} AS toks FROM documents"
+
+
+@register(
+    "text_lang_confusion",
+    f"""WITH t AS (SELECT doc_id, lang, {X.tokenize_sql('text')} AS toks
+  FROM documents)
+SELECT lang AS declared_lang, {X.lang_id_sql("toks")} AS pred_lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(CASE WHEN lang = {X.lang_id_sql("toks")} THEN 1 ELSE 0 END AS INT)
+    AS agree
+FROM t GROUP BY 1, 2, 4""",
+    survey="ext: metadata-quality audit — the confusion matrix between "
+    "DECLARED language metadata and the detected language (mislabeled "
+    "lang tags silently poison per-language stopword/quality rules "
+    "downstream); one partial-agg shuffle keyed by the (declared, "
+    "detected) pair",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the corpus's lang column disagrees with the n-gram
+    detector: each (declared, detected) cell with its population and an
+    agreement flag — the audit run before trusting source metadata for
+    language-keyed processing. Off-diagonal mass = mislabeled or
+    code-mixed documents to re-route."""
+    d = _docs(spark, sf_dir)
+    pred = X.lang_id(X.tokenize(F.col("text")))
+    return (
+        d.select(
+            F.col("lang").alias("declared_lang"),
+            pred.alias("pred_lang"),
+        )
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "declared_lang",
+            "pred_lang",
+            "n_docs",
+            (F.col("declared_lang") == F.col("pred_lang"))
+            .cast("int")
+            .alias("agree"),
+        )
+    )
 
 
 @register(

@@ -3314,6 +3314,55 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_bpe_fertility",
+    lambda: f"""WITH enc AS ({_BPE.bpe_encode_sql(
+        "SELECT doc_id, text FROM documents", _BPE_MERGES, _BPE_TOP_WORDS)})
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+  CAST(sum(enc.n_tokens) AS BIGINT) AS n_tokens,
+  CAST(sum(enc.n_tokens) AS DOUBLE) / greatest(sum(enc.n_words), 1)
+    AS fertility
+FROM enc JOIN documents d USING (doc_id) GROUP BY 1""",
+    survey="ext: tokenizer fertility per language — tokens-per-word "
+    "under the LEARNED merge table, THE cross-lingual tokenizer-quality "
+    "metric (a tokenizer trained on one language inflates another's "
+    "sequence lengths and training cost); integer sums with one final "
+    "division, so the ratio is bit-identical on both engines",
+)
+def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many BPE tokens each language pays per word: train the merge
+    table once, encode the distinct-word vocabulary, roll per-doc token
+    counts up to per-language fertility. Languages the merges weren't
+    learned for show fertility drifting toward characters-per-word —
+    the signal tokenizer-rebalance decisions are made on."""
+    d = _docs(spark, sf_dir)
+    merges_df = _BPE.bpe_train(
+        _BPE.word_freqs(d, _BPE_TOP_WORDS), _BPE_MERGES
+    )
+    merges = [(r["a"], r["b"]) for r in merges_df.collect()]  # ≤12 rows
+    enc = _BPE.bpe_encode(d, merges)
+    return (
+        enc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1))
+            ).alias("fertility"),
+        )
+    )
+
+
+@register(
     "corpus_doc_novelty",
     f"""WITH toks AS (
   SELECT doc_id, {X.tokenize_sql('text')} AS t FROM documents),

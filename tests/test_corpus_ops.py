@@ -859,3 +859,21 @@ def test_quality_composite_matches_numpy_recompute(spark):
         got = out[doc_id]
         assert (got["b_tok"], got["b_dup"], got["b_ent"]) == tuple(b)
         assert got["quality_score"] == b[0] + (9 - b[1]) + b[2]
+
+
+def test_lang_confusion_partitions_the_corpus(spark):
+    rows = registry.get("text_lang_confusion").fn(spark, SF).collect()
+    total = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert r["agree"] == int(r["declared_lang"] == r["pred_lang"])
+
+
+def test_bpe_fertility_bounds(spark):
+    rows = registry.get("corpus_bpe_fertility").fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # every word encodes to >= 1 token; merges only shrink, never
+        # below one token per word
+        assert r["n_tokens"] >= r["n_words"] >= r["n_docs"] >= 1
+        assert r["fertility"] >= 1.0

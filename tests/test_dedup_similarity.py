@@ -604,3 +604,20 @@ def test_mmr_plan_groups_in_pandas_no_rowwise_udf(spark):
     # deliberate brute-force NLJ, same shape as ann_brute_topk) runs
     # once, with both branches reading the cache.
     assert "InMemoryTableScan" in plan
+
+
+def test_pair_evidence_exact_duplicates_show_full_overlap(spark):
+    """Two identical docs must surface as a candidate pair with
+    jaccard 1.0 and evidence drawn from their common shingles."""
+    text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "zulu yankee xray whiskey victor uniform")],
+        "doc_id long, text string",
+    )
+    rows = dedup.pair_evidence(df).collect()
+    pairs = {(r["a"], r["b"]): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["jaccard"] == 1.0
+    assert r["n_shared"] > 0
+    assert "alpha bravo charlie" in r["evidence"]

@@ -130,6 +130,9 @@ FUZZ_QUERIES = [
     "orc_roundtrip_stats",  # format sinks rebuild per fuzz corpus
     "jsonl_roundtrip_stats",  # whitespace-run texts stress JSON escaping
     "corpus_quality_composite",  # selection-exact thresholds, int buckets
+    "dedup_pair_evidence",  # sorted shared shingles, quantized jaccard
+    "text_lang_confusion",  # integer confusion-matrix census
+    "corpus_bpe_fertility",  # integer sums, one final division
 ]
 
 

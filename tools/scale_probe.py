@@ -115,6 +115,9 @@ QUERIES = [
     "events_cusum_changepoint",
     "retrieval_mmr_ivf",
     "corpus_quality_composite",
+    "dedup_pair_evidence",
+    "text_lang_confusion",
+    "corpus_bpe_fertility",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
