@@ -821,3 +821,19 @@ def test_mg_merge_guarantee_on_arbitrary_streams(stream, k, cuts):
     for tok, c in truth.items():
         if c > n / (k + 1):
             assert tok in summary
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200))
+def test_cusum_max_plus_closed_form_identity(a):
+    """The window rewrite events_cusum_changepoint relies on:
+    max(0, S_{t-1} + a_t) == cum_t − min(0, min_{j≤t} cum_j) for ANY
+    integer series."""
+    s = 0
+    cum = 0
+    running_min = 0
+    for x in a:
+        s = max(0, s + x)
+        cum += x
+        running_min = min(running_min, cum)
+        assert s == cum - min(0, running_min)
