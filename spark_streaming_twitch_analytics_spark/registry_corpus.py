@@ -228,6 +228,63 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_pack_efficiency",
+    f"""WITH t AS (
+  SELECT doc_id, len({X.tokenize_sql('text')}) AS n_toks FROM documents),
+c AS (
+  SELECT doc_id, n_toks,
+    sum(n_toks) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_toks AS prev_cum
+  FROM t),
+bins AS (
+  SELECT CAST(prev_cum // {_PACK_BUDGET} AS INT) AS bin_id,
+    sum(n_toks) AS bin_tokens
+  FROM c GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+  CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(CASE WHEN bin_tokens > {_PACK_BUDGET} THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_overfull,
+  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+  CAST(sum(bin_tokens) AS DOUBLE)
+    / (count(*) * {_PACK_BUDGET}.0) AS fill_fraction
+FROM bins""",
+    survey="ext: packing-efficiency report over the sequence-packing "
+    "assignment — bins, fill fraction vs budget, overfull bins (docs "
+    "straddle budget boundaries because they are never split), max bin; "
+    "integer sums with one final division, the batch-shape dashboard a "
+    "training run watches",
+)
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The efficiency meter for corpus_pack_bins: what fraction of every
+    {budget}-token training bin is actually filled, how many bins run
+    over (a doc straddling the boundary lands whole in its start bin),
+    and the worst bin. Reuses the distributed-prefix-sum packing
+    assignment; the report itself is one aggregate over the bounded
+    bin table."""
+    bins = corpus_pack_bins(spark, sf_dir)
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("bin_tokens").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("bin_tokens") > _PACK_BUDGET, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overfull"),
+        F.max("bin_tokens").alias("max_bin_tokens"),
+    ).select(
+        "n_bins",
+        "total_tokens",
+        "n_overfull",
+        "max_bin_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_bins") * F.lit(float(_PACK_BUDGET)))
+        ).alias("fill_fraction"),
+    )
+
+
 def _mix_case_sql() -> str:
     whens = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in _MIX.items())
     return f"CASE {whens} ELSE {_MIX_DEFAULT} END"
@@ -348,6 +405,52 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_bucket",
             "n",
             (F.col("n") < _KANON_K).cast("int").alias("violates"),
+        )
+    )
+
+
+_LDIV_L = 2  # the l in l-diversity
+
+
+@register(
+    "privacy_l_diversity",
+    f"""WITH g AS (SELECT source,
+  CAST(n_chars // {_KANON_BUCKET} AS INT) AS size_bucket,
+  count(*) AS n, count(DISTINCT lang) AS n_langs FROM documents
+  GROUP BY 1, 2)
+SELECT source, size_bucket, CAST(n AS BIGINT) AS n,
+  CAST(n_langs AS INT) AS n_sensitive,
+  CAST(n_langs < {_LDIV_L} AS INT) AS violates
+FROM g""",
+    survey="ext: l-diversity audit, the companion check to k-anonymity — "
+    "an equivalence class can satisfy k yet still leak its members' "
+    "sensitive attribute when every member shares one value; here each "
+    "(source, generalized size) class must span ≥ l distinct langs; one "
+    "keyed distinct-agg shuffle",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-attribute diversity per quasi-identifier class: a class
+    that passes the k-anonymity population test but holds only one
+    sensitive value (here: lang) still identifies that value for every
+    member. Flags classes with fewer than l distinct sensitive values."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(
+            "source",
+            F.floor(F.col("n_chars") / _KANON_BUCKET)
+            .cast("int")
+            .alias("size_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("lang").cast("int").alias("n_sensitive"),
+        )
+        .select(
+            "source",
+            "size_bucket",
+            "n",
+            "n_sensitive",
+            (F.col("n_sensitive") < _LDIV_L).cast("int").alias("violates"),
         )
     )
 

@@ -877,3 +877,32 @@ def test_bpe_fertility_bounds(spark):
         # below one token per word
         assert r["n_tokens"] >= r["n_words"] >= r["n_docs"] >= 1
         assert r["fertility"] >= 1.0
+
+
+def test_l_diversity_flags_single_lang_classes(spark):
+    import pandas as pd
+
+    rows = registry.get("privacy_l_diversity").fn(spark, SF).collect()
+    raw = pd.read_parquet(f"{SF}/documents.parquet")
+    raw["size_bucket"] = (raw["n_chars"] // 100).astype(int)
+    truth = raw.groupby(["source", "size_bucket"])["lang"].nunique()
+    assert len(rows) == len(truth)
+    for r in rows:
+        nl = truth[(r["source"], r["size_bucket"])]
+        assert r["n_sensitive"] == nl
+        assert r["violates"] == int(nl < 2)
+
+
+def test_pack_efficiency_consistent_with_bins(spark):
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        corpus_pack_bins,
+        corpus_pack_efficiency,
+    )
+
+    bins = {r["bin_id"]: r["bin_tokens"] for r in corpus_pack_bins(spark, SF).collect()}
+    r = corpus_pack_efficiency(spark, SF).collect()[0]
+    assert r["n_bins"] == len(bins)
+    assert r["total_tokens"] == sum(bins.values())
+    assert r["max_bin_tokens"] == max(bins.values())
+    assert r["n_overfull"] == sum(1 for v in bins.values() if v > 256)
+    assert 0 < r["fill_fraction"] <= r["max_bin_tokens"] / 256

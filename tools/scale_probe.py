@@ -118,6 +118,8 @@ QUERIES = [
     "dedup_pair_evidence",
     "text_lang_confusion",
     "corpus_bpe_fertility",
+    "privacy_l_diversity",
+    "corpus_pack_efficiency",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
