@@ -1088,10 +1088,31 @@ def mmr_rerank(
         .filter(F.col("c_id") != F.col("other_id"))
         .select("q_id", "c_id", "rel", "other_id", sim.alias("sim"))
     )
+    # A pool with exactly one candidate produces ZERO pair rows (the
+    # self-join filters c_id != other_id), which would drop the whole
+    # group — but the oracle's step 1 selects from cand, so a single
+    # candidate must still yield its step-1 pick. Union one sentinel
+    # row per candidate (null other_id/sim, ignored by the greedy) so
+    # every candidate reaches applyInPandas even with an empty pair set.
+    # Reachable via sparse IVF-probed pools or NULL-cosine thinning.
+    sentinels = ce.select(
+        "q_id",
+        "c_id",
+        "rel",
+        F.lit(None).cast("long").alias("other_id"),
+        F.lit(None).cast("double").alias("sim"),
+    )
+    pairs = pairs.unionByName(sentinels)
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         rel = dict(zip(pdf["c_id"], pdf["rel"]))
-        simd = dict(zip(zip(pdf["c_id"], pdf["other_id"]), pdf["sim"]))
+        valid = pdf.dropna(subset=["other_id"])
+        simd = dict(
+            zip(
+                zip(valid["c_id"], valid["other_id"].astype("int64")),
+                valid["sim"],
+            )
+        )
         q_id = int(pdf["q_id"].iloc[0])
         selected: list[int] = []
         out = []

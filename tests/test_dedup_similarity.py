@@ -588,6 +588,27 @@ def test_mmr_zero_norm_query_yields_no_rows(spark):
     assert out == []
 
 
+def test_mmr_single_candidate_pool_emits_step_one(spark):
+    """A pool with exactly ONE candidate has an empty pair self-join
+    (c_id != other_id filters the only row), but the oracle's step 1
+    selects from cand — the lone candidate must still be picked.
+    Regression test for the sentinel-row fix (ADVICE r7 medium)."""
+    import numpy as np
+
+    d = 64
+    q = np.zeros(d); q[0] = 1.0
+    c = np.zeros(d); c[0] = 1.0; c[1] = 0.5
+    df = _unit_embed(spark, [(0, q), (1, c)])
+    out = similarity.mmr_rerank(
+        df.filter(F.col("vec_id") == 0), df, n_candidates=3, n_select=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["q_id"], r["step"], r["c_id"]) == (0, 1, 1)
+    # step-1 score is lam*rel - (1-lam)*0; rel is the quantized cosine
+    assert r["score"] > 0
+
+
 def test_mmr_plan_groups_in_pandas_no_rowwise_udf(spark):
     from spark_streaming_twitch_analytics_spark import registry
     from spark_streaming_twitch_analytics_spark.plans import explain as EX
