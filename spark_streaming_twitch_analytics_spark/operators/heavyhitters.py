@@ -67,18 +67,33 @@ def mg_summarize_partitions(tokens: DataFrame, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries over a ``token`` column:
     one ``mapInPandas`` pass, O(k) state per task, emits the surviving
     ``(token, lower_bound)`` counters of each partition (``lower_bound``
-    undercounts the partition-local frequency by ≤ n_partition/(k+1))."""
+    undercounts the partition-local frequency by ≤ n_partition/(k+1)).
+
+    The summary also carries one SENTINEL row per partition (``token``
+    NULL, ``lower_bound`` = rows seen by the task, nulls included) so
+    the stream length N is a free by-product of this pass — callers
+    sum the sentinels instead of paying a second full scan just to
+    count. Real NULL tokens can't collide with the sentinel: pandas
+    ``value_counts`` drops NaN, so a NULL token never becomes an MG
+    counter (and would fail the recount equi-join anyway)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict[str, int] = {}
+        n_seen = 0
         for pdf in batches:
+            n_seen += len(pdf)
             vc = pdf["token"].value_counts()
             counts = mg_merge_batch(counts, dict(vc), k)
         yield pd.DataFrame(
             {
-                "token": list(counts.keys()),
-                "lower_bound": np.fromiter(
-                    counts.values(), dtype=np.int64, count=len(counts)
+                "token": list(counts.keys()) + [None],
+                "lower_bound": np.concatenate(
+                    [
+                        np.fromiter(
+                            counts.values(), dtype=np.int64, count=len(counts)
+                        ),
+                        np.array([n_seen], dtype=np.int64),
+                    ]
                 ),
             }
         )
@@ -87,27 +102,52 @@ def mg_summarize_partitions(tokens: DataFrame, k: int) -> DataFrame:
 
 
 def heavy_hitters(
-    tokens: DataFrame, phi_inv: int = 1000, k: int | None = None
+    tokens: DataFrame,
+    phi_inv: int = 1000,
+    k: int | None = None,
+    broadcast_max_candidates: int = 100_000,
 ) -> DataFrame:
     """All tokens with exact frequency ≥ N/phi_inv (N = stream length),
-    via MG candidates + broadcast recount. Returns ``(token, freq)``
-    with exact BIGINT frequencies; deterministic for any partitioning
+    via MG candidates + exact recount. Returns ``(token, freq)`` with
+    exact BIGINT frequencies; deterministic for any partitioning
     because the candidate superset guarantee (k ≥ phi_inv ⇒ threshold
     phi·N = N/phi_inv > N/(k+1)) plus the exact recount make the MG
-    nondeterminism unobservable in the output."""
+    nondeterminism unobservable in the output.
+
+    Scale shape: the candidate set can reach k·num_partitions rows, and
+    at thousands of partitions that is millions of rows — too big to
+    force through a driver broadcast. The summary is persisted (it is
+    the small frame) and the exact candidate count read from it gates
+    the join strategy: broadcast-hint below ``broadcast_max_candidates``,
+    plain shuffled equi-join above (AQE still picks broadcast if the
+    build side turns out small). N comes from the MG pass's sentinel
+    rows, so ``tokens`` is scanned exactly twice — the algorithm's
+    floor — instead of three times."""
     if k is None:
         k = phi_inv
     if k < phi_inv:
         raise ValueError("k must be ≥ phi_inv for the superset guarantee")
+    from ..cache import eager_persist
+
+    summary = eager_persist(mg_summarize_partitions(tokens, k))
     candidates = (
-        mg_summarize_partitions(tokens, k).select("token").distinct()
+        summary.filter(F.col("token").isNotNull()).select("token").distinct()
+    )
+    # exact count off the persisted summary — no re-scan of tokens
+    n_cand = candidates.count()
+    cand_side = (
+        F.broadcast(candidates)
+        if n_cand <= broadcast_max_candidates
+        else candidates
     )
     counted = (
-        tokens.join(F.broadcast(candidates), "token", "inner")
+        tokens.join(cand_side, "token", "inner")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    total = tokens.agg(F.count(F.lit(1)).alias("n_total"))
+    total = summary.filter(F.col("token").isNull()).agg(
+        F.sum("lower_bound").alias("n_total")
+    )
     return (
         counted.crossJoin(F.broadcast(total))
         .filter(F.col("freq") * phi_inv >= F.col("n_total"))

@@ -127,6 +127,7 @@ def grouped_exact_quantiles(
     value_col: str,
     bin_width: float = 100.0,
     qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """(group, label, k, value): the exact per-group order statistics —
     p99-latency-per-service / p50-price-per-segment shape. Identical
@@ -134,7 +135,15 @@ def grouped_exact_quantiles(
     table is |groups| × |bins| (still range-bounded, not row-bounded),
     cumulative counts and rank location partition by group, and pass 2
     sorts each group's selected bins independently — so a skewed group
-    slows only its own bins' sorts."""
+    slows only its own bins' sorts.
+
+    BOUNDED-GROUP CONTRACT: the broadcast hints assume |groups|·|qs| is
+    driver-broadcast-small (≤ ~1M rows). That holds for every in-repo
+    caller (event types, languages, calendar buckets — class-bounded
+    dimensions). For a HIGH-CARDINALITY group column (user_id-shaped),
+    pass ``hint_broadcast=False``: the rank tables then join unhinted —
+    Catalyst/AQE falls back to SortMergeJoin, which is the safe shape
+    when the per-group side itself needs a shuffle."""
     g = F.col(group_col).alias("g")
     v = (
         values.select(g, F.col(value_col).cast("double").alias("v"))
@@ -165,13 +174,14 @@ def grouped_exact_quantiles(
         .cast("long")
         .alias("k"),
     )
-    # targets is |groups|·|qs| rows BY CONSTRUCTION — always broadcast.
-    # Unhinted, Catalyst falls back to SortMergeJoin when the input's
-    # size estimate is unknown (e.g. the MAD second pass over a derived
-    # frame), shuffling the bin table for a join against a handful of
-    # rank rows.
+    # targets is |groups|·|qs| rows — broadcast under the bounded-group
+    # contract (see docstring). Unhinted, Catalyst falls back to
+    # SortMergeJoin when the input's size estimate is unknown (e.g. the
+    # MAD second pass over a derived frame), shuffling the bin table
+    # for a join against a handful of rank rows.
+    hint = F.broadcast if hint_broadcast else (lambda d: d)
     chosen = (
-        F.broadcast(targets.alias("t"))
+        hint(targets.alias("t"))
         .join(
             cum.alias("m"),
             (F.col("t.g") == F.col("m.g"))
@@ -188,13 +198,13 @@ def grouped_exact_quantiles(
     )
 
     sel = chosen.select("g", "bin").distinct()
-    cand = v.join(F.broadcast(sel), ["g", "bin"])
+    cand = v.join(hint(sel), ["g", "bin"])
     rn = F.row_number().over(Window.partitionBy("g", "bin").orderBy("v"))
     ranked = cand.select("g", "bin", "v", rn.alias("rn"))
-    # chosen is |groups|·|qs| rows — broadcast it so the candidate
-    # stream never re-shuffles for this join
+    # chosen is |groups|·|qs| rows — broadcast (same contract) so the
+    # candidate stream never re-shuffles for this join
     return (
-        F.broadcast(chosen.alias("c"))
+        hint(chosen.alias("c"))
         .join(
             ranked.alias("r"),
             (F.col("c.g") == F.col("r.g"))

@@ -132,6 +132,16 @@ def test_grouped_quantiles_match_per_group_sort(spark):
         for label, num, den in DEFAULT_QS:
             k = -(-num * n // den)
             assert got[(g, label)] == (k, srt[k - 1]), (g, label)
+    # high-cardinality-group escape hatch: unhinted joins (SortMergeJoin
+    # fallback) must produce the identical result — the hint is a
+    # physical choice only, gated by the bounded-group contract
+    unhinted = {
+        (r["g"], r["label"]): (r["k"], r["value"])
+        for r in grouped_exact_quantiles(
+            df, "g", "v", bin_width=10.0, hint_broadcast=False
+        ).collect()
+    }
+    assert unhinted == got
 
 
 def test_mad_outliers_matches_pandas_recompute(spark):

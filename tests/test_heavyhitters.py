@@ -77,6 +77,27 @@ def test_heavy_hitters_output_partition_independent(spark):
     assert results[0] == results[1] == results[2] == expect
 
 
+def test_heavy_hitters_shuffled_fallback_same_output(spark):
+    """Above the candidate-count gate the recount join must NOT be
+    forced through a driver broadcast (k·num_partitions can reach
+    millions of rows on a real cluster) — and the output is identical
+    either way, because the join strategy is a physical choice only."""
+    rng = random.Random(17)
+    stream = _random_stream(rng, 4_000, 200)
+    df = spark.createDataFrame([(t,) for t in stream], "token string").repartition(4)
+    hinted = sorted(
+        (r["token"], r["freq"])
+        for r in HH.heavy_hitters(df, phi_inv=50, k=64).collect()
+    )
+    fallback = sorted(
+        (r["token"], r["freq"])
+        for r in HH.heavy_hitters(
+            df, phi_inv=50, k=64, broadcast_max_candidates=0
+        ).collect()
+    )
+    assert hinted == fallback and hinted
+
+
 def test_heavy_hitters_rejects_undersized_k(spark):
     df = spark.createDataFrame([("a",)], "token string")
     try:
