@@ -175,6 +175,13 @@ def bench_set() -> tuple[list[str], list[str], list[str]]:
     return timed, excluded, demos
 
 
+# Pinned quiet-host canary time at sf0.1 (r7 observed 0.20-0.38 s across
+# start/mid/end; 0.2 is the repeated quiet floor). Used ONLY to scale the
+# streaming medians into a host-speed-corrected estimate — never edit
+# retroactively, or cross-round normalized numbers stop being comparable.
+CANARY_REF_SEC = 0.2
+
+
 def _canary_time(spark, sf_dir: str) -> float:
     """Noise canary (VERDICT r6 task 1): a PINNED constant workload —
     lineitem scan → groupBy(l_returnflag) sum — whose plan has not
@@ -274,6 +281,23 @@ def main() -> None:
     except Exception as e:
         stream_big = {"error": str(e)[:200], "lines_per_sec": None}
     print(f"# stream_probe_100x: {stream_big}", file=sys.stderr)
+    # Canary-normalize the streaming medians (VERDICT r7 task 1): the
+    # probes are bracketed by canary["end"] (taken just above) and this
+    # post-probe sample; lines/s scales ~linearly with host speed, so
+    # multiplying by adjacent/reference estimates the quiet-host rate.
+    # Valid only for the sf0.1 pinned protocol the reference was taken
+    # at; the raw canary seconds ship alongside so any reader can
+    # renormalize. The regression-trackable number remains the
+    # median-of-3 lines_per_sec read AGAINST its spread (SCALING.md
+    # "Streaming throughput probe").
+    canary["post_stream"] = _canary_time(spark, sf_dir)
+    adjacent = round((canary["end"] + canary["post_stream"]) / 2, 3)
+    for sd in (stream, stream_big):
+        if sd.get("lines_per_sec"):
+            sd["canary_adjacent_sec"] = adjacent
+            sd["lines_per_sec_canary_norm"] = round(
+                sd["lines_per_sec"] * adjacent / CANARY_REF_SEC, 1
+            )
 
     total = round(sum(times.values()), 3)
     headline_total = round(sum(times[n] for n in HEADLINE if n in times), 3)
@@ -321,6 +345,13 @@ def main() -> None:
                 "n_excluded_demonstrators": len(demos),
                 "streaming_lines_per_sec": stream.get("lines_per_sec"),
                 "streaming_lines_per_sec_100x": stream_big.get("lines_per_sec"),
+                "streaming_spread": stream.get("spread"),
+                "streaming_lines_per_sec_canary_norm": stream.get(
+                    "lines_per_sec_canary_norm"
+                ),
+                "streaming_lines_per_sec_100x_canary_norm": stream_big.get(
+                    "lines_per_sec_canary_norm"
+                ),
                 "noise_canary": canary,
                 "full_summary": "bench_summary.json",
                 "sf": sf_val,

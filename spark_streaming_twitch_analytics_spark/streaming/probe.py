@@ -36,12 +36,21 @@ def measure_stream_throughput(
     sf_dir: str,
     replicate: int = BENCH_REPLICATE,
     n_files: int = BENCH_N_FILES,
+    runs: int = 3,
 ) -> dict:
     """Run the complete flagship stream over a replicated corpus and
-    return ``{"lines", "files", "wall_sec", "lines_per_sec",
-    "distinct_words"}``. Wall time spans query start → drain
-    (``processAllAvailable``), including every state-store commit and
-    complete-mode snapshot write."""
+    return ``{"lines", "files", "wall_sec", "wall_sec_runs",
+    "lines_per_sec", "lines_per_sec_runs", "spread", "distinct_words"}``.
+    Wall time spans query start → drain (``processAllAvailable``),
+    including every state-store commit and complete-mode snapshot write.
+
+    The reported ``lines_per_sec`` is the MEDIAN of ``runs`` full
+    replays (fresh checkpoint + KV dir each, same source files): the r7
+    round artifacts showed single-shot numbers swinging ~2× on this
+    multi-tenant host (4,199 vs 7,490 lines/s on an unchanged
+    protocol), so one sample can't regression-track anything. The
+    per-run times and max/min ``spread`` ship alongside so a reader can
+    judge whether a round-over-round delta exceeds the measured noise."""
     from ..operators.messages import synth_raw_lines
     from ..sources.kv_store import KVTableStore
     from ..streaming.wordcount import run_snapshot_query, streaming_word_counts
@@ -68,20 +77,27 @@ def measure_stream_throughput(
             .load(src_dir)
         )
         counts = streaming_word_counts(raw)
-        store = KVTableStore(spark, os.path.join(work, "kv"))
-        t0 = time.time()
-        query = run_snapshot_query(
-            counts, store, "probe_wordcount", os.path.join(work, "ckpt")
-        )
-        query.processAllAvailable()
-        wall = time.time() - t0
-        query.stop()
-        n_words = store.get_table("probe_wordcount", counts.schema).count()
+        walls: list[float] = []
+        n_words = 0
+        for i in range(runs):
+            store = KVTableStore(spark, os.path.join(work, f"kv{i}"))
+            t0 = time.time()
+            query = run_snapshot_query(
+                counts, store, "probe_wordcount", os.path.join(work, f"ckpt{i}")
+            )
+            query.processAllAvailable()
+            walls.append(time.time() - t0)
+            query.stop()
+            n_words = store.get_table("probe_wordcount", counts.schema).count()
+        med = sorted(walls)[len(walls) // 2]
         return {
             "lines": total,
             "files": n_files,
-            "wall_sec": round(wall, 2),
-            "lines_per_sec": round(total / wall, 1),
+            "wall_sec": round(med, 2),
+            "wall_sec_runs": [round(w, 2) for w in walls],
+            "lines_per_sec": round(total / med, 1),
+            "lines_per_sec_runs": [round(total / w, 1) for w in walls],
+            "spread": round(max(walls) / min(walls), 2),
             "distinct_words": n_words,
         }
     finally:
