@@ -104,3 +104,69 @@ def operator_has_descendant(plan: str, parent_op: str, child_op: str) -> bool:
             if op2 == child_op:
                 return True
     return False
+
+
+def global_window_findings(plan: str) -> list[str]:
+    """Scan the formatted plan's DETAIL section for window operators
+    whose partitioning would put the whole input on ONE task at scale:
+
+    - a ``Window``/``WindowInPandas``/``WindowGroupLimit`` whose
+      Arguments carry no partition bracket (Spark prints ``[funcs],
+      [order]`` — two groups — when ``partitionBy`` was omitted), and
+    - a partition key that is the self-subtraction constant trick
+      (``partitionBy(c - c)``): Catalyst projects the expression into a
+      ``_wN`` attribute below the window, so the window itself looks
+      partitioned — the lint chases the attribute to its defining
+      ``(x#i - x#i) AS _wN#j`` projection.
+
+    Returns human-readable findings (empty = no global windows). Both
+    shapes are legitimate ONLY when the window input is bounded by
+    construction (calendar buckets, |groups|x|bins| tables) — callers
+    keep an explicit allowlist naming each query's bound.
+    """
+    import re
+
+    findings = []
+    # constant partition attrs: self-subtraction (c - c) or a bare
+    # literal projected into the window's internal _wN attribute
+    const_attrs = {
+        m.group(2)
+        for m in re.finditer(r"\((\S+#\d+L?) - \1\) AS (_w\d+#\d+L?)", plan)
+    } | {
+        m.group(1)
+        for m in re.finditer(r"\b\d+(?:\.\d+)? AS (_w\d+#\d+L?)", plan)
+    }
+    for m in re.finditer(
+        r"^\(\d+\) (Window|WindowInPandas|WindowGroupLimit)\s*$"
+        r"((?:\n(?!\(\d+\)).*)*)",
+        plan,
+        re.M,
+    ):
+        op, body = m.group(1), m.group(2)
+        am = re.search(r"^Arguments: (.*)$", body, re.M)
+        if not am:
+            continue
+        groups = re.findall(r"\[[^\[\]]*\]", am.group(1))
+        if op == "WindowGroupLimit":
+            part = groups[0] if groups else "[]"
+        elif len(groups) >= 3:
+            # Window/WindowInPandas: [funcs], [partition], [order]
+            part = groups[1]
+        elif len(groups) == 2:
+            # two groups is ambiguous: [funcs], [order] (no partition)
+            # vs [funcs], [partition] (unordered whole-partition frame)
+            # — order specs always carry a sort direction
+            second = groups[1]
+            part = "[]" if re.search(r"\b(ASC|DESC)\b", second) else second
+        else:
+            part = "[]"
+        if part == "[]" or not re.search(r"#\d+", part):
+            findings.append(f"{op} with no partition key: {am.group(1)[:120]}")
+            continue
+        attrs = re.findall(r"_w\d+#\d+L?", part)
+        if attrs and all(a in const_attrs for a in attrs):
+            findings.append(
+                f"{op} partitioned only by constant self-subtraction "
+                f"({part[:80]})"
+            )
+    return findings

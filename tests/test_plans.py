@@ -209,6 +209,75 @@ def test_no_object_agg_under_expand_in_oracle_query_plans(spark):
     )
 
 
+# Deliberate single-partition windows (VERDICT r7 task 3): every entry
+# names the BOUND that makes a one-task window safe — the window input
+# is class-/bin-/pool-bounded by construction, never row-bounded. A new
+# query tripping the lint must either partition its window or be added
+# HERE with its bound (and the bound must be real: an unbounded input
+# on one task is the classic 100TB scale-killer).
+GLOBAL_WINDOW_ALLOWLIST = {
+    "exact_quantiles_histogram": "cum-sum over |bins| = range/bin_width histogram rows",
+    "quantiles_interpolated": "same histogram bin table, interpolated select",
+    "events_conversion_latency": "grouped-quantile second pass over |bins| rows",
+    "corpus_quality_composite": "decile threshold select over |bins| rows per signal",
+    "corpus_vocab_coverage": "rank over the top-2000 vocabulary cut (TakeOrderedAndProject upstream)",
+    "corpus_temperature_mix": "cum share over |languages| class rows",
+    "retrieval_rrf_fusion": "rank over the <=50-row pooled cut (TakeOrderedAndProject upstream)",
+    "events_cusum_changepoint": "calendar-bounded day series (max-plus closed form)",
+}
+
+
+def test_global_window_findings_detects_both_shapes(spark):
+    """The lint's detector must catch (a) a window with no partitionBy
+    and (b) the constant self-subtraction partition, while passing a
+    properly keyed window — live plans, not canned strings, so the
+    formatted-explain shapes stay honest across Spark upgrades."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.range(32).withColumn("g", F.col("id") % 4)
+    bad_unpart = df.select(F.rank().over(W.orderBy("id")).alias("r"))
+    bad_const = df.select(
+        F.sum("id").over(W.partitionBy(F.col("id") - F.col("id")).orderBy("id")).alias("s")
+    )
+    good = df.select(F.row_number().over(W.partitionBy("g").orderBy("id")).alias("r"))
+    assert any(
+        "no partition key" in f
+        for f in EX.global_window_findings(EX.formatted_plan(bad_unpart))
+    )
+    assert any(
+        "constant self-subtraction" in f
+        for f in EX.global_window_findings(EX.formatted_plan(bad_const))
+    )
+    assert EX.global_window_findings(EX.formatted_plan(good)) == []
+
+
+def test_no_unbounded_global_windows_outside_allowlist(spark):
+    """Registry-wide lint: a WindowExec with no partition key — or
+    partitioned only by the constant ``c - c`` trick — moves its whole
+    input to ONE task. That is deliberate in exactly the allowlisted
+    queries (each names its bound); anywhere else it is an accidental
+    global window and fails here before it fails at scale."""
+    offenders = {}
+    for name, plan in _oracle_plans(spark).items():
+        findings = EX.global_window_findings(plan)
+        if findings and name not in GLOBAL_WINDOW_ALLOWLIST:
+            offenders[name] = findings[0]
+    assert not offenders, (
+        f"global/constant-partition windows outside the allowlist "
+        f"(partition the window or add it WITH its bound): {offenders}"
+    )
+    # the allowlist must not rot: entries that no longer trip the lint
+    # should be pruned so the list stays an honest inventory
+    stale = [
+        n
+        for n in GLOBAL_WINDOW_ALLOWLIST
+        if n in _oracle_plans(spark)
+        and not EX.global_window_findings(_oracle_plans(spark)[n])
+    ]
+    assert not stale, f"allowlist entries no longer needed: {stale}"
+
+
 def test_split_and_shuffle_shard_ops_take_one_exchange(spark):
     # both are row-local hash assignments + one keyed aggregate: any
     # second exchange would mean the assignment itself shuffled
