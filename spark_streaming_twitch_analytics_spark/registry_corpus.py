@@ -696,7 +696,42 @@ def corpus_bigram_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     prescribes. Determinism: the per-bigram probability uses only
     IEEE-exact arithmetic on integers, is floor-quantized to an integer,
     and per-doc aggregation sums integers — no cross-row float folds."""
-    d = _docs(spark, sf_dir)
+    return kn_bigram_scores(_docs(spark, sf_dir))
+
+
+_KN_SALT = 8
+
+
+def kn_bigram_scores(d: DataFrame, salt: int = _KN_SALT) -> DataFrame:
+    """The KN pipeline over any ``(doc_id, text)`` frame (shared by the
+    registry query and the skew probe/tests).
+
+    Skew design (VERDICT r7 task 4): the raw bigram stream's join key
+    (w1, w2) is Zipf-skewed on real text — the hottest bigram can
+    dominate one reducer. AQE skew-split can NOT rescue this shape: the
+    type-table side of the join is an aggregate, so the SMJ child is
+    Sort(HashAggregate(shuffle)) and OptimizeSkewedJoin's
+    Sort(ShuffleQueryStage)-on-both-sides pattern never matches
+    (verified empirically — DEBUG logs show the rule skipping the
+    join). So the skew handling is structural instead:
+
+    1. All per-bigram statistics join TYPE-side first (bf ⋈ ctx ⋈ back
+       ⋈ nb → ``pm(w1, w2, p_micro)``): those joins move vocab-bounded
+       type rows, never the instance stream — which also cuts the
+       instance stream from three shuffles (old: ⋈bf on (w1,w2), ⋈ctx
+       on w1, ⋈back on w2) to ONE.
+    2. The single instance join is SALTED: instances carry
+       ``pmod(hash(doc_id), salt)``, ``pm`` is replicated ×salt, and
+       the join key (w1, w2, salt) spreads the hottest bigram across
+       ``salt`` reducers. Replication cost is |bigram types|×salt rows
+       of 3 narrow columns — type-bounded, never corpus-bounded.
+
+    Verified live by ``tests/test_corpus_ops.py::
+    test_kn_instance_join_skew_splits`` (planted hot bigram → the hot
+    key's rows land on multiple reducers, output unchanged) and the
+    ×10-replica hot-bigram row in SCALING.md. Determinism: identical
+    per-bigram p_micro regardless of partitioning; per-doc sums are
+    integer folds."""
     toks = d.select("doc_id", X.tokenize(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -722,16 +757,25 @@ def corpus_bigram_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_KN_D) * F.col("n1f").cast("double"))
         / F.col("c1").cast("double")
     ) * (F.col("n1b").cast("double") / F.col("nbt").cast("double"))
-    sc = (
-        b.join(bf, ["w1", "w2"])
-        .join(ctx, "w1")
+    # type-side enrichment: every join here moves vocab-bounded rows
+    pm = (
+        bf.join(ctx, "w1")
         .join(back, "w2")
         .join(F.broadcast(nb))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.floor(p * F.lit(1000000.0)).cast("long").alias("p_micro"),
         )
     )
+    # the ONE instance-stream shuffle, salted against Zipf-hot bigrams
+    spark = d.sparkSession
+    salts = spark.range(salt).select(F.col("id").cast("int").alias("salt"))
+    pm_rep = pm.crossJoin(salts)
+    bs = b.withColumn(
+        "salt", F.pmod(F.hash("doc_id"), F.lit(salt)).cast("int")
+    )
+    sc = bs.join(pm_rep, ["w1", "w2", "salt"]).select("doc_id", "p_micro")
     return sc.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_bigrams"),
         F.sum("p_micro").alias("sum_p_micro"),

@@ -906,3 +906,51 @@ def test_pack_efficiency_consistent_with_bins(spark):
     assert r["max_bin_tokens"] == max(bins.values())
     assert r["n_overfull"] == sum(1 for v in bins.values() if v > 256)
     assert 0 < r["fill_fraction"] <= r["max_bin_tokens"] / 256
+
+
+def test_kn_instance_join_skew_splits(spark):
+    """The KN instance join key (w1, w2) is Zipf-skewed on real text,
+    and AQE skew-split canNOT rescue it (the type side of the join is
+    an aggregate — Sort(HashAggregate(shuffle)) breaks the rule's
+    Sort(ShuffleQueryStage) pattern, verified via adaptive DEBUG logs).
+    The structural mitigation: type-side stats join first, then ONE
+    salted instance join. This test plants a hot bigram and asserts
+    (a) the executed instance join partitions by (w1, w2, salt) — the
+    hot key's mass spreads across salt reducers, (b) the plan carries
+    exactly one instance-stream shuffle on the salted key (the old
+    shape paid three: bf on (w1,w2), ctx on w1, back on w2), and
+    (c) scores are salt-invariant (salt=1 ≡ salt=8)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        kn_bigram_scores,
+    )
+
+    hot = " ".join(["zzhot zzkey"] * 120)
+    rows = [(i, f"the quick brown fox d{i} jumps over w{i % 37} lazy dogs") for i in range(400)]
+    rows += [(1000 + i, hot) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    out = kn_bigram_scores(docs)
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_p_micro"]) for r in out.collect()}
+    assert sum(1 for d in got if d >= 1000) == 300
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # bare-(w1,w2) EXCHANGES still exist — they feed the bf aggregate,
+    # where map-side partial aggregation bounds a hot key's reduce input
+    # to one row per mapper. The skew risk is raw-stream JOINS, so the
+    # assertion targets join keys: the instance join must carry salt,
+    # and no join may key on bare (w1, w2).
+    salted = re.findall(r"Join \[w1#\d+, w2#\d+, salt#\d+\]", plan)
+    unsalted = re.findall(r"Join \[w1#\d+, w2#\d+\]", plan)
+    assert salted, "instance join is not keyed by (w1, w2, salt)"
+    assert not unsalted, (
+        "a join still keys on bare (w1, w2) — the hot bigram's raw "
+        f"instances would pile on one reducer: {unsalted}"
+    )
+    # salt-invariance: the salt is a physical routing column only
+    unsalted_scores = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_p_micro"])
+        for r in kn_bigram_scores(docs, salt=1).collect()
+    }
+    assert unsalted_scores == got
