@@ -128,6 +128,7 @@ def grouped_exact_quantiles(
     bin_width: float = 100.0,
     qs: tuple[tuple[str, int, int], ...] = DEFAULT_QS,
     hint_broadcast: bool = True,
+    bin_col: str | None = None,
 ) -> DataFrame:
     """(group, label, k, value): the exact per-group order statistics —
     p99-latency-per-service / p50-price-per-segment shape. Identical
@@ -145,11 +146,22 @@ def grouped_exact_quantiles(
     Catalyst/AQE falls back to SortMergeJoin, which is the safe shape
     when the per-group side itself needs a shuffle."""
     g = F.col(group_col).alias("g")
-    v = (
-        values.select(g, F.col(value_col).cast("double").alias("v"))
-        .filter(F.col("v").isNotNull())  # see exact_quantiles NULL note
-        .withColumn("bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long"))
-    )
+    if bin_col is None:
+        v = (
+            values.select(g, F.col(value_col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())  # see exact_quantiles NULL note
+            .withColumn(
+                "bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long")
+            )
+        )
+    else:
+        # caller supplies precomputed bins — the multiplexed-signals
+        # form: different bin widths per group through ONE shared pass
+        v = values.select(
+            g,
+            F.col(value_col).cast("double").alias("v"),
+            F.col(bin_col).cast("long").alias("bin"),
+        ).filter(F.col("v").isNotNull())
 
     bins = v.groupBy("g", "bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
     w = (

@@ -3744,11 +3744,10 @@ def corpus_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .cache import eager_persist
 
-    # sig feeds three threshold pipelines (two passes each) plus the
-    # final bucketing scan — seven evaluations of the tokenize/entropy
-    # folds unpersisted. The frame is doc_id + three doubles (~32 B/row);
-    # at pipeline scale this is the materialized signals table every
-    # quality stack builds anyway.
+    # sig feeds the shared threshold pass plus the final bucketing scan.
+    # The frame is doc_id + three doubles (~32 B/row); at pipeline scale
+    # this is the materialized signals table every quality stack builds
+    # anyway.
     sig = eager_persist(
         d.select(
             "doc_id",
@@ -3758,15 +3757,39 @@ def corpus_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def ths(col: str, width: float, alias: str) -> DataFrame:
-        q = quantiles.exact_quantiles(sig, col, bin_width=width, qs=_DECILES)
-        return q.agg(F.sort_array(F.collect_list("value")).alias(alias))
-
-    out = (
-        sig.crossJoin(F.broadcast(ths("s_tok", 1.0, "tht")))
-        .crossJoin(F.broadcast(ths("s_dup", 0.01, "thd")))
-        .crossJoin(F.broadcast(ths("s_ent", 0.1, "the")))
+    # ONE histogram pass + ONE select pass for all three signals
+    # (VERDICT r7 task 5 — was three independent two-pass pipelines):
+    # stack (signal, floor(v/width_signal), v) long rows, then the
+    # grouped quantile engine keyed by signal name. Values are SELECTED
+    # originals, so per-signal bin widths multiplex without any rescale
+    # round-trip that could cost a ulp.
+    specs = (("tht", "s_tok", 1.0), ("thd", "s_dup", 0.01), ("the", "s_ent", 0.1))
+    long_sig = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nm).alias("sig"),
+                        F.floor(F.col(c) / F.lit(wd)).cast("long").alias("bin"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for nm, c, wd in specs
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    th = quantiles.grouped_exact_quantiles(
+        long_sig, "sig", "v", qs=_DECILES, bin_col="bin"
     )
+    one = th.groupBy("sig").agg(
+        F.sort_array(F.collect_list("value")).alias("arr")
+    ).agg(
+        *[
+            F.max(F.when(F.col("sig") == nm, F.col("arr"))).alias(nm)
+            for nm, _, _ in specs
+        ]
+    )
+    out = sig.crossJoin(F.broadcast(one))
 
     def bucket(arr: str, v: str) -> Column:
         return F.size(

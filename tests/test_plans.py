@@ -219,7 +219,6 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "exact_quantiles_histogram": "cum-sum over |bins| = range/bin_width histogram rows",
     "quantiles_interpolated": "same histogram bin table, interpolated select",
     "events_conversion_latency": "grouped-quantile second pass over |bins| rows",
-    "corpus_quality_composite": "decile threshold select over |bins| rows per signal",
     "corpus_vocab_coverage": "rank over the top-2000 vocabulary cut (TakeOrderedAndProject upstream)",
     "corpus_temperature_mix": "cum share over |languages| class rows",
     "retrieval_rrf_fusion": "rank over the <=50-row pooled cut (TakeOrderedAndProject upstream)",
