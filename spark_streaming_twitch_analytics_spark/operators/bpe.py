@@ -286,3 +286,118 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
 FROM dw JOIN enc USING (word)
 GROUP BY doc_id"""
     return ",\n".join(parts) + ",\n" + body
+
+
+def bpe_roundtrip(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_decoded, round_trip_ok): encode every
+    document into a DECODABLE token stream, decode it back, and compare
+    with the normalized text — the inverse half of the tokenizer story
+    (``bpe_encode`` counts tokens; this proves the token stream loses
+    nothing).
+
+    Stream representation: per word, the merged symbols in order, with
+    the word-INITIAL token carrying a ``_`` marker (the sentencepiece
+    word-boundary convention; ``_`` cannot occur inside ``[a-z]+``
+    symbols, so the marker is unambiguous). Decode is then pure string
+    work: concatenate the stream, turn markers into spaces, trim the
+    leading one — ``decode(encode(text)) == normalized(text)`` where
+    normalized = lowercase ``[a-z]+`` words joined by single spaces.
+
+    Scale shape: merges fold over the DISTINCT-word table only
+    (vocab-bounded), per-word token arrays broadcast back onto the
+    positional word stream, and the per-doc token sequence reassembles
+    with one grouped sort of (pos, tokens) structs — the corpus is
+    scanned once and carries only word+pos, never symbol strings.
+    """
+    doc_words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos", "word"),
+    )
+    state = doc_words.select("word").distinct().select(
+        "word", F.concat_ws(SEP, F.split("word", "")).alias("s")
+    )
+    for a, b in merges:
+        state = state.select("word", _merge_fold(F.col("s"), a, b).alias("s"))
+    sy = F.split("s", SEP)
+    wt = state.select(
+        "word",
+        F.concat(
+            F.array(F.concat(F.lit("_"), F.element_at(sy, 1))),
+            F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(0))),
+        ).alias("ts"),
+    )
+    toks = (
+        doc_words.join(F.broadcast(wt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ts"))),
+                    lambda x: x["ts"],
+                )
+            ).alias("tokens")
+        )
+    )
+    decoded = F.ltrim(F.translate(F.concat_ws("", F.col("tokens")), "_", " "))
+    nd = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("norm"),
+    )
+    return toks.join(nd, "doc_id").select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.length(decoded).cast("long").alias("n_chars_decoded"),
+        (decoded == F.col("norm")).cast("int").alias("round_trip_ok"),
+    )
+
+
+def bpe_roundtrip_sql(
+    docs_rel: str, n_merges: int = 12, top_words: int = 2000
+) -> str:
+    """DuckDB twin of :func:`bpe_roundtrip`: the training chain, the
+    positional word stream (zipped unnest/generate_subscripts), the
+    encode folds, and an INDEPENDENT decode (list slice for the marker,
+    replace+ltrim for the inverse) compared against the normalized
+    text — a broken Spark decode hash-mismatches even when encode
+    agrees."""
+    train = bpe_train_sql(word_freqs_sql(docs_rel, top_words), n_merges)
+    train_ctes = train[: train.rindex("\nSELECT CAST(1 AS INT)")]
+    parts = [
+        train_ctes,
+        f"""dw AS (
+  SELECT doc_id, g.w AS word, g.i AS pos FROM
+    (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+     FROM ({docs_rel})) t,
+    LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i) g),
+e0 AS (
+  SELECT word, array_to_string(
+    [substr(word, CAST(i AS INT) + 1, 1) for i in range(0, length(word))],
+    '{SEP}') AS s
+  FROM (SELECT DISTINCT word FROM dw))""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT word, {_fold_case_sql(f"m{i}")} AS s
+  FROM e{i - 1} LEFT JOIN m{i} ON TRUE)"""
+        )
+    body = f"""wt AS (
+  SELECT word, list_concat(['_' || sy[1]], sy[2:]) AS ts
+  FROM (SELECT word, string_split(s, '{SEP}') AS sy FROM e{n_merges})),
+tk AS (
+  SELECT dw.doc_id, flatten(list(wt.ts ORDER BY dw.pos)) AS tokens
+  FROM dw JOIN wt USING (word) GROUP BY 1),
+nd AS (SELECT doc_id,
+  array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS norm
+  FROM ({docs_rel})),
+dec AS (SELECT doc_id, tokens,
+  ltrim(replace(array_to_string(tokens, ''), '_', ' ')) AS decoded FROM tk)
+SELECT dec.doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+  CAST(length(decoded) AS BIGINT) AS n_chars_decoded,
+  CAST(decoded = nd.norm AS INT) AS round_trip_ok
+FROM dec JOIN nd USING (doc_id)"""
+    return ",\n".join(parts) + ",\n" + body

@@ -3510,6 +3510,33 @@ def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_bpe_roundtrip",
+    _BPE.bpe_roundtrip_sql(
+        "SELECT doc_id, text FROM documents", _BPE_MERGES, _BPE_TOP_WORDS
+    ),
+    survey="ext: BPE decode round-trip — the detokenizer half the "
+    "tokenizer story was missing (reference lineage N2 tokenize, "
+    "pipelines.scala:48-50; extension flagged): encode every doc into "
+    "a decodable token stream ('_' word-boundary markers, the "
+    "sentencepiece convention), decode independently on BOTH engines, "
+    "and hash-compare decode(encode(text)) == normalized(text) per doc",
+)
+def corpus_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 12 merges, encode every document as an ordered marked
+    token stream, decode it back, and report per-doc token counts plus
+    the round-trip equality flag. The oracle recomputes the decode with
+    its own string machinery, so a lossy Spark-side stream (dropped
+    marker, reordered word, swallowed token) breaks the hash even when
+    token COUNTS agree."""
+    d = _docs(spark, sf_dir)
+    merges_df = _BPE.bpe_train(
+        _BPE.word_freqs(d, _BPE_TOP_WORDS), _BPE_MERGES
+    )
+    merges = [(r["a"], r["b"]) for r in merges_df.collect()]  # ≤12 rows
+    return _BPE.bpe_roundtrip(d, merges)
+
+
+@register(
     "corpus_doc_novelty",
     f"""WITH toks AS (
   SELECT doc_id, {X.tokenize_sql('text')} AS t FROM documents),

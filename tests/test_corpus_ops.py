@@ -954,3 +954,33 @@ def test_kn_instance_join_skew_splits(spark):
         for r in kn_bigram_scores(docs, salt=1).collect()
     }
     assert unsalted_scores == got
+
+
+def test_bpe_roundtrip_inverse_and_token_counts(spark):
+    """decode(encode(text)) must equal the normalized text for every
+    doc, and the stream's token count must agree with bpe_encode's
+    count under the same merge table (same folds, different
+    representations)."""
+    from spark_streaming_twitch_analytics_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the theater thesis THE the!"),
+            (2, "aaa aa a"),  # greedy-left merge edge: (a,a) over runs
+            (3, "  Mixed CASE with   runs\tand 123 digits  "),
+            (4, "zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [("t", "h"), ("th", "e"), ("a", "a")]
+    rows = {r["doc_id"]: r for r in bpe.bpe_roundtrip(docs, merges).collect()}
+    assert all(r["round_trip_ok"] == 1 for r in rows.values())
+    # "aaa aa a" under (a,a): aaa -> [aa, a] (2), aa -> [aa] (1), a -> [a] (1)
+    assert rows[2]["n_tokens"] == 4
+    # "the" under (t,h)+(th,e) is a single token; 4 occurrences of the
+    # word 'the' (lowercased), 'theater'/'thesis' start with token 'the'
+    enc = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    assert {d: r["n_tokens"] for d, r in rows.items()} == enc

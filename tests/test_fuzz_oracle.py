@@ -133,6 +133,8 @@ FUZZ_QUERIES = [
     "dedup_pair_evidence",  # sorted shared shingles, quantized jaccard
     "text_lang_confusion",  # integer confusion-matrix census
     "corpus_bpe_fertility",  # integer sums, one final division
+    # round 8
+    "corpus_bpe_roundtrip",  # marked token stream; both engines decode
     "privacy_l_diversity",  # integer distinct-count census
     "corpus_pack_efficiency",  # integer bin sums, one final division
 ]
