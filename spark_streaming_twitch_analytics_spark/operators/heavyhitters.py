@@ -116,28 +116,29 @@ def heavy_hitters(
 
     Scale shape: the candidate set can reach k·num_partitions rows, and
     at thousands of partitions that is millions of rows — too big to
-    force through a driver broadcast. The summary is persisted (it is
-    the small frame) and the exact candidate count read from it gates
-    the join strategy: broadcast-hint below ``broadcast_max_candidates``,
-    plain shuffled equi-join above (AQE still picks broadcast if the
-    build side turns out small). N comes from the MG pass's sentinel
-    rows, so ``tokens`` is scanned exactly twice — the algorithm's
-    floor — instead of three times."""
+    force through a driver broadcast. The join strategy is gated on the
+    PLAN-LEVEL bound k·num_partitions (a worst case known before any
+    job runs, so gating costs no action): broadcast-hint below
+    ``broadcast_max_candidates``, plain shuffled equi-join above (AQE
+    still picks broadcast if the build side turns out small — the
+    estimate erring high only ever falls back to the safe shape).
+    N comes from the MG pass's sentinel rows, so ``tokens`` is scanned
+    exactly twice — the algorithm's floor — instead of three times."""
     if k is None:
         k = phi_inv
     if k < phi_inv:
         raise ValueError("k must be ≥ phi_inv for the superset guarantee")
     from ..cache import eager_persist
 
+    # worst-case candidate bound, known without running anything
+    est_cand = k * tokens.rdd.getNumPartitions()
     summary = eager_persist(mg_summarize_partitions(tokens, k))
     candidates = (
         summary.filter(F.col("token").isNotNull()).select("token").distinct()
     )
-    # exact count off the persisted summary — no re-scan of tokens
-    n_cand = candidates.count()
     cand_side = (
         F.broadcast(candidates)
-        if n_cand <= broadcast_max_candidates
+        if est_cand <= broadcast_max_candidates
         else candidates
     )
     counted = (
