@@ -154,3 +154,102 @@ def heavy_hitters(
         .filter(F.col("freq") * phi_inv >= F.col("n_total"))
         .select("token", "freq")
     )
+
+
+def mg_summarize_partitions_grouped(
+    tokens: DataFrame, group_col: str, k: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries PER GROUP: one ``mapInPandas``
+    pass maintaining an independent k-counter summary for each group
+    value seen by the task — O(k·|groups|) state, bounded when the group
+    column is class-bounded (language, source, shard family). The merge
+    theorem applies per group: each group's undercount is ≤
+    n_partition_group/(k+1), so the per-group superset guarantee holds
+    against per-group thresholds. One sentinel row per (partition,
+    group) carries the group's row count (token NULL), so per-group
+    stream lengths N_g cost no extra scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, dict[str, int]] = {}
+        seen: dict[str, int] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, dropna=False):
+                gk = g if isinstance(g, str) else str(g)
+                seen[gk] = seen.get(gk, 0) + len(sub)
+                vc = sub["token"].value_counts()
+                counts[gk] = mg_merge_batch(counts.get(gk, {}), dict(vc), k)
+        gs, ts, lbs = [], [], []
+        for gk, c in counts.items():
+            for tok, lb in c.items():
+                gs.append(gk)
+                ts.append(tok)
+                lbs.append(lb)
+        for gk, n in seen.items():
+            gs.append(gk)
+            ts.append(None)
+            lbs.append(n)
+        yield pd.DataFrame(
+            {
+                group_col: gs,
+                "token": ts,
+                "lower_bound": np.array(lbs, dtype=np.int64),
+            }
+        )
+
+    return tokens.select(group_col, "token").mapInPandas(
+        run, f"{group_col} string, token string, lower_bound long"
+    )
+
+
+def grouped_heavy_hitters(
+    tokens: DataFrame,
+    group_col: str,
+    phi_inv: int = 1000,
+    k: int | None = None,
+    broadcast_max_candidates: int = 100_000,
+) -> DataFrame:
+    """All (group, token) with exact frequency ≥ N_group/phi_inv — the
+    per-language/per-source production form of :func:`heavy_hitters`
+    ("what dominates EACH slice", not the global stream). Same
+    two-pass shape with the group key threaded through every stage:
+    per-group MG candidates (superset per group by the same k ≥ phi_inv
+    argument), exact recount on (group, token), and an integer
+    threshold against the group's own N from the sentinel rows.
+    Deterministic for any partitioning for the same reason as the
+    global form. Broadcast gating uses the plan-level worst case
+    k·num_partitions·|groups-per-task| ≈ k·num_partitions (each task
+    emits at most k counters per group it SEES; the bound below is per
+    observed group, conservative for class-bounded groups)."""
+    if k is None:
+        k = phi_inv
+    if k < phi_inv:
+        raise ValueError("k must be ≥ phi_inv for the superset guarantee")
+    from ..cache import eager_persist
+
+    est_cand = k * tokens.rdd.getNumPartitions()
+    summary = eager_persist(mg_summarize_partitions_grouped(tokens, group_col, k))
+    candidates = (
+        summary.filter(F.col("token").isNotNull())
+        .select(group_col, "token")
+        .distinct()
+    )
+    cand_side = (
+        F.broadcast(candidates)
+        if est_cand <= broadcast_max_candidates
+        else candidates
+    )
+    counted = (
+        tokens.join(cand_side, [group_col, "token"], "inner")
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = (
+        summary.filter(F.col("token").isNull())
+        .groupBy(group_col)
+        .agg(F.sum("lower_bound").alias("n_group"))
+    )
+    return (
+        counted.join(F.broadcast(totals), group_col)
+        .filter(F.col("freq") * phi_inv >= F.col("n_group"))
+        .select(group_col, "token", "freq")
+    )

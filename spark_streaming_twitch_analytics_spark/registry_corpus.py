@@ -2362,6 +2362,40 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavyhitters.heavy_hitters(tokens, phi_inv=_HH_PHI_INV)
 
 
+@register(
+    "corpus_heavy_hitters_by_lang",
+    f"""WITH w AS (
+  SELECT lang, unnest({X.tokenize_sql('text')}) AS token FROM documents),
+tot AS (SELECT lang, count(*) AS n FROM w GROUP BY 1),
+c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS freq
+      FROM w GROUP BY 1, 2)
+SELECT c.lang, c.token, c.freq
+FROM c JOIN tot USING (lang)
+WHERE c.freq * {_HH_PHI_INV} >= tot.n""",
+    survey="ext: GROUPED frequent-items enumeration — what dominates "
+    "EACH language slice, not the global stream: per-group Misra-Gries "
+    "summaries in one mapInPandas pass (O(k·|langs|) task state, the "
+    "merge/superset guarantee applies per group), exact recount on "
+    "(lang, token), per-group integer thresholds from sentinel rows; "
+    "hashes against the naive per-group GROUP BY/HAVING oracle",
+)
+def corpus_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters: every token with frequency ≥
+    N_lang/1000 within its own language's token stream — the slice-wise
+    production form (a token can dominate a small language while being
+    invisible globally). Same bounded-state two-pass algorithm with the
+    group key threaded through candidates, recount, and thresholds."""
+    from .operators import heavyhitters
+
+    d = _docs(spark, sf_dir)
+    tokens = d.select(
+        "lang", F.explode(X.tokenize(F.col("text"))).alias("token")
+    )
+    return heavyhitters.grouped_heavy_hitters(
+        tokens, "lang", phi_inv=_HH_PHI_INV
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composed end-to-end corpus preparation (the pipeline the pieces exist for)
 # ---------------------------------------------------------------------------

@@ -135,6 +135,7 @@ FUZZ_QUERIES = [
     "corpus_bpe_fertility",  # integer sums, one final division
     # round 8
     "corpus_bpe_roundtrip",  # marked token stream; both engines decode
+    "corpus_heavy_hitters_by_lang",  # per-group MG + exact recount, int cut
     "privacy_l_diversity",  # integer distinct-count census
     "corpus_pack_efficiency",  # integer bin sums, one final division
 ]

@@ -138,3 +138,32 @@ def test_registry_heavy_hitters_matches_exact(spark):
         for r in registry.get("corpus_heavy_hitters").fn(spark, SF).collect()
     }
     assert got == exact
+
+
+def test_grouped_heavy_hitters_partition_independent_and_per_group(spark):
+    """Per-group thresholds: a token can dominate a SMALL group while
+    being invisible globally — and the output must be identical for any
+    partitioning (the per-group MG superset + exact recount argument)."""
+    rng = random.Random(23)
+    # group 'big': 6000 spread tokens; group 'small': 60 tokens where
+    # 'hot' takes a third — heavy in 'small', hopeless globally
+    stream = [("big", t) for t in _random_stream(rng, 6_000, 500)]
+    stream += [("small", "hot")] * 20 + [
+        ("small", f"s{i}") for i in range(40)
+    ]
+    truth = Counter(stream)
+    n_g = Counter(g for g, _ in stream)
+    phi_inv = 25
+    expect = sorted(
+        (g, t, c) for (g, t), c in truth.items() if c * phi_inv >= n_g[g]
+    )
+    assert ("small", "hot", 20) in expect
+    assert not any(g == "big" and t == "hot" for g, t, _ in expect)
+    results = []
+    for parts in (1, 3, 8):
+        df = spark.createDataFrame(
+            stream, "lang string, token string"
+        ).repartition(parts)
+        out = HH.grouped_heavy_hitters(df, "lang", phi_inv=phi_inv, k=64).collect()
+        results.append(sorted((r["lang"], r["token"], r["freq"]) for r in out))
+    assert results[0] == results[1] == results[2] == expect
