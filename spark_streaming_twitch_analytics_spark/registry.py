@@ -3539,6 +3539,46 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_stats_features(_docs(spark, sf_dir))
 
 
+def _png_tile_resize_sql(out_h: int = 6, out_w: int = 6) -> str:
+    """Oracle for the 4×4 → out_h×out_w nearest-neighbor resize: all 16
+    digest bytes as pixels, the resized grid rebuilt with the SAME floor
+    index map ((dst·4)//dst_dim) as pure column references — every
+    output pixel is an exact source byte, so no float ever appears."""
+    cols = ",\n  ".join(
+        f"CAST('0x' || substr(hx, {1 + 2 * j}, 2) AS INT) AS p{j}"
+        for j in range(16)
+    )
+    ri = [(i * 4) // out_h for i in range(out_h)]
+    ci = [(j * 4) // out_w for j in range(out_w)]
+    refs = [f"p{r * 4 + c}" for r in ri for c in ci]
+    return f"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+s AS (SELECT doc_id,
+  {cols}
+ FROM h)
+SELECT doc_id, [{", ".join(refs)}] AS resized,
+  CAST({" + ".join(refs)} AS BIGINT) AS px_sum
+FROM s"""
+
+
+@register(
+    "multimodal_image_resize",
+    lambda: _png_tile_resize_sql(),
+    survey="ext: REAL 2-D nearest-neighbor image resize through the PNG "
+    "codec — encode the md5-derived 4x4 grayscale tile to genuine PNG, "
+    "decode, resize 4x4 -> 6x6 with the canonical floor index map "
+    "(every output pixel an exact source byte); the oracle rebuilds the "
+    "grid from md5 hex by pure index arithmetic, so a codec or sampler "
+    "bug breaks the hash; shuffle-free bounded-batch mapInPandas",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode→resize→emit pipeline made real: a genuine PNG decode
+    feeds a genuine spatial resample (row/col replication upsample,
+    4×4 → 6×6), emitted as the flattened integer grid plus a checksum.
+    Production swaps the tile for real images and NN for bilinear; the
+    Spark plan — one Arrow pass, no shuffle — is unchanged."""
+    return multimodal.image_resize_features(_docs(spark, sf_dir))
+
+
 def _audio_spectrum_bin_sql(k: int) -> str:
     """One DFT bin's power over centered samples a0..a7, with the exact
     twiddle-table doubles and the same left-associated op sequence as

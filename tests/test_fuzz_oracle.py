@@ -136,6 +136,7 @@ FUZZ_QUERIES = [
     # round 8
     "corpus_bpe_roundtrip",  # marked token stream; both engines decode
     "corpus_heavy_hitters_by_lang",  # per-group MG + exact recount, int cut
+    "multimodal_image_resize",  # NN resize: every pixel an exact source byte
     "privacy_l_diversity",  # integer distinct-count census
     "corpus_pack_efficiency",  # integer bin sums, one final division
 ]

@@ -550,3 +550,25 @@ def test_image_stats_matches_numpy(spark, docs):
             int(pix.min()),
             int(pix.max()),
         )
+
+
+def test_image_resize_nearest_neighbor_semantics(spark):
+    """4x4 -> 6x6 NN: floor index map replicates rows/cols 0,0,1,2,2,3;
+    every output pixel must be an exact source byte routed through the
+    REAL PNG encode/decode."""
+    import hashlib
+
+    import numpy as np
+
+    df = spark.createDataFrame([(7, "resize me")], "doc_id long, text string")
+    row = multimodal.image_resize_features(df).collect()[0]
+    src = np.frombuffer(
+        hashlib.md5(b"resize me").digest(), dtype=np.uint8
+    ).reshape(4, 4).astype(int)
+    idx = [0, 0, 1, 2, 2, 3]
+    expect = [int(src[r][c]) for r in idx for c in idx]
+    assert row["resized"] == expect
+    assert row["px_sum"] == sum(expect)
+    # and a downsample: 4x4 -> 2x2 picks rows/cols 0, 2
+    down = multimodal.image_resize_features(df, out_h=2, out_w=2).collect()[0]
+    assert down["resized"] == [int(src[r][c]) for r in (0, 2) for c in (0, 2)]
