@@ -303,3 +303,37 @@ def decode_categories_sql(scores_expr: str, threshold: float = SCORE_THRESHOLD) 
         f"i -> {scores_expr}[i + 1] > {threshold}), "
         f"i -> {labels}[i + 1])"
     )
+
+
+class HashRelevanceScorer:
+    """Deterministic stand-in CROSS-ENCODER: one relevance logit per
+    (query, candidate) pair key, md5-derived — ``int(md5(key)[:8], 16)
+    / 0xFFFFFFFF``, a single IEEE division both engines perform
+    identically. Swap for an :class:`HTTPScorer` pointed at a served
+    cross-encoder; the plumbing (one request per Arrow batch of pair
+    keys) is identical — the fake exists so the rerank JOIN/UDF/window
+    pipeline is testable and oracled without a model server."""
+
+    def score_batch(self, texts: pd.Series) -> np.ndarray:
+        import hashlib
+
+        out = np.full((len(texts), 1), np.nan)
+        for i, t in enumerate(texts):
+            if pd.isna(t):
+                continue
+            h = hashlib.md5(str(t).encode()).hexdigest()
+            out[i, 0] = int(h[:8], 16) / 0xFFFFFFFF
+        return out
+
+
+def pair_score_udf(scorer: Scorer):
+    """Arrow-batched pandas UDF over PAIR KEYS → one double logit per
+    row (first column of the scorer's output). The cross-encoder twin
+    of :func:`score_udf`: same Scorer protocol, scalar output."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(keys: pd.Series) -> pd.Series:
+        scores = np.asarray(scorer.score_batch(keys), dtype=np.float64)
+        return pd.Series(scores.reshape(len(keys), -1)[:, 0])
+
+    return _score

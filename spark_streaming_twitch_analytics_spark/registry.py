@@ -2033,6 +2033,82 @@ def retrieval_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RERANK_TOPK = 5
+
+
+def _rerank_sql() -> str:
+    """Scored-rerank oracle: the IVF 2-probe pool CTEs, the SAME
+    md5-derived relevance logit (single IEEE division by 0xFFFFFFFF),
+    the 0.5/0.5 blend (exact powers of two — multiplication never
+    rounds), and a per-query rank cut."""
+    one_half = repr(0.5)
+    rel = V.quantize_sql(
+        "CAST(CAST('0x' || substr(md5(CAST(q_id AS VARCHAR) || ':' || "
+        "CAST(c_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967295.0",
+        6,
+    )
+    blend = V.quantize_sql(
+        f"{one_half} * cos + {one_half} * model_rel", 6
+    )
+    return f"""{_mmr_ivf_pool_sql()}
+rrsc AS (SELECT q_id, c_id, rel AS cos, {rel} AS model_rel FROM cand),
+rrbl AS (SELECT q_id, c_id, cos, model_rel, {blend} AS score FROM rrsc),
+rrrk AS (SELECT q_id, c_id, cos, model_rel, score,
+  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rn
+  FROM rrbl)
+SELECT q_id, CAST(rn AS INT) AS rn, c_id, cos, model_rel, score
+FROM rrrk WHERE rn <= {_RERANK_TOPK}"""
+
+
+@register(
+    "retrieval_scored_rerank",
+    lambda: _rerank_sql(),
+    survey="ext: cross-encoder-shaped scored rerank — the third stage "
+    "of the retrieval stack (IVF retrieve -> MMR diversify -> MODEL "
+    "rerank): the IVF 2-probe pool's pairs get a relevance logit from "
+    "an Arrow-batched pair Scorer (HashRelevanceScorer stand-in; an "
+    "HTTPScorer at a served cross-encoder drops in), blended "
+    "0.5·cos + 0.5·logit with exact power-of-two coefficients, "
+    "per-query rank cut; hash-exact vs the oracle recomputing the "
+    "logit from md5 hex",
+)
+def retrieval_scored_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-in-the-loop rerank at serving shape: candidates come from
+    the bounded IVF probe scan (never all-pairs), the model boundary is
+    one Scorer call per Arrow batch of pair keys (the reference's
+    per-row HTTP bug fixed the same way as U4), and the final cut is a
+    per-query window over ≤ pool-size rows. Deterministic: the fake
+    logit is one IEEE division, the blend coefficients are powers of
+    two, ranks tie-break on c_id."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    pool = similarity.ivf_topk(
+        queries, emb, _MMR_C, n_cells=_IVF_CELLS, n_probe=2
+    ).filter(F.col("cos").isNotNull())
+    key = F.concat_ws(
+        ":", F.col("q_id").cast("string"), F.col("c_id").cast("string")
+    )
+    scorer = scoring.HashRelevanceScorer()
+    scored = pool.select(
+        "q_id",
+        "c_id",
+        "cos",
+        V.quantize(scoring.pair_score_udf(scorer)(key), 6).alias("model_rel"),
+    )
+    blend = V.quantize(
+        F.lit(0.5) * F.col("cos") + F.lit(0.5) * F.col("model_rel"), 6
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.select("q_id", "c_id", "cos", "model_rel", blend.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RERANK_TOPK)
+        .select("q_id", "rn", "c_id", "cos", "model_rel", "score")
+    )
+
+
 _SEMDEDUP_CELLS = 8
 _SEMDEDUP_TAU = 0.4  # synthetic embeddings top out near cos 0.51 (see
 # dedup_embedding_cosine); production near-dup would use ~0.95

@@ -175,6 +175,8 @@ def test_no_rowwise_python_udf_in_oracle_query_plans(spark):
         "dedup_simhash_pairs",
         # the model boundary: a Scorer-protocol pandas_udf IS the point
         "sentiment_model_labels",
+        # same boundary, cross-encoder shape: the pair Scorer udf
+        "retrieval_scored_rerank",
         # Unicode NFC: the normalization tables live in Python's
         # unicodedata (no JVM built-in) — deliberately Arrow-batched
         "text_nfc_normalize",
