@@ -2109,6 +2109,119 @@ def retrieval_scored_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEG_POS = 3  # positives: pool ranks 1..3
+_NEG_HARD = 6  # hard negatives: pool ranks 4..9 (just below the cut)
+_NEG_EASY = 3  # easy negatives per query from the shared sample
+_NEG_SAMPLE = 64  # shared candidate sample (the "in-batch negatives" pool)
+
+
+def _hard_negatives_sql() -> str:
+    """Negative-mining oracle: the IVF pool CTEs, rank recomputed over
+    the null-filtered pool (cos DESC, c_id ASC — identical to the Spark
+    window), the md5-ordered global sample, NOT-EXISTS pool exclusion,
+    and md5-keyed per-query easy-negative ranks."""
+    return f"""{_mmr_ivf_pool_sql()}
+rkd AS (SELECT q_id, c_id, rel AS cos,
+  row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id ASC) AS rn
+  FROM cand),
+samp AS (SELECT vec_id FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {_NEG_SAMPLE}),
+easy0 AS (
+  SELECT q.q_id, s.vec_id AS c_id,
+    row_number() OVER (PARTITION BY q.q_id
+      ORDER BY md5(CAST(q.q_id AS VARCHAR) || ':' ||
+                   CAST(s.vec_id AS VARCHAR)) ASC, s.vec_id ASC) AS rk
+  FROM (SELECT DISTINCT q_id FROM cand) q, samp s
+  WHERE s.vec_id <> q.q_id
+    AND NOT EXISTS (SELECT 1 FROM rkd p
+                    WHERE p.q_id = q.q_id AND p.c_id = s.vec_id))
+SELECT q_id, 'pos' AS role, CAST(rn AS INT) AS rank, c_id
+  FROM rkd WHERE rn <= {_NEG_POS}
+UNION ALL
+SELECT q_id, 'hard_neg', CAST(rn - {_NEG_POS} AS INT), c_id
+  FROM rkd WHERE rn > {_NEG_POS} AND rn <= {_NEG_POS + _NEG_HARD}
+UNION ALL
+SELECT q_id, 'easy_neg', CAST(rk AS INT), c_id
+  FROM easy0 WHERE rk <= {_NEG_EASY}"""
+
+
+@register(
+    "retrieval_hard_negatives",
+    lambda: _hard_negatives_sql(),
+    survey="ext: contrastive-training negative mining — per query: "
+    "positives (IVF pool ranks 1..3), HARD negatives (ranks just below "
+    "the cut, the pairs that teach an embedding model the decision "
+    "boundary), and easy negatives drawn md5-deterministically from a "
+    "bounded SHARED corpus sample (the in-batch-negatives shape) with "
+    "pool exclusion; every stage is bounded — index scan, 64-row "
+    "broadcast sample, per-query windows — never all-pairs",
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-pair generator for embedding/reranker models:
+    (q_id, role, rank, c_id) with role ∈ pos | hard_neg | easy_neg.
+    Hard negatives come from the same bounded IVF probe scan that
+    serves retrieval (ranks just past the positives cut); easy
+    negatives join the query set against a 64-row md5-ordered corpus
+    sample (broadcast both at any scale) minus the pool (left-anti).
+    Fully deterministic: ranks tie-break on c_id, sampling keys are
+    md5 hex — no RNG, so the oracle hash-matches."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    pool = similarity.ivf_topk(
+        queries, emb, _MMR_C, n_cells=_IVF_CELLS, n_probe=2
+    ).filter(F.col("cos").isNotNull())
+    wq = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    rkd = pool.select("q_id", "c_id", F.row_number().over(wq).alias("rn"))
+    pos = rkd.filter(F.col("rn") <= _NEG_POS).select(
+        "q_id", F.lit("pos").alias("role"), F.col("rn").cast("int").alias("rank"), "c_id"
+    )
+    hard = rkd.filter(
+        (F.col("rn") > _NEG_POS) & (F.col("rn") <= _NEG_POS + _NEG_HARD)
+    ).select(
+        "q_id",
+        F.lit("hard_neg").alias("role"),
+        (F.col("rn") - _NEG_POS).cast("int").alias("rank"),
+        "c_id",
+    )
+    samp = (
+        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_NEG_SAMPLE)
+        .select("vec_id")
+    )
+    qs = pool.select("q_id").distinct()
+    cand = (
+        qs.join(F.broadcast(samp))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(
+            pool.select("q_id", F.col("c_id").alias("vec_id")),
+            ["q_id", "vec_id"],
+            "left_anti",
+        )
+    )
+    we = W.partitionBy("q_id").orderBy(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("q_id").cast("string"), F.col("vec_id").cast("string")
+            )
+        ),
+        F.asc("vec_id"),
+    )
+    easy = (
+        cand.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= _NEG_EASY)
+        .select(
+            "q_id",
+            F.lit("easy_neg").alias("role"),
+            F.col("rk").cast("int").alias("rank"),
+            F.col("vec_id").alias("c_id"),
+        )
+    )
+    return pos.unionByName(hard).unionByName(easy)
+
+
 _SEMDEDUP_CELLS = 8
 _SEMDEDUP_TAU = 0.4  # synthetic embeddings top out near cos 0.51 (see
 # dedup_embedding_cosine); production near-dup would use ~0.95

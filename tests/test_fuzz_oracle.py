@@ -138,6 +138,7 @@ FUZZ_QUERIES = [
     "corpus_heavy_hitters_by_lang",  # per-group MG + exact recount, int cut
     "multimodal_image_resize",  # NN resize: every pixel an exact source byte
     "retrieval_scored_rerank",  # md5 logit, one IEEE division; pow-2 blend
+    "retrieval_hard_negatives",  # rank cuts + md5-keyed sampling, all integer/hex
     "privacy_l_diversity",  # integer distinct-count census
     "corpus_pack_efficiency",  # integer bin sums, one final division
 ]
