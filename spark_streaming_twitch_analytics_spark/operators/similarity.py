@@ -47,7 +47,12 @@ PROD_IVF_PROBE = 32
 PROD_LSH_BITS = 16
 
 
-def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | None) -> DataFrame:
+def _pairs(
+    queries: DataFrame,
+    candidates: DataFrame,
+    join_cols: list[str] | None,
+    dim: int = DIM,
+) -> DataFrame:
     """Each side carries its vector AND its precomputed norm — computing
     the norm per-pair would triple the per-pair FLOPs (dot + 2 norms).
     Bitwise identical: norm sees the same values either way."""
@@ -56,7 +61,7 @@ def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | Non
     q = queries.select(
         F.col("vec_id").alias("q_id"),
         as_double(F.col("embedding")).alias("qv"),
-        norm(as_double(F.col("embedding")), DIM).alias("qn"),
+        norm(as_double(F.col("embedding")), dim).alias("qn"),
         *[F.col(c) for c in (join_cols or [])],
     )
     candidates = fan_out(candidates)  # the per-pair dot-product stage
@@ -64,7 +69,7 @@ def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | Non
     c = candidates.select(
         F.col("vec_id").alias("c_id"),
         as_double(F.col("embedding")).alias("cv"),
-        norm(as_double(F.col("embedding")), DIM).alias("cn"),
+        norm(as_double(F.col("embedding")), dim).alias("cn"),
         *[F.col(c_) for c_ in (join_cols or [])],
     )
     if join_cols:
@@ -74,12 +79,12 @@ def _pairs(queries: DataFrame, candidates: DataFrame, join_cols: list[str] | Non
     return joined.filter(F.col("q_id") != F.col("c_id"))
 
 
-def _scored(pairs: DataFrame) -> DataFrame:
+def _scored(pairs: DataFrame, dim: int = DIM) -> DataFrame:
     # zero-norm guard: NULL (ranked last by the top-k window on both
     # engines) instead of an ANSI divide-by-zero error killing the job
     denom = F.col("qn") * F.col("cn")
     cos = F.when(
-        denom != 0, quantize(dot(F.col("qv"), F.col("cv"), DIM) / denom, 6)
+        denom != 0, quantize(dot(F.col("qv"), F.col("cv"), dim) / denom, 6)
     )
     return pairs.select("q_id", "c_id", cos.alias("cos"))
 
@@ -146,14 +151,18 @@ def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
     return scored.mapInPandas(cut, "q_id long, c_id long, cos double")
 
 
-def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+def brute_force_topk(
+    queries: DataFrame, candidates: DataFrame, k: int, dim: int = DIM
+) -> DataFrame:
     """Exact top-k neighbours per query by cosine (desc, c_id tiebreak).
 
     The per-pair scoring stage is narrow (candidates stream, queries
     broadcast); :func:`_partial_topk` trims each partition to k·|Q| rows
     before the rank window's sort, and the one exchange carries
     ≤ k·|Q|·partitions rows (plan-verified)."""
-    return _topk(_partial_topk(_scored(_pairs(queries, candidates, None)), k), k)
+    return _topk(
+        _partial_topk(_scored(_pairs(queries, candidates, None, dim), dim), k), k
+    )
 
 
 def lsh_topk(

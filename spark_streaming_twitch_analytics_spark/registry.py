@@ -2109,6 +2109,75 @@ def retrieval_scored_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRUNC_DIM = 32  # prefix dimensionality for the truncation meter
+_TRUNC_K = 10
+
+
+def _trunc_recall_sql() -> str:
+    """Truncation-recall oracle: full-dim and prefix-dim brute top-k
+    sets per query (identical quantized-cosine formulation at each
+    width), joined on (q_id, c_id) to count survivors."""
+    from .operators import topk
+
+    full_scored = f"""SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+  {V.cosine_sql("q.v", "c.v", 64)} AS cos
+  FROM e c, e q WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id"""
+    trunc_scored = f"""SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+  {V.cosine_sql(f"q.v[1:{_TRUNC_DIM}]", f"c.v[1:{_TRUNC_DIM}]", _TRUNC_DIM)} AS cos
+  FROM e c, e q WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id"""
+    ftop = topk.top_k_per_group_sql(full_scored, ["q_id"], "cos", _TRUNC_K, ["c_id"])
+    ttop = topk.top_k_per_group_sql(trunc_scored, ["q_id"], "cos", _TRUNC_K, ["c_id"])
+    return f"""WITH e AS ({_EMB_CTE}),
+ft AS ({ftop}),
+tt AS ({ttop})
+SELECT ft.q_id, CAST(count(tt.c_id) AS INT) AS n_overlap,
+  {V.quantize_sql(f"CAST(count(tt.c_id) AS DOUBLE) / {_TRUNC_K}", 6)}
+    AS overlap_frac
+FROM ft LEFT JOIN tt ON ft.q_id = tt.q_id AND ft.c_id = tt.c_id
+GROUP BY ft.q_id"""
+
+
+@register(
+    "ann_dim_truncation_recall",
+    lambda: _trunc_recall_sql(),
+    survey="ext: embedding-truncation quality meter (the Matryoshka/"
+    "dimension-compression eval) — top-10 by full 64-dim cosine vs "
+    "top-10 by the 32-dim PREFIX cosine per query, overlap@10 counted "
+    "by an equi-join of the two bounded top-k sets; answers 'how much "
+    "retrieval quality does halving the embedding width cost' before "
+    "committing a fleet to the smaller index",
+)
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query overlap@10 between full-width and prefix-width
+    retrieval. Shape: two brute meters (exact sides — this is an
+    EVALUATION query, sampled in production like the other recall
+    meters) and one (q_id, c_id)-keyed join of k-bounded sets; the
+    prefix scoring reuses the identical unrolled-dot pipeline at
+    dim=32, so both widths share fold order and quantization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    full = similarity.brute_force_topk(queries, emb, _TRUNC_K)
+    emb32 = emb.select(
+        "vec_id", F.slice("embedding", 1, _TRUNC_DIM).alias("embedding")
+    )
+    trunc = similarity.brute_force_topk(
+        emb32.filter(F.col("vec_id") % 20 == 0), emb32, _TRUNC_K, dim=_TRUNC_DIM
+    )
+    joined = full.select("q_id", "c_id").join(
+        trunc.select("q_id", "c_id", F.lit(1).alias("hit")),
+        ["q_id", "c_id"],
+        "left",
+    )
+    return joined.groupBy("q_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_overlap"),
+        V.quantize(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.lit(float(_TRUNC_K)),
+            6,
+        ).alias("overlap_frac"),
+    )
+
+
 _NEG_POS = 3  # positives: pool ranks 1..3
 _NEG_HARD = 6  # hard negatives: pool ranks 4..9 (just below the cut)
 _NEG_EASY = 3  # easy negatives per query from the shared sample

@@ -139,6 +139,7 @@ FUZZ_QUERIES = [
     "multimodal_image_resize",  # NN resize: every pixel an exact source byte
     "retrieval_scored_rerank",  # md5 logit, one IEEE division; pow-2 blend
     "retrieval_hard_negatives",  # rank cuts + md5-keyed sampling, all integer/hex
+    "ann_dim_truncation_recall",  # shared-fold quantized cosines at both widths
     "privacy_l_diversity",  # integer distinct-count census
     "corpus_pack_efficiency",  # integer bin sums, one final division
 ]
