@@ -167,14 +167,31 @@ def mg_summarize_partitions_grouped(
     n_partition_group/(k+1), so the per-group superset guarantee holds
     against per-group thresholds. One sentinel row per (partition,
     group) carries the group's row count (token NULL), so per-group
-    stream lengths N_g cost no extra scan."""
+    stream lengths N_g cost no extra scan.
+
+    PRECONDITION (enforced): the group column must be a NON-NULL STRING.
+    Sentinel rows overload ``token IS NULL``, and the summary's group
+    key travels as a string — a NULL or non-string group value would
+    silently stringify (``None`` → ``'None'``) and then never match the
+    original-typed column in the recount join, vanishing that group's
+    heavy hitters while a SQL oracle's GROUP BY keeps NULL as a real
+    group. Nulls/non-strings therefore raise inside the task; a
+    non-string group COLUMN TYPE is additionally rejected at plan time
+    by :func:`grouped_heavy_hitters`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict[str, dict[str, int]] = {}
         seen: dict[str, int] = {}
         for pdf in batches:
             for g, sub in pdf.groupby(group_col, dropna=False):
-                gk = g if isinstance(g, str) else str(g)
+                if not isinstance(g, str):
+                    raise ValueError(
+                        f"grouped heavy hitters: group column "
+                        f"'{group_col}' must be non-null string-valued, "
+                        f"got {g!r} — stringifying would drop the group "
+                        "in the recount join"
+                    )
+                gk = g
                 seen[gk] = seen.get(gk, 0) + len(sub)
                 vc = sub["token"].value_counts()
                 counts[gk] = mg_merge_batch(counts.get(gk, {}), dict(vc), k)
@@ -216,26 +233,48 @@ def grouped_heavy_hitters(
     argument), exact recount on (group, token), and an integer
     threshold against the group's own N from the sentinel rows.
     Deterministic for any partitioning for the same reason as the
-    global form. Broadcast gating uses the plan-level worst case
-    k·num_partitions·|groups-per-task| ≈ k·num_partitions (each task
-    emits at most k counters per group it SEES; the bound below is per
-    observed group, conservative for class-bounded groups)."""
+    global form.
+
+    Requires a non-null StringType group column (see
+    :func:`mg_summarize_partitions_grouped` — type checked here at plan
+    time, nulls raise inside the summarizer task).
+
+    Broadcast gating: unlike the global form, the true candidate count
+    is k·num_partitions·|groups-per-task| — a ``k·num_partitions``
+    ESTIMATE errs unsafe for high-cardinality groups (it undercounts by
+    the group factor and could broadcast-hint a huge set). The summary
+    is eagerly persisted anyway, so the gate instead counts the ACTUAL
+    candidate rows (one tiny job over the cached summary, an upper
+    bound on the distinct candidate set) — exact, never unsafe, and
+    costs nothing at corpus scale."""
     if k is None:
         k = phi_inv
     if k < phi_inv:
         raise ValueError("k must be ≥ phi_inv for the superset guarantee")
+    from pyspark.sql.types import StringType
+
+    gtype = tokens.schema[group_col].dataType
+    if not isinstance(gtype, StringType):
+        raise TypeError(
+            f"grouped_heavy_hitters: group column '{group_col}' must be "
+            f"StringType, got {gtype.simpleString()} — the MG summary "
+            "carries the group key as a string and a non-string column "
+            "would silently miss the recount join"
+        )
     from ..cache import eager_persist
 
-    est_cand = k * tokens.rdd.getNumPartitions()
     summary = eager_persist(mg_summarize_partitions_grouped(tokens, group_col, k))
     candidates = (
         summary.filter(F.col("token").isNotNull())
         .select(group_col, "token")
         .distinct()
     )
+    # summary is already materialized in cache: counting its candidate
+    # rows is a metadata-cheap job and upper-bounds |distinct candidates|
+    n_cand = summary.filter(F.col("token").isNotNull()).count()
     cand_side = (
         F.broadcast(candidates)
-        if est_cand <= broadcast_max_candidates
+        if n_cand <= broadcast_max_candidates
         else candidates
     )
     counted = (

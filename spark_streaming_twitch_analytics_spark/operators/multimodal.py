@@ -662,7 +662,14 @@ def image_resize_features(
     linear-resample stand-in to the real decode→resize→emit pipeline
     shape: one shuffle-free bounded-batch ``mapInPandas`` pass; a
     production pipeline swaps the 4×4 tile for real images and NN for
-    the sampler of choice — the plan is unchanged."""
+    the sampler of choice — the plan is unchanged.
+
+    The resized grid is emitted as a lowercase-hex STRING (two chars
+    per pixel, row-major — exactly the md5-hex pairs of the sampled
+    source bytes) rather than ``array<int>``: the driver's row
+    canonicalizer lexsorts result columns through pandas and cannot
+    hash list cells, so every registered query's output schema is
+    contract-bound to atomic types (see tests/test_contract.py)."""
     src_h, src_w = 4, 4
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -679,16 +686,18 @@ def image_resize_features(
                     img = png_decode_gray(png_encode_gray(pix))
                     resized = img[np.ix_(ri, ci)].astype(np.int32)
                     ids.append(doc_id)
-                    grids.append(resized.ravel().tolist())
+                    grids.append(
+                        "".join(f"{v:02x}" for v in resized.ravel())
+                    )
                     sums.append(int(resized.sum()))
                 yield pd.DataFrame(
                     {
                         "doc_id": np.array(ids, dtype=np.int64),
-                        "resized": grids,
+                        "resized_hex": grids,
                         "px_sum": np.array(sums, dtype=np.int64),
                     }
                 )
 
     return df.select("doc_id", "text").mapInPandas(
-        run, "doc_id long, resized array<int>, px_sum long"
+        run, "doc_id long, resized_hex string, px_sum long"
     )

@@ -144,7 +144,17 @@ def grouped_exact_quantiles(
     dimensions). For a HIGH-CARDINALITY group column (user_id-shaped),
     pass ``hint_broadcast=False``: the rank tables then join unhinted —
     Catalyst/AQE falls back to SortMergeJoin, which is the safe shape
-    when the per-group side itself needs a shuffle."""
+    when the per-group side itself needs a shuffle.
+
+    MONOTONE-BIN CONTRACT (``bin_col`` path): the caller's precomputed
+    bin must be a NON-DECREASING function of the value within each
+    group — e.g. ``floor(v / width_g)`` with a per-group width, the
+    multiplexed-signals form this path exists for. The rank location
+    walks cumulative bin counts in bin order and assumes every value in
+    bin b sorts ≤ every value in bin b+1 of the same group; a
+    non-monotone assignment (hash buckets, category codes) returns
+    wrong order statistics WITHOUT an error. The default path
+    (``bin_col=None``) satisfies the contract by construction."""
     g = F.col(group_col).alias("g")
     if bin_col is None:
         v = (

@@ -2291,6 +2291,135 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.unionByName(hard).unionByName(easy)
 
 
+_NDCG_K = 10
+# Dyadic discount table: disc(i) = round(2^20 / log2(i+1)) / 2^20. The
+# numerators are exact integers, every gain·disc term is an exact
+# multiple of 2^-20 with ≤24 significant bits, and per-query sums of ten
+# such terms stay exact in an IEEE double — so DCG is order-independent
+# INTEGER arithmetic and the only float op in the whole meter is the
+# final dcg/idcg division (quantized at 6 dp like every other meter).
+import math as _math  # noqa: E402
+
+_NDCG_DISC_NUM = tuple(
+    round((1 << 20) / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1)
+)
+# ideal: the brute top-10 in relevance order, gains 10,9,...,1
+_NDCG_IDCG_NUM = sum(
+    (_NDCG_K - i) * _NDCG_DISC_NUM[i] for i in range(_NDCG_K)
+)
+
+
+def _ndcg_sql() -> str:
+    """nDCG@10 oracle: the IVF pool + blended-score rerank CTEs
+    (identical to ``_rerank_sql`` but ranked to depth 10), the brute
+    full-cosine ideal top-10, graded gains 11-ideal_rank via a LEFT
+    JOIN, and the exact dyadic DCG (integer numerator / 2^20)."""
+    from .operators import topk
+
+    rel = V.quantize_sql(
+        "CAST(CAST('0x' || substr(md5(CAST(q_id AS VARCHAR) || ':' || "
+        "CAST(c_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967295.0",
+        6,
+    )
+    blend = V.quantize_sql(f"{0.5!r} * cos + {0.5!r} * model_rel", 6)
+    disc_case = " ".join(
+        f"WHEN {i + 1} THEN {n}" for i, n in enumerate(_NDCG_DISC_NUM)
+    )
+    ideal_scored = f"""SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+  {V.cosine_sql("q.v", "c.v", 64)} AS cos
+  FROM e c, e q WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id"""
+    itop = topk.top_k_per_group_sql(
+        ideal_scored, ["q_id"], "cos", _NDCG_K, ["c_id"]
+    )
+    return f"""{_mmr_ivf_pool_sql()}
+gsc AS (SELECT q_id, c_id, rel AS cos, {rel} AS model_rel FROM cand),
+gbl AS (SELECT q_id, c_id, {blend} AS score FROM gsc),
+grk AS (SELECT q_id, c_id,
+  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rn
+  FROM gbl),
+ideal AS ({itop}),
+gains AS (SELECT r.q_id, r.rn,
+  CASE WHEN i.rn IS NULL THEN 0 ELSE {_NDCG_K + 1} - i.rn END AS gain
+  FROM grk r LEFT JOIN ideal i ON i.q_id = r.q_id AND i.c_id = r.c_id
+  WHERE r.rn <= {_NDCG_K})
+SELECT q_id,
+  CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS INT) AS n_hits,
+  CAST(sum(gain * CASE rn {disc_case} END) AS BIGINT) AS dcg_num,
+  CAST(sum(gain * CASE rn {disc_case} END) AS DOUBLE) / 1048576.0 AS dcg,
+  {V.quantize_sql(
+      f"CAST(sum(gain * CASE rn {disc_case} END) AS DOUBLE)"
+      f" / {_NDCG_IDCG_NUM}", 6)} AS ndcg
+FROM gains GROUP BY q_id"""
+
+
+@register(
+    "retrieval_ndcg_meter",
+    lambda: _ndcg_sql(),
+    survey="ext: retrieval-stack capstone meter — per-query nDCG@10 of "
+    "the blended-rerank ordering (IVF 2-probe pool + Arrow-batched "
+    "pair-Scorer logit, the retrieval_scored_rerank pipeline ranked to "
+    "depth 10) against the brute-force exact-cosine ideal; graded gains "
+    "11-ideal_rank, dyadic discount table (integer numerators / 2^20) "
+    "so DCG is exact order-independent integer arithmetic and the only "
+    "float op is the final quantized division; the exact side is the "
+    "meter itself (sampled in production like every recall meter)",
+)
+def retrieval_ndcg_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the served ranking, really: nDCG@10 of the
+    rerank-stage ordering vs the relevance-ideal list. Gains are graded
+    by ideal rank (brute top-10 by exact cosine → gains 10..1), the
+    discount table is dyadic so per-query DCG sums are exact integers
+    scaled by 2^-20 (no float-order nondeterminism), and IDCG is a
+    compile-time constant (every query has a full ideal list by
+    construction). Output: (q_id, n_hits, dcg_num, dcg, ndcg)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    pool = similarity.ivf_topk(
+        queries, emb, _MMR_C, n_cells=_IVF_CELLS, n_probe=2
+    ).filter(F.col("cos").isNotNull())
+    key = F.concat_ws(
+        ":", F.col("q_id").cast("string"), F.col("c_id").cast("string")
+    )
+    scorer = scoring.HashRelevanceScorer()
+    scored = pool.select(
+        "q_id",
+        "c_id",
+        "cos",
+        V.quantize(scoring.pair_score_udf(scorer)(key), 6).alias("model_rel"),
+    )
+    blend = V.quantize(
+        F.lit(0.5) * F.col("cos") + F.lit(0.5) * F.col("model_rel"), 6
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    reranked = (
+        scored.select("q_id", "c_id", blend.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NDCG_K)
+    )
+    ideal = similarity.brute_force_topk(queries, emb, _NDCG_K).select(
+        "q_id", "c_id", F.col("rn").alias("irn")
+    )
+    gains = reranked.join(ideal, ["q_id", "c_id"], "left").select(
+        "q_id",
+        "rn",
+        F.coalesce(F.lit(_NDCG_K + 1) - F.col("irn"), F.lit(0)).alias("gain"),
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(int(n)) for n in _NDCG_DISC_NUM]), F.col("rn")
+    )
+    dcg_num = F.sum(F.col("gain") * disc)
+    return gains.groupBy("q_id").agg(
+        F.sum((F.col("gain") > 0).cast("int")).cast("int").alias("n_hits"),
+        dcg_num.cast("long").alias("dcg_num"),
+        (dcg_num.cast("double") / F.lit(float(1 << 20))).alias("dcg"),
+        V.quantize(
+            dcg_num.cast("double") / F.lit(float(_NDCG_IDCG_NUM)), 6
+        ).alias("ndcg"),
+    )
+
+
 _SEMDEDUP_CELLS = 8
 _SEMDEDUP_TAU = 0.4  # synthetic embeddings top out near cos 0.51 (see
 # dedup_embedding_cosine); production near-dup would use ~0.95
@@ -3801,19 +3930,25 @@ def _png_tile_resize_sql(out_h: int = 6, out_w: int = 6) -> str:
     """Oracle for the 4×4 → out_h×out_w nearest-neighbor resize: all 16
     digest bytes as pixels, the resized grid rebuilt with the SAME floor
     index map ((dst·4)//dst_dim) as pure column references — every
-    output pixel is an exact source byte, so no float ever appears."""
+    output pixel is an exact source byte, so no float ever appears. The
+    grid is emitted as the row-major lowercase-hex string (two md5-hex
+    chars per sampled byte), not a list: the driver's pandas
+    canonicalizer cannot lexsort list cells, so output schemas are
+    contract-bound to atomic types (tests/test_contract.py)."""
     cols = ",\n  ".join(
         f"CAST('0x' || substr(hx, {1 + 2 * j}, 2) AS INT) AS p{j}"
         for j in range(16)
     )
     ri = [(i * 4) // out_h for i in range(out_h)]
     ci = [(j * 4) // out_w for j in range(out_w)]
-    refs = [f"p{r * 4 + c}" for r in ri for c in ci]
+    flat = [r * 4 + c for r in ri for c in ci]
+    refs = [f"p{j}" for j in flat]
+    hex_parts = " || ".join(f"substr(hx, {1 + 2 * j}, 2)" for j in flat)
     return f"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
-s AS (SELECT doc_id,
+s AS (SELECT doc_id, hx,
   {cols}
  FROM h)
-SELECT doc_id, [{", ".join(refs)}] AS resized,
+SELECT doc_id, {hex_parts} AS resized_hex,
   CAST({" + ".join(refs)} AS BIGINT) AS px_sum
 FROM s"""
 
@@ -3831,7 +3966,7 @@ FROM s"""
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode→resize→emit pipeline made real: a genuine PNG decode
     feeds a genuine spatial resample (row/col replication upsample,
-    4×4 → 6×6), emitted as the flattened integer grid plus a checksum.
+    4×4 → 6×6), emitted as the row-major hex grid plus a checksum.
     Production swaps the tile for real images and NN for bilinear; the
     Spark plan — one Arrow pass, no shuffle — is unchanged."""
     return multimodal.image_resize_features(_docs(spark, sf_dir))

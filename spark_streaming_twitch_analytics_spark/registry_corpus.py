@@ -3449,6 +3449,48 @@ _BPE_MERGES = 12
 _BPE_TOP_WORDS = 2000
 
 
+def _ensure_bpe_merges(spark: SparkSession, sf_dir: str) -> str:
+    """Train-once/serve-many for the BPE family (VERDICT r8 task 3):
+    the 12-iteration driver-coordinated training loop
+    (``operators/bpe.py`` ``bpe_train``) runs ONCE per source-content
+    version and is persisted as a tiny parquet artifact — the same
+    fingerprint-keyed pattern as the ANN indexes
+    (``registry._ensure_ann_index``) and the exact shape a production
+    tokenizer takes: training is a batch job, encode/fertility/
+    round-trip queries serve off the published merge table. Returns
+    the artifact path; content staleness is impossible by construction
+    (regenerated testdata ⇒ new fingerprint ⇒ retrain)."""
+    import os
+    import tempfile
+
+    from .operators.bucketed import _slug, _source_fingerprint
+
+    fp = _source_fingerprint(sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ssta_bpe_{_BPE_MERGES}m{_BPE_TOP_WORDS}w_{_slug(sf_dir)}_{fp}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        merges = _BPE.bpe_train(
+            _BPE.word_freqs(_docs(spark, sf_dir), _BPE_TOP_WORDS),
+            _BPE_MERGES,
+        )
+        # ≤12 rows — coalesce(1) so the artifact is one tiny file
+        merges.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _load_bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """The ≤12 learned merges in training order, served off the
+    persisted artifact."""
+    rows = (
+        spark.read.parquet(_ensure_bpe_merges(spark, sf_dir))
+        .orderBy("it")
+        .collect()
+    )
+    return [(r["a"], r["b"]) for r in rows]
+
+
 @register(
     "corpus_bpe_merges",
     _BPE.bpe_train_sql(
@@ -3465,10 +3507,11 @@ _BPE_TOP_WORDS = 2000
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn 12 BPE merges over the top-2000-word frequency table; the
     DuckDB oracle replays the identical iterations (same greedy
-    left-fold merge, same argmax tie-break) as unrolled CTEs."""
-    return _BPE.bpe_train(
-        _BPE.word_freqs(_docs(spark, sf_dir), _BPE_TOP_WORDS), _BPE_MERGES
-    )
+    left-fold merge, same argmax tie-break) as unrolled CTEs. Served
+    off the train-once artifact (:func:`_ensure_bpe_merges`) — the
+    oracle retrains independently, so a stale or corrupt artifact
+    still breaks the hash."""
+    return spark.read.parquet(_ensure_bpe_merges(spark, sf_dir))
 
 
 @register(
@@ -3487,10 +3530,7 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_words, n_tokens). The corpus is scanned once; merges are
     applied only to the distinct-word table."""
     d = _docs(spark, sf_dir)
-    merges_df = _BPE.bpe_train(
-        _BPE.word_freqs(d, _BPE_TOP_WORDS), _BPE_MERGES
-    )
-    merges = [(r["a"], r["b"]) for r in merges_df.collect()]  # ≤12 rows
+    merges = _load_bpe_merges(spark, sf_dir)  # ≤12 rows, train-once artifact
     return _BPE.bpe_encode(d, merges)
 
 
@@ -3517,10 +3557,7 @@ def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned for show fertility drifting toward characters-per-word —
     the signal tokenizer-rebalance decisions are made on."""
     d = _docs(spark, sf_dir)
-    merges_df = _BPE.bpe_train(
-        _BPE.word_freqs(d, _BPE_TOP_WORDS), _BPE_MERGES
-    )
-    merges = [(r["a"], r["b"]) for r in merges_df.collect()]  # ≤12 rows
+    merges = _load_bpe_merges(spark, sf_dir)  # ≤12 rows, train-once artifact
     enc = _BPE.bpe_encode(d, merges)
     return (
         enc.join(d.select("doc_id", "lang"), "doc_id")
@@ -3563,10 +3600,7 @@ def corpus_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker, reordered word, swallowed token) breaks the hash even when
     token COUNTS agree."""
     d = _docs(spark, sf_dir)
-    merges_df = _BPE.bpe_train(
-        _BPE.word_freqs(d, _BPE_TOP_WORDS), _BPE_MERGES
-    )
-    merges = [(r["a"], r["b"]) for r in merges_df.collect()]  # ≤12 rows
+    merges = _load_bpe_merges(spark, sf_dir)  # ≤12 rows, train-once artifact
     return _BPE.bpe_roundtrip(d, merges)
 
 

@@ -142,6 +142,8 @@ FUZZ_QUERIES = [
     "ann_dim_truncation_recall",  # shared-fold quantized cosines at both widths
     "privacy_l_diversity",  # integer distinct-count census
     "corpus_pack_efficiency",  # integer bin sums, one final division
+    # round 9
+    "retrieval_ndcg_meter",  # dyadic DCG: integer numerators, one division
 ]
 
 

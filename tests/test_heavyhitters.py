@@ -167,3 +167,46 @@ def test_grouped_heavy_hitters_partition_independent_and_per_group(spark):
         out = HH.grouped_heavy_hitters(df, "lang", phi_inv=phi_inv, k=64).collect()
         results.append(sorted((r["lang"], r["token"], r["freq"]) for r in out))
     assert results[0] == results[1] == results[2] == expect
+
+
+def test_grouped_heavy_hitters_rejects_non_string_group_column(spark):
+    """ADVICE r8: the MG summary carries the group key as a string, so a
+    non-string group column would silently miss the recount join —
+    rejected at plan time instead."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "grp long, token string")
+    with pytest.raises(TypeError, match="StringType"):
+        HH.grouped_heavy_hitters(df, "grp", phi_inv=2, k=4)
+
+
+def test_grouped_heavy_hitters_null_group_raises_not_vanishes(spark):
+    """ADVICE r8: a NULL group used to stringify to 'None' and drop out
+    of the recount join (silently losing that group's heavy hitters
+    while a SQL GROUP BY keeps NULL as a real group). It must be a loud
+    error now."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "x"), (None, "x"), ("a", "y")],
+        "lang string, token string",
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="non-null string"):
+        HH.grouped_heavy_hitters(df, "lang", phi_inv=2, k=4).collect()
+
+
+def test_grouped_heavy_hitters_gate_counts_actual_candidates(spark):
+    """ADVICE r8: the broadcast gate must scale with the REAL per-group
+    candidate set (k·partitions·groups), not the group-blind
+    k·partitions estimate. With many groups and a tiny
+    broadcast_max_candidates, the candidate join must NOT carry a
+    broadcast hint."""
+    rows = [(f"g{i}", f"t{j}") for i in range(40) for j in range(5)]
+    df = spark.createDataFrame(rows, "lang string, token string").repartition(2)
+    out = HH.grouped_heavy_hitters(
+        df, "lang", phi_inv=5, k=8, broadcast_max_candidates=10
+    )
+    # correctness unchanged: every token is exactly 1/5 of its group
+    got = sorted((r["lang"], r["token"], r["freq"]) for r in out.collect())
+    assert len(got) == 200 and all(c == 1 for _, _, c in got)

@@ -567,8 +567,12 @@ def test_image_resize_nearest_neighbor_semantics(spark):
     ).reshape(4, 4).astype(int)
     idx = [0, 0, 1, 2, 2, 3]
     expect = [int(src[r][c]) for r in idx for c in idx]
-    assert row["resized"] == expect
+    # the grid travels as row-major lowercase hex (2 chars / pixel) —
+    # the canonicalizer-safe atomic shape the driver contract requires
+    assert row["resized_hex"] == "".join(f"{v:02x}" for v in expect)
     assert row["px_sum"] == sum(expect)
     # and a downsample: 4x4 -> 2x2 picks rows/cols 0, 2
     down = multimodal.image_resize_features(df, out_h=2, out_w=2).collect()[0]
-    assert down["resized"] == [int(src[r][c]) for r in (0, 2) for c in (0, 2)]
+    assert down["resized_hex"] == "".join(
+        f"{int(src[r][c]):02x}" for r in (0, 2) for c in (0, 2)
+    )

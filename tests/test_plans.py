@@ -177,6 +177,8 @@ def test_no_rowwise_python_udf_in_oracle_query_plans(spark):
         "sentiment_model_labels",
         # same boundary, cross-encoder shape: the pair Scorer udf
         "retrieval_scored_rerank",
+        # the nDCG meter reranks through the same pair Scorer boundary
+        "retrieval_ndcg_meter",
         # Unicode NFC: the normalization tables live in Python's
         # unicodedata (no JVM built-in) — deliberately Arrow-batched
         "text_nfc_normalize",

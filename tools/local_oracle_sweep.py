@@ -19,6 +19,7 @@ import duckdb
 
 from spark_streaming_twitch_analytics_spark import registry
 from spark_streaming_twitch_analytics_spark.cache import release_all
+from spark_streaming_twitch_analytics_spark.contract import non_atomic_fields
 from spark_streaming_twitch_analytics_spark.session import get_spark
 from spark_streaming_twitch_analytics_spark.tables import TABLE_NAMES
 from tools.compare_oracle import frame_hash
@@ -40,6 +41,18 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
+            # the driver-canonicalizer contract (contract.py): streaming
+            # queries aren't lintable lazily in tests/test_contract.py,
+            # so the executed sweep enforces it for every query
+            bad = non_atomic_fields(sdf.schema)
+            if bad:
+                out[q.name] = {
+                    "status": "contract-error",
+                    "err": f"non-atomic output columns {bad} — the "
+                    "driver's pandas canonicalizer cannot hash these",
+                }
+                print(f"{q.name:28s} CONTRACT-ERROR {bad}", file=sys.stderr)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as e:
