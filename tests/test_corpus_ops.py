@@ -984,3 +984,37 @@ def test_bpe_roundtrip_inverse_and_token_counts(spark):
         for r in bpe.bpe_encode(docs, merges).collect()
     }
     assert {d: r["n_tokens"] for d, r in rows.items()} == enc
+
+
+def test_bpe_artifact_serves_same_merges_as_fresh_training(spark):
+    """Train-once/serve-many (VERDICT r8 task 3): the fingerprint-keyed
+    merges artifact must serve byte-identical merge rows to a fresh
+    training run, and must NOT retrain on a second call (the artifact
+    file set is unchanged)."""
+    import os
+
+    from spark_streaming_twitch_analytics_spark.operators import bpe
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _BPE_MERGES,
+        _BPE_TOP_WORDS,
+        _ensure_bpe_merges,
+        _load_bpe_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = _ensure_bpe_merges(spark, sf)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    served = _load_bpe_merges(spark, sf)
+    fresh = bpe.bpe_train(
+        bpe.word_freqs(load_table(spark, sf, "documents"), _BPE_TOP_WORDS),
+        _BPE_MERGES,
+    ).collect()
+    assert served == [(r["a"], r["b"]) for r in sorted(fresh, key=lambda r: r["it"])]
+    # second ensure call is a no-op read: same files, same mtimes
+    _ensure_bpe_merges(spark, sf)
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
