@@ -1603,15 +1603,18 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
     path = os.path.join(
         tempfile.gettempdir(), f"ssta_ann_{kind}_{_slug(sf_dir)}_{fp}"
     )
-    # sq8 writes two sibling datasets (codes/ + minmax/); its _SUCCESS
-    # marker lives under codes/. The other kinds write at the root.
-    marker = os.path.join(path, "codes") if kind == "sq8" else path
+    # sq8/ivfsq8 write two sibling datasets (codes/ + stats/); their
+    # _SUCCESS marker lives under codes/. The other kinds write at the
+    # root.
+    marker = os.path.join(path, "codes") if kind in ("sq8", "ivfsq8") else path
     if not os.path.exists(os.path.join(marker, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         if kind == "lsh":
             similarity.build_lsh_index(emb, path, n_bits=4)
         elif kind == "sq8":
             similarity.build_sq8_index(emb, path)
+        elif kind == "ivfsq8":
+            similarity.build_ivf_sq8_index(emb, path, n_cells=_IVF_CELLS)
         else:
             similarity.build_ivf_index(emb, path, n_cells=_IVF_CELLS)
     return path

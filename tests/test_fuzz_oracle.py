@@ -144,6 +144,9 @@ FUZZ_QUERIES = [
     "corpus_pack_efficiency",  # integer bin sums, one final division
     # round 9
     "retrieval_ndcg_meter",  # dyadic DCG: integer numerators, one division
+    "ann_ivf_sq8_topk",  # composed cell-prune + requant, both engine-exact
+    "ann_ivf_sq8_index_topk",  # fingerprint-keyed layout rebuilds per corpus
+    "ann_ivf_sq8_recall",  # integer ratio; brute side is the np fold class
 ]
 
 

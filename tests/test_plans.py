@@ -104,6 +104,41 @@ def test_query_ivf_index_matches_index_free_form(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_query_ivf_sq8_index_matches_index_free_form(spark, tmp_path):
+    """The composed IVF+SQ8 layout (round 9): index-served results must
+    EXACTLY match the index-free ivf_sq8_topk, the codes scan must carry
+    a cell partition filter, and the composition must agree with
+    plain ivf_topk's CELL ROUTING (same probes — only scores differ by
+    the requant)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf_sq8_index")
+    similarity.build_ivf_sq8_index(emb, path, n_cells=8)
+    via_index = similarity.query_ivf_sq8_index(
+        queries, path, k=5, n_cells=8, n_probe=2
+    )
+    free = similarity.ivf_sq8_topk(queries, emb, 5, n_cells=8, n_probe=2)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, free.collect())
+    )
+    plan = EX.formatted_plan(via_index)
+    assert "PartitionFilters" in plan
+    # same candidate pairs as plain IVF at the same geometry: the codec
+    # changes scores, never routing
+    pair = lambda df: {(r["q_id"], r["c_id"]) for r in df.collect()}  # noqa: E731
+    ivf_pairs = pair(
+        similarity.ivf_topk(queries, emb, 1000, n_cells=8, n_probe=2)
+    )
+    sq8_pairs = pair(
+        similarity.ivf_sq8_topk(queries, emb, 1000, n_cells=8, n_probe=2)
+    )
+    assert ivf_pairs == sq8_pairs
+
+
 def test_append_to_ivf_index_equals_full_build(spark, tmp_path):
     """Incremental maintenance: build with half the corpus, append the
     other half — queries over the appended index must return EXACTLY the
@@ -334,7 +369,11 @@ def test_ann_index_queries_prune_partitions(spark):
     serves a query batch by reading only the probed partitions' files."""
     import re
 
-    for name, col in [("ann_lsh_index_topk", "bucket"), ("ann_ivf_index_topk", "cell")]:
+    for name, col in [
+        ("ann_lsh_index_topk", "bucket"),
+        ("ann_ivf_index_topk", "cell"),
+        ("ann_ivf_sq8_index_topk", "cell"),
+    ]:
         df = q(spark, name)
         plan = EX.formatted_plan(df)
         groups = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
