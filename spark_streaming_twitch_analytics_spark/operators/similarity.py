@@ -942,6 +942,83 @@ def query_ivf_sq8_index(
     return _topk(_partial_topk(_scored(pairs), k), k)
 
 
+def bitext_margin_pairs(
+    queries: DataFrame,
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 8,
+    top: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-pair miner): for each source vector, score
+    target candidates by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgA(x) + avgB(y)) / 2)
+
+    where avgA(x) is the mean cosine of x to its k nearest targets and
+    avgB(y) the mean cosine of y to its k nearest sources — the
+    normalization that suppresses hubness (a y close to everything has
+    a high avgB, so raw-cosine hubs stop winning every query).
+
+    Scale shape: BOTH neighborhoods come from bounded IVF probe scans —
+    the forward pool is one :func:`ivf_topk` over the target side, the
+    backward pool another over the source side with the ≤ |Q|·k pooled
+    targets as queries — so nothing all-pairs exists anywhere, exactly
+    how production bitext mining shards at billions of sentences.
+
+    Determinism: quantized cosines are converted to exact micro-integer
+    units (floor(cos·10⁶) — identical doubles in, identical BIGINT
+    out on both engines), neighborhood sums/counts are pure integer
+    arithmetic, and the ratio is computed as ONE exact-integer division
+    2·micro·n_x·n_y / (s_x·n_y + s_y·n_x), quantized at 6 dp. Rows
+    with a non-positive denominator (all-negative neighborhoods) are
+    dropped on both engines.
+
+    Returns (q_id, rank, c_id, cos, margin): the ``top`` best-margin
+    target pairs per source query."""
+    micro = (F.floor(F.col("cos") * F.lit(1000000.0))).cast("long")
+    fwd = (
+        ivf_topk(queries, tgt, k, n_cells=n_cells, n_probe=n_probe, dim=dim)
+        .filter(F.col("cos").isNotNull())
+        .withColumn("micro", micro)
+    )
+    xstat = fwd.groupBy("q_id").agg(
+        F.sum("micro").alias("sx"), F.count(F.lit(1)).alias("nx")
+    )
+    ys = tgt.join(
+        fwd.select(F.col("c_id").alias("vec_id")).distinct(), "vec_id"
+    )
+    bwd = (
+        ivf_topk(ys, src, k, n_cells=n_cells, n_probe=n_probe, dim=dim)
+        .filter(F.col("cos").isNotNull())
+        .withColumn("micro", micro)
+    )
+    ystat = bwd.groupBy("q_id").agg(
+        F.sum("micro").alias("sy"), F.count(F.lit(1)).alias("ny")
+    ).withColumnRenamed("q_id", "c_id")
+    denom = F.col("sx") * F.col("ny") + F.col("sy") * F.col("nx")
+    margin = quantize(
+        (F.lit(2) * F.col("micro") * F.col("nx") * F.col("ny")).cast("double")
+        / denom,
+        6,
+    )
+    scored = (
+        fwd.join(xstat, "q_id")
+        .join(ystat, "c_id")
+        .filter(denom > 0)
+        .select("q_id", "c_id", "cos", margin.alias("margin"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("margin"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top)
+        .select("q_id", "rank", "c_id", "cos", "margin")
+    )
+
+
 def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:
     """Recall of an approximate ranking against the exact one: both are
     (q_id, c_id, ...) top-k frames; recall = |approx ∩ exact| / |exact|

@@ -2423,6 +2423,106 @@ def retrieval_ndcg_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BTX_K = 8  # neighborhood depth for both margin directions
+_BTX_TOP = 3  # mined pairs kept per source query
+
+
+def _bitext_margin_sql() -> str:
+    """Bitext-margin oracle: both IVF pools as CTEs (forward over the
+    odd-label side, backward over the even-label side with the pooled
+    targets as queries — identical assign/probe/mask semantics to
+    ``_IVF_SQL_ASSIGN``/``_IVF_SQL_PROBES``, re-derived here because
+    both sides carry a label filter), micro-integer neighborhood sums,
+    and the single exact-integer ratio division."""
+    mask = (
+        "list_transform(cs, x -> CASE WHEN x = list_max(cs) "
+        "THEN -1e18 ELSE x END)"
+    )
+    ftop = topk.top_k_per_group_sql(
+        "SELECT * FROM fsc", ["q_id"], "cos", _BTX_K, ["c_id"]
+    )
+    btop = topk.top_k_per_group_sql(
+        "SELECT * FROM bsc", ["q_id"], "cos", _BTX_K, ["c_id"]
+    )
+    return f"""WITH e AS (SELECT vec_id, label,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+sc AS (SELECT vec_id, label, v,
+  {V.cell_scores_sql("v", _IVF_CELLS, 64)} AS cs FROM e),
+ac AS (SELECT vec_id, label, v,
+  CAST(list_position(cs, list_max(cs)) AS INT) AS cell, cs FROM sc),
+fqm AS (SELECT vec_id, v, cs, cell, {mask} AS cs2
+  FROM ac WHERE vec_id % 10 = 0 AND label % 2 = 0),
+fqp AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM fqm
+  UNION
+  SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM fqm),
+fsc AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM ac c JOIN fqp ON c.cell = fqp.cell
+  WHERE c.label % 2 = 1 AND c.vec_id <> q_id),
+fwd0 AS ({ftop}),
+fwd AS (SELECT q_id, c_id, cos,
+  CAST(floor(cos * 1000000.0) AS BIGINT) AS micro
+  FROM fwd0 WHERE cos IS NOT NULL),
+xstat AS (SELECT q_id, sum(micro) AS sx, count(*) AS nx FROM fwd GROUP BY q_id),
+bqm AS (SELECT a.vec_id, a.v, a.cs, a.cell, {mask.replace("cs", "a.cs")} AS cs2
+  FROM ac a JOIN (SELECT DISTINCT c_id FROM fwd) y ON a.vec_id = y.c_id),
+bqp AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM bqm
+  UNION
+  SELECT vec_id, v, CAST(list_position(cs2, list_max(cs2)) AS INT) FROM bqm),
+bsc AS (SELECT q_id, c.vec_id AS c_id, {V.cosine_sql("qv", "c.v", 64)} AS cos
+  FROM ac c JOIN bqp ON c.cell = bqp.cell
+  WHERE c.label % 2 = 0 AND c.vec_id <> q_id),
+bwd0 AS ({btop}),
+ystat AS (SELECT q_id AS c_id,
+  sum(CAST(floor(cos * 1000000.0) AS BIGINT)) AS sy, count(*) AS ny
+  FROM bwd0 WHERE cos IS NOT NULL GROUP BY q_id),
+mg AS (SELECT f.q_id, f.c_id, f.cos,
+  {V.quantize_sql(
+      "CAST(2 * f.micro * x.nx * y.ny AS DOUBLE)"
+      " / (x.sx * y.ny + y.sy * x.nx)", 6)} AS margin
+  FROM fwd f JOIN xstat x USING (q_id) JOIN ystat y USING (c_id)
+  WHERE (x.sx * y.ny + y.sy * x.nx) > 0),
+mrk AS (SELECT q_id, c_id, cos, margin,
+  row_number() OVER (PARTITION BY q_id ORDER BY margin DESC, c_id ASC) AS rn
+  FROM mg)
+SELECT q_id, CAST(rn AS INT) AS rank, c_id, cos, margin
+FROM mrk WHERE rn <= {_BTX_TOP}"""
+
+
+@register(
+    "retrieval_bitext_margin",
+    lambda: _bitext_margin_sql(),
+    survey="ext: margin-based bitext mining (Artetxe & Schwenk 2019, "
+    "the LASER/CCMatrix parallel-pair miner) — ratio margin cos(x,y) / "
+    "mean of both k-NN neighborhoods, the hubness-suppressing score "
+    "that mines aligned training pairs from comparable corpora; BOTH "
+    "neighborhood directions are bounded IVF probe scans (nothing "
+    "all-pairs), micro-integer neighborhood sums + one exact-integer "
+    "ratio division so the hash is engine-exact",
+)
+def retrieval_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine pseudo-parallel pairs across the even/odd label halves of
+    the embeddings table (stand-ins for two languages' sentence
+    embeddings): per even-side query, the top-3 odd-side candidates by
+    bidirectional ratio margin. The backward neighborhood (y's k-NN
+    among sources) is what kills hubs — a y that is everyone's
+    neighbor accrues a high avgB and stops outranking genuine pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") % 2 == 0)
+    tgt = emb.filter(F.col("label") % 2 == 1)
+    queries = src.filter(F.col("vec_id") % 10 == 0)
+    return similarity.bitext_margin_pairs(
+        queries,
+        src,
+        tgt,
+        k=_BTX_K,
+        top=_BTX_TOP,
+        n_cells=_IVF_CELLS,
+        n_probe=2,
+    )
+
+
 _SEMDEDUP_CELLS = 8
 _SEMDEDUP_TAU = 0.4  # synthetic embeddings top out near cos 0.51 (see
 # dedup_embedding_cosine); production near-dup would use ~0.95

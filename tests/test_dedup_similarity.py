@@ -642,3 +642,32 @@ def test_pair_evidence_exact_duplicates_show_full_overlap(spark):
     assert r["jaccard"] == 1.0
     assert r["n_shared"] > 0
     assert "alpha bravo charlie" in r["evidence"]
+
+
+def test_bitext_margin_suppresses_hub_that_wins_raw_cosine(spark):
+    """The reason margin mining exists (Artetxe & Schwenk 2019): a hub
+    target close to EVERY source outranks the genuine pair on raw
+    cosine, but its inflated backward neighborhood mean pushes its
+    ratio margin below the genuine pair's. Constructed so the hub wins
+    cos and loses margin."""
+    from spark_streaming_twitch_analytics_spark.operators import similarity
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # vec 1 = hub (close to both sources), vec 3 = genuine pair for x=0
+    tgt = spark.createDataFrame(
+        [(1, [1.0, 0.2, 0.0, 0.0]), (3, [0.97, 0.0, 0.0, 0.243])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = src.filter("vec_id = 0")
+    out = similarity.bitext_margin_pairs(
+        queries, src, tgt, k=8, top=2, n_cells=1, n_probe=1, dim=4
+    ).collect()
+    by_rank = {r["rank"]: r for r in out}
+    # raw cosine prefers the hub...
+    assert by_rank[1]["cos"] < by_rank[2]["cos"]
+    # ...but margin rank 1 is the genuine pair, not the hub
+    assert by_rank[1]["c_id"] == 3 and by_rank[2]["c_id"] == 1
+    assert by_rank[1]["margin"] > by_rank[2]["margin"]

@@ -147,6 +147,7 @@ FUZZ_QUERIES = [
     "ann_ivf_sq8_topk",  # composed cell-prune + requant, both engine-exact
     "ann_ivf_sq8_index_topk",  # fingerprint-keyed layout rebuilds per corpus
     "ann_ivf_sq8_recall",  # integer ratio; brute side is the np fold class
+    "retrieval_bitext_margin",  # micro-int neighborhood sums, one division
 ]
 
 
