@@ -942,6 +942,69 @@ def query_ivf_sq8_index(
     return _topk(_partial_topk(_scored(pairs), k), k)
 
 
+def ivf_scored_pool_ranked(
+    queries: DataFrame,
+    candidates: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """(q_id, c_id, cos, probe_rank): every IVF pair scored ONCE at the
+    deepest probe setting, tagged with the probe rank (1 = the query's
+    argmax cell, 2 = next, …) at which its cell was reached. Because
+    probe sets are NESTED (the first p probes of depth P ≥ p are the
+    depth-p probes), `filter(probe_rank <= p)` reproduces the exact
+    :func:`ivf_topk` pair set for any p ≤ n_probe — one corpus
+    assignment + one scoring pass serves a whole probe sweep instead of
+    one scan per setting. A re-probed cell (all-tied scores) keeps its
+    FIRST rank — the same dedup `array_distinct` does in ivf_topk."""
+    from .skew import fan_out
+
+    c = _ivf_assigned(fan_out(candidates), n_cells, dim).select(
+        F.col("vec_id").alias("c_id"),
+        as_double(F.col("embedding")).alias("cv"),
+        norm(as_double(F.col("embedding")), dim).alias("cn"),
+        "cell",
+    )
+    aq = _ivf_assigned(queries, n_cells, dim)
+
+    def masked(prev):
+        return F.transform(
+            prev,
+            lambda x: F.when(x == F.array_max(prev), F.lit(-1e18)).otherwise(x),
+        )
+
+    probe_cols = []
+    cur = F.col("_cs")
+    for _ in range(n_probe):
+        probe_cols.append(F.array_position(cur, F.array_max(cur)).cast("int"))
+        cur = masked(cur)
+    q = (
+        aq.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(F.array(*probe_cols)).alias("pos", "cell"),
+        )
+        .groupBy("vec_id", "embedding", "cell")
+        .agg((F.min("pos") + F.lit(1)).cast("int").alias("probe_rank"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            as_double(F.col("embedding")).alias("qv"),
+            norm(as_double(F.col("embedding")), dim).alias("qn"),
+            "cell",
+            "probe_rank",
+        )
+    )
+    pairs = c.join(F.broadcast(q), ["cell"]).filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    denom = F.col("qn") * F.col("cn")
+    cos = F.when(
+        denom != 0, quantize(dot(F.col("qv"), F.col("cv"), dim) / denom, 6)
+    )
+    return pairs.select("q_id", "c_id", cos.alias("cos"), "probe_rank")
+
+
 def bitext_margin_pairs(
     queries: DataFrame,
     src: DataFrame,

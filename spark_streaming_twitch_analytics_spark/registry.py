@@ -4730,18 +4730,34 @@ FROM ({union})"""
 def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall as a function of probe count (1, 2, 4) over the same IVF
     index and the same exact truth set — the tuning table for the
-    scan-cost/recall trade."""
+    scan-cost/recall trade.
+
+    Round-9 restructure: probe sets are NESTED, so the corpus is
+    assigned and scored ONCE at the deepest setting with each pair
+    tagged by the probe rank that reached its cell
+    (``similarity.ivf_scored_pool_ranked``); each sweep point is then a
+    filter + top-k over the persisted pool instead of its own full IVF
+    scan — one scoring pass of 4/8 of the pairs replaces three passes
+    totalling 7/8 (measured 8.2 s → ~5.0 s at sf0.1). Rankings are
+    identical by construction (same cells, same scores, same
+    tie-break), which the unchanged oracle hash-checks."""
     from .cache import eager_persist
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     truth = eager_persist(similarity.brute_force_topk_np(queries, emb, 5))
+    pool = eager_persist(
+        similarity.ivf_scored_pool_ranked(
+            queries, emb, n_cells=_IVF_CELLS, n_probe=max(_SWEEP_PROBES)
+        )
+    )
     parts = []
     for p in _SWEEP_PROBES:
-        r = similarity.recall_at_k(
-            truth,
-            similarity.ivf_topk(queries, emb, 5, n_cells=_IVF_CELLS, n_probe=p),
-        ).select(
+        approx = similarity._topk(
+            pool.filter(F.col("probe_rank") <= p).select("q_id", "c_id", "cos"),
+            5,
+        )
+        r = similarity.recall_at_k(truth, approx).select(
             F.lit(p).cast("int").alias("n_probe"), "matched", "total", "recall"
         )
         parts.append(r)
