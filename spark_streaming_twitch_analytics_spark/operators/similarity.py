@@ -1086,16 +1086,24 @@ def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:
     """Recall of an approximate ranking against the exact one: both are
     (q_id, c_id, ...) top-k frames; recall = |approx ∩ exact| / |exact|
     as one engine-exact integer ratio (floor-quantized). The join is k
-    rows per query on both sides — negligible at any corpus size."""
+    rows per query on both sides — negligible at any corpus size.
+
+    One pass over the exact side: the old two-frame form (inner-join
+    count CROSS total count) referenced the exact subtree TWICE, and
+    since it ends in a join — not an exchange — ReuseExchange cannot
+    dedupe it, so every caller's truth side (often a brute meter)
+    executed twice in one plan. The left-join + single-aggregate form
+    scans it once; values are identical because top-k frames are unique
+    per (q_id, c_id)."""
     from ..functions.vectors import quantize
 
     bt = exact_topk.select("q_id", "c_id")
-    at = approx_topk.select("q_id", "c_id")
-    matched = bt.join(at, ["q_id", "c_id"]).agg(
-        F.count(F.lit(1)).alias("matched")
-    )
-    total = bt.agg(F.count(F.lit(1)).alias("total"))
-    return matched.join(F.broadcast(total)).select(
+    at = approx_topk.select("q_id", "c_id").withColumn("hit", F.lit(1))
+    j = bt.join(at, ["q_id", "c_id"], "left")
+    return j.agg(
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("matched"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    ).select(
         "matched",
         "total",
         quantize(F.col("matched").cast("double") / F.col("total"), 6).alias(

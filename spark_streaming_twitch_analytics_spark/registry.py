@@ -4642,14 +4642,24 @@ FROM m, t""",
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall = |minhash pairs verified at >= t| / |exact pairs at >= t|
     (the banding miss rate is the ONLY error source — both paths verify
-    with exact Jaccard)."""
+    with exact Jaccard).
+
+    The exact side feeds BOTH the matched-join numerator and the total
+    denominator; the subtrees end in joins (not exchanges), so Spark's
+    ReuseExchange cannot dedupe them and the whole PPJoin ran twice in
+    one plan. Persisting the (bounded, above-threshold) pair set once
+    is the fix: 7.8 → 5.6 s at sf0.1, hash unchanged."""
+    from .cache import eager_persist
+
     d = _docs(spark, sf_dir)
     mh = (
         dedup.minhash_dedup_pairs(d)
         .filter(F.col("jaccard") >= _PPJOIN_T)
         .select("a", "b")
     )
-    ex = dedup.ppjoin_pairs(d, threshold=_PPJOIN_T).select("a", "b")
+    ex = eager_persist(
+        dedup.ppjoin_pairs(d, threshold=_PPJOIN_T).select("a", "b")
+    )
     m = ex.join(mh, ["a", "b"]).agg(
         F.count(F.lit(1)).cast("long").alias("matched")
     )
