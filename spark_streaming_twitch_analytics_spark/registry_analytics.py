@@ -379,8 +379,9 @@ def dedup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     does this boilerplate family extend' provenance tracing. Integer
     hops, engine-exact."""
     from .operators.clusters import bfs_hops
+    from .registry import _ensure_minhash_pairs
 
-    pairs = dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
+    pairs = _ensure_minhash_pairs(spark, sf_dir)  # standing pair table
     edges = pairs.filter(F.col("jaccard") >= 0.5).select("a", "b")
     return bfs_hops(edges, max_hops=_BFS_MAX_HOPS)
 
