@@ -23,10 +23,14 @@ from __future__ import annotations
 
 import pyspark.sql.types as T
 
-#: Types the driver's pandas canonicalizer can lexsort/hash. Everything
-#: atomic qualifies (ints, floats, decimal, string, binary-as-bytes is
-#: hashable too, bool, date/timestamp, null).
-_CONTAINER_TYPES = (T.ArrayType, T.MapType, T.StructType)
+#: Types the driver's pandas canonicalizer cannot factorize. Container
+#: types hold Python lists/dicts (unhashable). BinaryType is flagged
+#: too (ADVICE r9): Spark's collect() materializes binary cells as
+#: ``bytearray`` — unhashable, unlike ``bytes`` — so a binary output
+#: column passes a bytes-only reading of the contract yet still errs in
+#: the driver; ship binary results hex-encoded instead (the multimodal
+#: family already does).
+_CONTAINER_TYPES = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
 
 
 def non_atomic_fields(schema: T.StructType) -> dict[str, str]:

@@ -37,6 +37,39 @@ def _slug(sf_dir: str) -> str:
     return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
 
 
+def atomic_publish(write_fn, path: str) -> None:
+    """Race-safe publish of a fingerprint-keyed artifact directory
+    (ADVICE r9): writing straight to ``path`` lets two concurrent
+    sessions both miss ``_SUCCESS`` and one overwrite the directory
+    while the other reads it. Instead, ``write_fn`` writes into a
+    unique staging dir on the SAME filesystem, which is then renamed
+    into place — POSIX ``rename`` is atomic, and it FAILS (ENOTEMPTY/
+    EEXIST) if a concurrent winner already published, in which case the
+    loser's copy is discarded. Either copy is valid: the path is keyed
+    by a content fingerprint, so both writers produced the same
+    artifact. No-op if ``path`` is already published."""
+    import shutil
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    parent = os.path.dirname(path) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(
+        dir=parent, prefix=os.path.basename(path) + ".stage."
+    )
+    try:
+        staging = os.path.join(tmp, "out")
+        write_fn(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # lost the race — the winner's identical artifact stands
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def ensure_bucketed_table(
     spark: SparkSession,
     df: DataFrame,

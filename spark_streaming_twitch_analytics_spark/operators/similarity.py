@@ -784,11 +784,16 @@ def _ivf_assigned(df: DataFrame, n_cells: int, dim: int) -> DataFrame:
     )
 
 
-def _ivf_probes(assigned_q: DataFrame, n_probe: int) -> DataFrame:
-    """Explode each query row to its top-``n_probe`` probed cells
-    (repeated argmax with value-masking + array_distinct — the exact
-    probe semantics of :func:`ivf_topk`, shared so every IVF variant
-    probes the SAME cells)."""
+def _probe_cell_cols(n_probe: int) -> list:
+    """The ONE definition of IVF probe semantics (ADVICE r9 — this loop
+    used to live in both :func:`_ivf_probes` and
+    :func:`ivf_scored_pool_ranked`; a drift in one copy would silently
+    break the nested-probe equivalence the probe sweep relies on):
+    repeated argmax over the ``_cs`` centroid-score array with value
+    masking — element i is the 1-based cell id of the i-th best probe.
+    All-tied scores can re-yield a cell; callers dedup
+    (``array_distinct`` in _ivf_probes, min-rank groupBy in the ranked
+    pool) with identical keep-first semantics."""
 
     def masked(prev):
         return F.transform(
@@ -801,10 +806,20 @@ def _ivf_probes(assigned_q: DataFrame, n_probe: int) -> DataFrame:
     for _ in range(n_probe):
         probe_cols.append(F.array_position(cur, F.array_max(cur)).cast("int"))
         cur = masked(cur)
+    return probe_cols
+
+
+def _ivf_probes(assigned_q: DataFrame, n_probe: int) -> DataFrame:
+    """Explode each query row to its top-``n_probe`` probed cells
+    (repeated argmax with value-masking + array_distinct — the exact
+    probe semantics of :func:`ivf_topk`, shared so every IVF variant
+    probes the SAME cells)."""
     return assigned_q.select(
         "vec_id",
         "embedding",
-        F.explode(F.array_distinct(F.array(*probe_cols))).alias("cell"),
+        F.explode(
+            F.array_distinct(F.array(*_probe_cell_cols(n_probe)))
+        ).alias("cell"),
     )
 
 
@@ -967,23 +982,13 @@ def ivf_scored_pool_ranked(
         "cell",
     )
     aq = _ivf_assigned(queries, n_cells, dim)
-
-    def masked(prev):
-        return F.transform(
-            prev,
-            lambda x: F.when(x == F.array_max(prev), F.lit(-1e18)).otherwise(x),
-        )
-
-    probe_cols = []
-    cur = F.col("_cs")
-    for _ in range(n_probe):
-        probe_cols.append(F.array_position(cur, F.array_max(cur)).cast("int"))
-        cur = masked(cur)
     q = (
         aq.select(
             "vec_id",
             "embedding",
-            F.posexplode(F.array(*probe_cols)).alias("pos", "cell"),
+            F.posexplode(F.array(*_probe_cell_cols(n_probe))).alias(
+                "pos", "cell"
+            ),
         )
         .groupBy("vec_id", "embedding", "cell")
         .agg((F.min("pos") + F.lit(1)).cast("int").alias("probe_rank"))
@@ -1093,12 +1098,20 @@ def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:
     since it ends in a join — not an exchange — ReuseExchange cannot
     dedupe it, so every caller's truth side (often a brute meter)
     executed twice in one plan. The left-join + single-aggregate form
-    scans it once; values are identical because top-k frames are unique
-    per (q_id, c_id)."""
+    scans it once. The approx side is deduped before the join (ADVICE
+    r9): a well-formed top-k frame is already unique per (q_id, c_id),
+    but a caller handing in a duplicated approx frame would otherwise
+    fan out BOTH matched and total through the left join, silently
+    skewing the ratio — distinct() costs one k·|Q|-row shuffle and
+    makes the meter total exact by construction."""
     from ..functions.vectors import quantize
 
     bt = exact_topk.select("q_id", "c_id")
-    at = approx_topk.select("q_id", "c_id").withColumn("hit", F.lit(1))
+    at = (
+        approx_topk.select("q_id", "c_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
     j = bt.join(at, ["q_id", "c_id"], "left")
     return j.agg(
         F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("matched"),

@@ -1197,16 +1197,18 @@ def _ensure_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from .operators.bucketed import _slug, _source_fingerprint
+    from .operators.bucketed import _slug, _source_fingerprint, atomic_publish
 
     fp = _source_fingerprint(sf_dir, "documents")
     path = os.path.join(
         tempfile.gettempdir(), f"ssta_mhpairs_{_slug(sf_dir)}_{fp}"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        dedup.minhash_dedup_pairs(_docs(spark, sf_dir)).write.mode(
-            "overwrite"
-        ).parquet(path)
+    atomic_publish(
+        lambda staging: dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
+        .write.mode("overwrite")
+        .parquet(staging),
+        path,
+    )
     return spark.read.parquet(path)
 
 

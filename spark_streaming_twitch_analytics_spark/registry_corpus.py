@@ -37,6 +37,7 @@ from .functions import text as X
 from .functions import vectors as V
 from .functions import scoring as _SCORING
 from .operators import bpe as _BPE
+from .operators import unigram as _UNI
 from .operators import dedup, topk
 from .registry import _SCORED_CTE, register
 from .sources.io import hash48, hash48_sql, hash_bucket, hash_bucket_sql  # noqa: F401
@@ -3463,20 +3464,23 @@ def _ensure_bpe_merges(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    from .operators.bucketed import _slug, _source_fingerprint
+    from .operators.bucketed import _slug, _source_fingerprint, atomic_publish
 
     fp = _source_fingerprint(sf_dir, "documents")
     path = os.path.join(
         tempfile.gettempdir(),
         f"ssta_bpe_{_BPE_MERGES}m{_BPE_TOP_WORDS}w_{_slug(sf_dir)}_{fp}",
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def _write(staging: str) -> None:
         merges = _BPE.bpe_train(
             _BPE.word_freqs(_docs(spark, sf_dir), _BPE_TOP_WORDS),
             _BPE_MERGES,
         )
         # ≤12 rows — coalesce(1) so the artifact is one tiny file
-        merges.coalesce(1).write.mode("overwrite").parquet(path)
+        merges.coalesce(1).write.mode("overwrite").parquet(staging)
+
+    atomic_publish(_write, path)
     return path
 
 
@@ -3602,6 +3606,78 @@ def corpus_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     merges = _load_bpe_merges(spark, sf_dir)  # ≤12 rows, train-once artifact
     return _BPE.bpe_roundtrip(d, merges)
+
+
+def _ensure_unigram_vocab(spark: SparkSession, sf_dir: str) -> str:
+    """Train-once/serve-many for the unigram-LM family (VERDICT r9
+    task 5): the 2-round Viterbi-EM training (``operators/unigram.py``)
+    runs ONCE per source-content version and persists the final
+    (token, cnt, logprob) vocabulary — the fingerprint-keyed,
+    atomically-published pattern of the BPE merges artifact. Returns
+    the artifact path; a regenerated corpus means a new fingerprint,
+    so staleness is impossible by construction."""
+    import os
+    import tempfile
+
+    from .operators.bucketed import _slug, _source_fingerprint, atomic_publish
+
+    fp = _source_fingerprint(sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ssta_uni_{_UNI.EM_ITERS}i{_BPE_TOP_WORDS}w_{_slug(sf_dir)}_{fp}",
+    )
+
+    def _write(staging: str) -> None:
+        vocab = _UNI.unigram_train(
+            _BPE.word_freqs(_docs(spark, sf_dir), _BPE_TOP_WORDS),
+            _UNI.EM_ITERS,
+        )
+        # letter floor + ≤PRUNE_MULTI pieces — one tiny file
+        vocab.coalesce(1).write.mode("overwrite").parquet(staging)
+
+    atomic_publish(_write, path)
+    return path
+
+
+@register(
+    "corpus_unigram_vocab",
+    lambda: _UNI.unigram_vocab_sql(
+        "SELECT doc_id, text FROM documents", _BPE_TOP_WORDS
+    ),
+    survey="ext: unigram-LM (SentencePiece-style, Kudo 2018) vocabulary "
+    "induction via hard-EM — the second tokenizer family next to BPE: "
+    "substring-frequency seed, per-word Viterbi E-step as one DataFrame "
+    "fold (no Python in the row path), integer-count M-step with "
+    "rank pruning; trains on the vocab-bounded distinct-word table, so "
+    "EM cost is independent of corpus size",
+)
+def corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the unigram vocabulary (2 Viterbi-EM rounds over the
+    top-2000-word table): (token, cnt, logprob). Served off the
+    train-once artifact; the DuckDB oracle retrains independently —
+    the same recurrence as recursive CTEs — so a stale or corrupt
+    artifact still breaks the hash."""
+    return spark.read.parquet(_ensure_unigram_vocab(spark, sf_dir))
+
+
+@register(
+    "corpus_unigram_encode",
+    lambda: _UNI.unigram_encode_sql(
+        "SELECT doc_id, text FROM documents", _BPE_TOP_WORDS
+    ),
+    survey="ext: unigram-LM tokenization with the LEARNED vocabulary — "
+    "Viterbi-segment the distinct-word table once under the trained "
+    "piece scores, broadcast per-word token counts back onto the "
+    "exploded corpus: per-document token counts under the second "
+    "tokenizer family (the bpe_encode scale shape)",
+)
+def corpus_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode: (doc_id, n_words, n_tokens) under the unigram
+    vocabulary served from the train-once artifact."""
+    vocab = spark.read.parquet(_ensure_unigram_vocab(spark, sf_dir)).select(
+        "token", F.col("logprob").alias("lp")
+    )
+    return _UNI.unigram_encode(_docs(spark, sf_dir), vocab)
 
 
 @register(

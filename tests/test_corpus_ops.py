@@ -1018,3 +1018,130 @@ def test_bpe_artifact_serves_same_merges_as_fresh_training(spark):
     assert mtimes == {
         f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
     }
+
+
+# ---------------------------------------------------------------------------
+# round 10: unigram-LM tokenizer (operators/unigram.py)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_viterbi_longest_piece_wins_ties(spark):
+    """Tie-break contract: at equal DP score the LONGEST piece wins
+    (the >=-cascade tests length-4 first) — the invariant both engines'
+    recurrences pin, so a drift here breaks oracle hashes."""
+    from spark_streaming_twitch_analytics_spark.operators import unigram as U
+
+    w = spark.createDataFrame([("abab", 1)], "word string, wcnt long")
+    # lp chosen so 'abab' (1 piece, -4.0) ties 'ab'+'ab' (2 pieces, -2-2)
+    vocab = spark.createDataFrame(
+        [("a", -9.0), ("b", -9.0), ("ab", -2.0), ("abab", -4.0)],
+        "token string, lp double",
+    )
+    row = U.viterbi_tokens(w, vocab).collect()[0]
+    assert row["tokens"] == ["abab"]
+    assert row["score"] == -4.0
+
+
+def test_unigram_letter_floor_keeps_every_word_segmentable(spark):
+    """A word sharing no multi-char piece with the vocabulary must still
+    segment (into single letters) — the encodability floor."""
+    from spark_streaming_twitch_analytics_spark.operators import unigram as U
+
+    w = spark.createDataFrame([("zq", 1), ("ab", 1)], "word string, wcnt long")
+    vocab = spark.createDataFrame(
+        [(chr(c), -3.0) for c in range(97, 123)] + [("ab", -1.0)],
+        "token string, lp double",
+    )
+    rows = {r["word"]: r["tokens"] for r in U.viterbi_tokens(w, vocab).collect()}
+    assert rows["zq"] == ["z", "q"]
+    assert rows["ab"] == ["ab"]
+
+
+def test_unigram_vocab_contains_letter_floor_and_pruned_pieces(spark):
+    """Trained vocabulary invariants: all 26 letters present (cnt >= 1),
+    multi-char pieces bounded by PRUNE_MULTI, logprobs negative and
+    consistent with ln(cnt/total) under floor-quantization."""
+    import math
+
+    from spark_streaming_twitch_analytics_spark.operators import bpe, unigram as U
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    vocab = U.unigram_train(bpe.word_freqs(docs, 2000)).collect()
+    toks = {r["token"]: r for r in vocab}
+    letters = {t for t in toks if len(t) == 1}
+    assert letters == {chr(c) for c in range(97, 123)}
+    multi = [t for t in toks if len(t) >= 2]
+    assert 1 <= len(multi) <= U.PRUNE_MULTI
+    total = sum(r["cnt"] for r in vocab)
+    for r in vocab:
+        expect = math.floor(math.log(r["cnt"] / total) * 1e6) / 1e6
+        assert abs(r["logprob"] - expect) < 1e-9
+
+
+def test_unigram_artifact_serves_same_vocab_as_fresh_training(spark):
+    """Train-once/serve-many (VERDICT r9 task 5): the fingerprint-keyed
+    vocabulary artifact must serve rows identical to a fresh training
+    run, and a second ensure call must not retrain (same files, same
+    mtimes)."""
+    import os
+
+    from spark_streaming_twitch_analytics_spark.operators import bpe, unigram as U
+    from spark_streaming_twitch_analytics_spark.registry_corpus import (
+        _BPE_TOP_WORDS,
+        _ensure_unigram_vocab,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = _ensure_unigram_vocab(spark, sf)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    served = {
+        (r["token"], r["cnt"], r["logprob"])
+        for r in spark.read.parquet(path).collect()
+    }
+    fresh = {
+        (r["token"], r["cnt"], r["logprob"])
+        for r in U.unigram_train(
+            bpe.word_freqs(load_table(spark, sf, "documents"), _BPE_TOP_WORDS)
+        ).collect()
+    }
+    assert served == fresh
+    _ensure_unigram_vocab(spark, sf)
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+
+
+def test_atomic_publish_loser_keeps_winner_artifact(tmp_path):
+    """ADVICE r9: concurrent fingerprint-keyed builds must not corrupt
+    the published path — the rename loser discards its staging copy and
+    the winner's artifact (same content by construction) survives."""
+    import os
+
+    from spark_streaming_twitch_analytics_spark.operators.bucketed import (
+        atomic_publish,
+    )
+
+    target = str(tmp_path / "artifact")
+
+    def put(dest, tag):
+        os.makedirs(dest)
+        with open(os.path.join(dest, "data"), "w") as fh:
+            fh.write(tag)
+        open(os.path.join(dest, "_SUCCESS"), "w").close()
+
+    def losing_write(staging):
+        # the concurrent winner publishes BETWEEN this racer's _SUCCESS
+        # check and its rename — exactly the r9-flagged window
+        put(target, "winner")
+        put(staging, "loser")
+
+    atomic_publish(losing_write, target)
+    with open(os.path.join(target, "data")) as fh:
+        assert fh.read() == "winner"
+    # no staging debris left behind
+    assert [p for p in os.listdir(tmp_path) if ".stage." in p] == []
+    # an already-published path is a no-op (write_fn never runs)
+    atomic_publish(lambda staging: (_ for _ in ()).throw(AssertionError()), target)

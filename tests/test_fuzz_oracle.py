@@ -82,6 +82,9 @@ FUZZ_QUERIES = [
     "scd2_user_history", "events_funnel", "events_retention",
     "events_markov_transitions", "window_range_rolling",
     "corpus_hot_ngrams", "corpus_bpe_merges", "corpus_bpe_encode",
+    # round 10: unigram-LM tokenizer — integer counts + identical-order
+    # DP folds on quantized ln scores (the corpus_bpe determinism class)
+    "corpus_unigram_vocab", "corpus_unigram_encode",
     "ann_ivfpq_topk", "ann_ivfpq_rerank",
     "events_seasonality", "events_user_paths", "events_ab_test",
     "dedup_containment_pairs", "ann_lsh_multiprobe_topk",

@@ -186,13 +186,16 @@ def test_grouped_heavy_hitters_null_group_raises_not_vanishes(spark):
     while a SQL GROUP BY keeps NULL as a real group). It must be a loud
     error now."""
     import pytest
-    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
 
     df = spark.createDataFrame(
         [("a", "x"), (None, "x"), (None, "x"), ("a", "y")],
         "lang string, token string",
     )
-    with pytest.raises((Py4JJavaError, Exception), match="non-null string"):
+    # ADVICE r9: the old (Py4JJavaError, Exception) tuple was vacuous as
+    # a type check; the worker-side ValueError surfaces as a
+    # PySparkException subclass, and the message match pins the cause.
+    with pytest.raises(PySparkException, match="non-null string"):
         HH.grouped_heavy_hitters(df, "lang", phi_inv=2, k=4).collect()
 
 
