@@ -290,6 +290,22 @@ def main() -> None:
     # renormalize. The regression-trackable number remains the
     # median-of-3 lines_per_sec read AGAINST its spread (SCALING.md
     # "Streaming throughput probe").
+    # State-scale probe (VERDICT r9 task 3): key-cardinality ×1/×100/
+    # ×1000 under HDFS-backed vs RocksDB providers — certifies batch
+    # time grows sub-linearly in state size and the RocksDB provider
+    # (the 100 TB deployment's store) holds the same curve.
+    from spark_streaming_twitch_analytics_spark.streaming.probe import (
+        measure_state_scale,
+    )
+
+    release_all()
+    try:
+        state_scale = measure_state_scale(spark, sf_dir)
+    except Exception as e:
+        state_scale = {"error": str(e)[:200], "cells": {}}
+    print(f"# state_scale: {json.dumps(state_scale, sort_keys=True)}",
+          file=sys.stderr)
+
     canary["post_stream"] = _canary_time(spark, sf_dir)
     adjacent = round((canary["end"] + canary["post_stream"]) / 2, 3)
     for sd in (stream, stream_big):
@@ -322,13 +338,31 @@ def main() -> None:
             **stream_big,
             "protocol": "replicate=100 n_files=10",
         },
+        "streaming_state_scale": state_scale,
         "noise_canary": canary,
         "sf": sf_val,
     }
+    # Round-over-round regression guardrail (VERDICT r9 task 7): compare
+    # against the PREVIOUS round's committed summary (HEAD copy — the
+    # working-tree file is overwritten below), canary-normalized so host
+    # drift doesn't read as plan regressions.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        from tools.bench_diff import diff_summaries, load_prev_committed
+
+        prev = load_prev_committed(here)
+        diff = diff_summaries(prev, full) if prev else {
+            "error": "no committed previous summary",
+            "n_regressed_beyond_canary": None,
+        }
+    except Exception as e:  # the guardrail must never sink the bench
+        diff = {"error": str(e)[:200], "n_regressed_beyond_canary": None}
+    full["vs_prev_round"] = diff
+    print(f"# vs_prev_round: {json.dumps(diff, sort_keys=True)}", file=sys.stderr)
+
     # Full per-query summary goes to a file (the harness tail-capture window
     # truncates long stdout lines — see BENCH_r03.json `parsed: null`); the
     # printed line stays compact: totals + the slowest 10 queries only.
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_summary.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
@@ -351,6 +385,16 @@ def main() -> None:
                 ),
                 "streaming_lines_per_sec_100x_canary_norm": stream_big.get(
                     "lines_per_sec_canary_norm"
+                ),
+                "n_regressed_beyond_canary": diff.get(
+                    "n_regressed_beyond_canary"
+                ),
+                "state_scale_batch_ms": {
+                    t: c.get("batch_ms_median")
+                    for t, c in state_scale.get("cells", {}).items()
+                },
+                "regressed_beyond_canary": sorted(
+                    (diff.get("regressed") or {}).keys()
                 ),
                 "noise_canary": canary,
                 "full_summary": "bench_summary.json",

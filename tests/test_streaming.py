@@ -380,3 +380,64 @@ def test_running_counts_invariant_to_batch_split(spark, tmp_path):
         finally:
             q.stop()
         assert got == want, (trial, cuts)
+
+
+def test_vocab_expand_multiplies_distinct_words(spark):
+    """The state-scale probe's cardinality knob: ×E expansion must
+    multiply the distinct tokenizable words by ~E while keeping the
+    token COUNT per document fixed (suffixes are letters-only, so the
+    [a-z]+ tokenizer keeps word+suffix as one token)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitch_analytics_spark.streaming.probe import (
+        _vocab_expand,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(60)], "doc_id long, text string"
+    )
+
+    def stats(df):
+        w = df.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        return w.count(), w.distinct().count()
+
+    n1, d1 = stats(_vocab_expand(docs, 1))
+    n30, d30 = stats(_vocab_expand(docs, 30))
+    assert (n1, d1) == (180, 3)
+    assert n30 == 180  # volume pinned
+    assert d30 == 90  # 3 words x 30 suffix codes
+
+
+def test_state_scale_probe_runs_both_providers(spark, tmp_path):
+    """measure_state_scale must produce a populated grid under BOTH the
+    HDFS-backed and RocksDB providers, with state_rows growing with the
+    expansion and the provider conf restored afterwards."""
+    from spark_streaming_twitch_analytics_spark.streaming.probe import (
+        _PROVIDER_CONF,
+        measure_state_scale,
+    )
+
+    before = spark.conf.get(_PROVIDER_CONF, None)
+    r = measure_state_scale(
+        spark,
+        "/root/testdata/sf0.001",
+        expansions=(1, 10),
+        replicate=2,
+        n_files=2,
+    )
+    cells = r["cells"]
+    assert set(cells) == {"hdfs_x1", "hdfs_x10", "rocksdb_x1", "rocksdb_x10"}
+    for tag, c in cells.items():
+        assert c["state_rows"] and c["state_rows"] > 0, tag
+        assert c["lines_per_sec"] > 0, tag
+        assert c["n_batches"] > 0, tag
+    # same dataflow, same data => both providers hold identical state
+    assert cells["hdfs_x1"]["state_rows"] == cells["rocksdb_x1"]["state_rows"]
+    assert cells["hdfs_x10"]["state_rows"] == cells["rocksdb_x10"]["state_rows"]
+    # expansion grew the key cardinality materially
+    assert cells["hdfs_x10"]["state_rows"] > 3 * cells["hdfs_x1"]["state_rows"]
+    assert spark.conf.get(_PROVIDER_CONF, None) == before

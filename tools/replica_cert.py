@@ -1,18 +1,24 @@
-"""Full-headline ×k-replica certification (VERDICT r8 task 5).
+"""Full-suite ×k-replica certification (VERDICT r8 task 5, extended to
+every timed query by VERDICT r9 task 1).
 
 SCALING.md carries per-shape replica probes; this tool runs the ENTIRE
-bench HEADLINE set once at a ×k replica of sf0.1 (≈ sf1 at the default
-k=10) with the exact bench.py measurement protocol (noop sink over every
-column, warm + best-of-2), and records per-query wall times plus the
-t(k×)/t(1×) ratio into one JSON artifact — the strongest local evidence
-available for the 100 TB design claims.
+bench timed set (every registered query except streaming_* and the
+documented DEMONSTRATORS — the HEADLINE set is a subset) once at a ×k
+replica of sf0.1 (≈ sf1 at the default k=10) with the exact bench.py
+measurement protocol (noop sink over every column, warm + best-of-2),
+and records per-query wall times plus the t(k×)/t(1×) ratio into one
+JSON artifact — the strongest local evidence available for the 100 TB
+design claims.
 
 Flagging: a query is flagged super-linear when ratio > k·1.5 AND the
 replica time exceeds 5 s (the absolute floor keeps fixed per-query
 overhead — session, codegen, task launch on a 0.3 s query — from
-producing meaningless ratios). Known quadratic-by-design meters (the
-exact brute sides of recall meters, documented as sampled in
-production) are annotated, not failed.
+producing meaningless ratios). Known quadratic-by-design rows (exact
+meter sides and flat-scan demonstrators whose scale-safe twin is also
+certified here) are annotated, and the tool HARD-FAILS on any flagged
+row without an annotation (VERDICT r9 task 2) — so
+``n_flagged_unannotated`` in the artifact is 0 by construction, and a
+future regression cannot hide behind the by-design rows.
 
 Usage: python tools/replica_cert.py [k] [out_json] [query ...]
 """
@@ -31,12 +37,23 @@ from spark_streaming_twitch_analytics_spark.cache import release_all
 from spark_streaming_twitch_analytics_spark.session import get_spark
 from tools.scale_replica import SRC, build_replica
 
-# exact sides that ARE the measurement: pair volume grows ~k² by design,
-# production samples the query set (documented in SCALING.md / VERDICT).
+# Rows whose super-linear decade growth is the DESIGN, not a regression:
+# exact meter sides and flat-scan capability demonstrators whose
+# scale-safe twin is certified in the same artifact. Pair volume grows
+# ~k² by construction; production samples the query set or serves the
+# twin (documented in SCALING.md / VERDICT).
 QUADRATIC_BY_DESIGN = {
     "ann_brute_topk": "exact brute meter: |Q|·|C| pairs, both grow k×",
     "ann_brute_topk_np": "same pair set, numpy matmul scale path",
     "dedup_semantic": "within-cell pair join: cell occupancy grows k×",
+    "ann_sq8_topk": "flat SQ8 scan: |Q|·|C| pairs by construction — SQ8 "
+    "compresses the scan, it does not prune it; scale path = "
+    "ann_ivf_sq8_topk (cell-pruned, ~linear in the same artifact)",
+    "ann_sq8_index_topk": "flat SQ8 scan served off the persisted codes "
+    "layout — same |Q|·|C| pair set; scale path = ann_ivf_sq8_index_topk",
+    "ann_pq_topk": "ADC over ALL codes: |Q|·|C| table lookups — PQ "
+    "compresses the scan, it does not prune it; scale path = "
+    "ann_ivfpq_topk (cell-pruned, ~linear in the same artifact)",
 }
 
 
@@ -68,16 +85,12 @@ def main() -> None:
         if len(sys.argv) > 2
         else os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            f"SCALE_X{k}_HEADLINE.json",
+            f"SCALE_X{k}_FULL.json",
         )
     )
-    names = sys.argv[3:] or [
-        n
-        for n in bench.HEADLINE
-        if n in {q.name for q in registry._REGISTRY}
-        and not n.startswith("streaming_")
-        and n not in bench.DEMONSTRATORS
-    ]
+    # default: the FULL bench timed set (streaming_* and DEMONSTRATORS
+    # excluded by bench_set's rule; HEADLINE is a subset)
+    names = sys.argv[3:] or bench.bench_set()[0]
     rep_dir = f"/tmp/sf_replica_x{k}"
     spark = get_spark()
     if not os.path.exists(f"{rep_dir}/documents.parquet"):
@@ -114,25 +127,44 @@ def main() -> None:
     flagged = sorted(
         n for n, r in rows.items() if r.get("flagged_superlinear")
     )
+    unannotated = [n for n in flagged if n not in QUADRATIC_BY_DESIGN]
+    errored = sorted(n for n, r in rows.items() if "error" in r)
     doc = {
         "k": k,
         "src": SRC,
         "replica_dir": rep_dir,
         "n_queries": len(rows),
         "n_flagged_superlinear": len(flagged),
+        "n_flagged_unannotated": len(unannotated),
         "flagged": flagged,
+        "flagged_unannotated": unannotated,
+        "errors": errored,
         "total_base_sec": round(sum(r["sec_base"] for r in timed), 1),
         f"total_x{k}_sec": round(sum(r[f"sec_x{k}"] for r in timed), 1),
         "protocol": "bench.py noop-sink, warm + best-of-2, one shared "
         "session; flag = ratio > k*1.5 AND replica time > 5 s; "
-        "quadratic_by_design rows are exact meter sides (sampled in "
-        "production), annotated not failed",
+        "quadratic_by_design rows are exact meter sides / flat-scan "
+        "demonstrators whose scale-safe twin is certified in this same "
+        "artifact — annotated not failed; any UNannotated flag fails "
+        "the tool (exit 1)",
         "queries": dict(sorted(rows.items())),
     }
     with open(out_json, "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)
     print(json.dumps({kk: v for kk, v in doc.items() if kk != "queries"}))
     spark.stop()
+    if unannotated:
+        print(
+            "FAIL: super-linear growth without a quadratic_by_design "
+            f"annotation: {unannotated} — fix the plan or document why "
+            "the growth is the design",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    if errored:
+        print(f"FAIL: queries errored at base or replica: {errored}",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
