@@ -547,3 +547,16 @@ def test_k_anonymity_single_partial_agg_shuffle(spark):
     df = q(spark, "privacy_k_anonymity")
     assert EX.count_operator(df, "Exchange") == 1
     assert EX.count_operator(df, "HashAggregate") >= 2  # partial+final
+
+
+def test_unigram_encode_broadcasts_vocab_and_word_counts(spark):
+    """The unigram encode scale shape: the corpus scan joins the
+    per-word token counts via BROADCAST (the DP/vocab work must never
+    shuffle the corpus), and the Viterbi fold runs only on the
+    distinct-word side."""
+    df = q(spark, "corpus_unigram_encode")
+    # vocab map attachment + enc join-back are both broadcast
+    assert EX.count_operator(df, "BroadcastHashJoin") >= 1
+    # the corpus side reads only doc_id + text
+    schemas = EX.read_schemas(df)
+    assert all("n_chars" not in s for s in schemas)
