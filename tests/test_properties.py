@@ -837,3 +837,69 @@ def test_cusum_max_plus_closed_form_identity(a):
         cum += x
         running_min = min(running_min, cum)
         assert s == cum - min(0, running_min)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    vocab_extra=st.lists(
+        st.text(alphabet="abc", min_size=2, max_size=4), max_size=6, unique=True
+    ),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=12, deadline=None)
+def test_unigram_viterbi_matches_bruteforce_enumeration(
+    spark, words, vocab_extra, seed
+):
+    """The DP fold must return the GLOBAL max-score segmentation with
+    the pinned tie-break (longest piece wins), for any vocabulary that
+    contains the letter floor — verified against exhaustive Python
+    enumeration of every segmentation (words ≤ 6 chars ⇒ ≤ 32 splits)."""
+    import random
+
+    from spark_streaming_twitch_analytics_spark.operators import unigram as U
+
+    rng = random.Random(seed)
+    vocab = {c: round(rng.uniform(-9, -1), 6) for c in "abc"}
+    for t in vocab_extra:
+        vocab[t] = round(rng.uniform(-9, -1), 6)
+
+    def segmentations(w):
+        if not w:
+            yield []
+            return
+        for n in range(1, min(U.MAXPIECE, len(w)) + 1):
+            head = w[:n]
+            if head in vocab:
+                for rest in segmentations(w[n:]):
+                    yield [head] + rest
+
+    def brute_best(w):
+        # max score; tie-break mirrors the fold: at every position the
+        # longest winning piece is chosen, i.e. lexicographically max
+        # (score, [piece lengths from the END backwards]) — equivalent
+        # to comparing (score, reversed length sequence) descending
+        best = None
+        for seg in segmentations(w):
+            score = sum(vocab[t] for t in seg)
+            key = (score, [len(t) for t in reversed(seg)])
+            if best is None or key > best[0]:
+                best = (key, seg)
+        return best[1], best[0][0]
+
+    wdf = spark.createDataFrame([(w, 1) for w in words], "word string, wcnt long")
+    vdf = spark.createDataFrame(
+        [(t, lp) for t, lp in vocab.items()], "token string, lp double"
+    )
+    got = {
+        r["word"]: (list(r["tokens"]), r["score"])
+        for r in U.viterbi_tokens(wdf, vdf).collect()
+    }
+    for w in words:
+        exp_seg, exp_score = brute_best(w)
+        assert got[w][0] == exp_seg, (w, got[w], exp_seg)
+        assert abs(got[w][1] - exp_score) < 1e-9, (w, got[w][1], exp_score)
