@@ -52,3 +52,68 @@ def test_cli_file_source_counts_words_and_categories(spark, tmp_path):
     )
     cats = kv.get_table("testchan_categoryCount", cat_schema).collect()
     assert sum(r["cnt"] for r in cats) > 0
+
+
+def test_bench_diff_flags_only_beyond_canary_envelope():
+    """tools/bench_diff.py diff_summaries: host-speed drift (captured by
+    the canary ratio) must NOT read as a regression; a genuine slowdown
+    beyond the envelope AND the absolute floor must."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_diff import diff_summaries
+
+    prev = {
+        "noise_canary": {"start": 0.2, "mid": 0.2, "end": 0.2},
+        "queries": {"a": 1.0, "b": 1.0, "c": 0.2},
+    }
+    # host 2x slower uniformly: canary 0.4, every query 2x — no flags
+    cur_drift = {
+        "noise_canary": {"start": 0.4, "mid": 0.4, "end": 0.4},
+        "queries": {"a": 2.0, "b": 2.0, "c": 0.4},
+    }
+    r = diff_summaries(prev, cur_drift)
+    assert r["n_regressed_beyond_canary"] == 0
+    assert r["canary_ratio"] == 2.0
+
+    # same host speed, 'a' genuinely 3x slower; 'c' 3x slower but the
+    # delta (0.4 s) is... above the 0.3 s floor -> both flag; 'b' 1.1x
+    # (inside the 1.25 envelope) must not flag
+    cur_reg = {
+        "noise_canary": {"start": 0.2, "mid": 0.2, "end": 0.2},
+        "queries": {"a": 3.0, "b": 1.1, "c": 0.6},
+    }
+    r = diff_summaries(prev, cur_reg)
+    assert set(r["regressed"]) == {"a", "c"}
+    assert r["n_regressed_beyond_canary"] == 2
+
+    # sub-floor absolute deltas never flag even at a big ratio
+    cur_tiny = {
+        "noise_canary": {"start": 0.2, "mid": 0.2, "end": 0.2},
+        "queries": {"a": 1.0, "b": 1.0, "c": 0.45},
+    }
+    assert diff_summaries(prev, cur_tiny)["n_regressed_beyond_canary"] == 0
+
+    # missing canaries -> explicit error, never a silent 0
+    assert diff_summaries({"queries": {}}, cur_tiny)["n_regressed_beyond_canary"] is None
+
+
+def test_replica_cert_flag_annotations_cover_known_quadratic_rows():
+    """Every row the r9/r10 artifacts showed super-linear by design must
+    carry a QUADRATIC_BY_DESIGN annotation, so the cert tool's
+    unannotated-flag hard-fail can never trip on a documented row."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.replica_cert import QUADRATIC_BY_DESIGN
+
+    for name in (
+        "ann_brute_topk",
+        "ann_brute_topk_np",
+        "ann_sq8_topk",
+        "ann_sq8_index_topk",
+        "ann_pq_topk",
+        "dedup_semantic",
+    ):
+        assert name in QUADRATIC_BY_DESIGN, name
+        assert len(QUADRATIC_BY_DESIGN[name]) > 20  # a real explanation
