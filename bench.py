@@ -290,6 +290,20 @@ def main() -> None:
     # renormalize. The regression-trackable number remains the
     # median-of-3 lines_per_sec read AGAINST its spread (SCALING.md
     # "Streaming throughput probe").
+    # NB ordering (ADVICE r10): the post_stream canary and the stream
+    # normalization are taken IMMEDIATELY after the throughput probes —
+    # the state-scale probe below runs minutes of unrelated streaming
+    # work, and sampling the canary after it would normalize the probes
+    # against a host state they never ran under.
+    canary["post_stream"] = _canary_time(spark, sf_dir)
+    adjacent = round((canary["end"] + canary["post_stream"]) / 2, 3)
+    for sd in (stream, stream_big):
+        if sd.get("lines_per_sec"):
+            sd["canary_adjacent_sec"] = adjacent
+            sd["lines_per_sec_canary_norm"] = round(
+                sd["lines_per_sec"] * adjacent / CANARY_REF_SEC, 1
+            )
+
     # State-scale probe (VERDICT r9 task 3): key-cardinality ×1/×100/
     # ×1000 under HDFS-backed vs RocksDB providers — certifies batch
     # time grows sub-linearly in state size and the RocksDB provider
@@ -305,15 +319,6 @@ def main() -> None:
         state_scale = {"error": str(e)[:200], "cells": {}}
     print(f"# state_scale: {json.dumps(state_scale, sort_keys=True)}",
           file=sys.stderr)
-
-    canary["post_stream"] = _canary_time(spark, sf_dir)
-    adjacent = round((canary["end"] + canary["post_stream"]) / 2, 3)
-    for sd in (stream, stream_big):
-        if sd.get("lines_per_sec"):
-            sd["canary_adjacent_sec"] = adjacent
-            sd["lines_per_sec_canary_norm"] = round(
-                sd["lines_per_sec"] * adjacent / CANARY_REF_SEC, 1
-            )
 
     total = round(sum(times.values()), 3)
     headline_total = round(sum(times[n] for n in HEADLINE if n in times), 3)
@@ -348,13 +353,23 @@ def main() -> None:
     # drift doesn't read as plan regressions.
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        from tools.bench_diff import diff_summaries, load_prev_committed
+        from tools.bench_diff import (
+            adjudicate_regressions,
+            diff_summaries,
+            load_prev_committed,
+        )
 
         prev = load_prev_committed(here)
         diff = diff_summaries(prev, full) if prev else {
             "error": "no committed previous summary",
             "n_regressed_beyond_canary": None,
         }
+        # Self-adjudication (VERDICT r10 task 1): every flagged row is
+        # re-timed in a FRESH session and stamped crowding /
+        # confirmed_regression — a crowded suite run can no longer
+        # permanently mark the round artifact with phantom regressions.
+        if diff.get("regressed"):
+            diff = adjudicate_regressions(diff, here)
     except Exception as e:  # the guardrail must never sink the bench
         diff = {"error": str(e)[:200], "n_regressed_beyond_canary": None}
     full["vs_prev_round"] = diff
@@ -388,6 +403,9 @@ def main() -> None:
                 ),
                 "n_regressed_beyond_canary": diff.get(
                     "n_regressed_beyond_canary"
+                ),
+                "n_confirmed_regressions": diff.get(
+                    "n_confirmed_regressions"
                 ),
                 "state_scale_batch_ms": {
                     t: c.get("batch_ms_median")

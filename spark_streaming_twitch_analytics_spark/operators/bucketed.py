@@ -65,7 +65,18 @@ def atomic_publish(write_fn, path: str) -> None:
         except OSError:
             # lost the race — the winner's identical artifact stands
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise
+                # no winner: the target is DEBRIS (a partial copy from a
+                # crashed writer or the old overwrite-based code). The
+                # overwrite write self-healed this state; rename must
+                # too (ADVICE r10) — clear the stale dir and retry once.
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(staging, path)
+                except OSError:
+                    # a concurrent writer published between the rmtree
+                    # and the retry — their identical artifact stands
+                    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                        raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

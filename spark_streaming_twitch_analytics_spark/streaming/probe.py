@@ -85,9 +85,14 @@ def measure_stream_throughput(
             query = run_snapshot_query(
                 counts, store, "probe_wordcount", os.path.join(work, f"ckpt{i}")
             )
-            query.processAllAvailable()
-            walls.append(time.time() - t0)
-            query.stop()
+            # same leak class as the state-scale cells (ADVICE r10):
+            # never let a raising drain leave the stream running while
+            # finally deletes its dirs
+            try:
+                query.processAllAvailable()
+                walls.append(time.time() - t0)
+            finally:
+                query.stop()
             n_words = store.get_table("probe_wordcount", counts.schema).count()
         med = sorted(walls)[len(walls) // 2]
         return {
@@ -213,16 +218,25 @@ def measure_state_scale(
                     f"probe_{tag}",
                     os.path.join(work, f"ckpt_{tag}"),
                 )
-                query.processAllAvailable()
-                wall = time.time() - t0
-                batches = [
-                    p["durationMs"].get("triggerExecution")
-                    for p in query.recentProgress
-                    if p.get("durationMs", {}).get("triggerExecution")
-                    and p.get("numInputRows", 0) > 0
-                ]
-                so = (query.lastProgress or {}).get("stateOperators") or [{}]
-                query.stop()
+                # stop in finally (ADVICE r10): if processAllAvailable
+                # raises, the stream must not outlive this cell — the
+                # finally below deletes its source/checkpoint dirs and
+                # a leaked query would fail against them for the rest
+                # of the session
+                try:
+                    query.processAllAvailable()
+                    wall = time.time() - t0
+                    batches = [
+                        p["durationMs"].get("triggerExecution")
+                        for p in query.recentProgress
+                        if p.get("durationMs", {}).get("triggerExecution")
+                        and p.get("numInputRows", 0) > 0
+                    ]
+                    so = (query.lastProgress or {}).get("stateOperators") or [
+                        {}
+                    ]
+                finally:
+                    query.stop()
                 bm = sorted(batches)[len(batches) // 2] if batches else None
                 cells[tag] = {
                     "provider": prov,

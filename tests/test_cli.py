@@ -98,6 +98,80 @@ def test_bench_diff_flags_only_beyond_canary_envelope():
     assert diff_summaries({"queries": {}}, cur_tiny)["n_regressed_beyond_canary"] is None
 
 
+def test_bench_diff_adjudication_crowding_vs_confirmed():
+    """adjudicate_regressions (VERDICT r10 task 1): a flagged row whose
+    FRESH-session retime lands back inside the canary envelope is
+    stamped 'crowding' (not a regression); a row that reproduces the
+    slowdown fresh stays loud as 'confirmed_regression'; a retime
+    failure defaults loud, never silent."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_diff import adjudicate_regressions
+
+    def mk_diff():
+        return {
+            "envelope": 1.25,
+            "n_regressed_beyond_canary": 2,
+            "regressed": {
+                "crowded_q": {
+                    "prev_sec": 1.0, "expected_sec": 1.0,
+                    "cur_sec": 3.0, "norm_slowdown": 3.0,
+                },
+                "real_q": {
+                    "prev_sec": 1.0, "expected_sec": 1.0,
+                    "cur_sec": 3.0, "norm_slowdown": 3.0,
+                },
+            },
+        }
+
+    # crowded_q retimes back to ~expected; real_q reproduces 3x fresh
+    d = adjudicate_regressions(
+        mk_diff(), "/root/repo",
+        retime_fn=lambda names: {"crowded_q": 1.05, "real_q": 2.9},
+    )
+    assert d["regressed"]["crowded_q"]["verdict"] == "crowding"
+    assert d["regressed"]["real_q"]["verdict"] == "confirmed_regression"
+    assert d["n_confirmed_regressions"] == 1
+    assert d["regressed"]["real_q"]["retime_sec"] == 2.9
+
+    # retime blowing up must not demote anything: all stay confirmed
+    d = adjudicate_regressions(
+        mk_diff(), "/root/repo",
+        retime_fn=lambda names: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    assert d["n_confirmed_regressions"] == 2
+    assert "adjudication_error" in d
+
+    # a missing per-row retime defaults loud
+    d = adjudicate_regressions(
+        mk_diff(), "/root/repo", retime_fn=lambda names: {"crowded_q": 1.0},
+    )
+    assert d["regressed"]["real_q"]["verdict"] == "confirmed_regression"
+
+    # no flags -> no subprocess, zero confirmed
+    d = adjudicate_regressions(
+        {"regressed": {}, "envelope": 1.25}, "/root/repo",
+        retime_fn=lambda names: (_ for _ in ()).throw(AssertionError),
+    )
+    assert d["n_confirmed_regressions"] == 0
+
+    # sub-floor absolute retime delta is crowding even past the envelope
+    # (0.2s expected, retime 0.3s: ratio 1.5 > envelope but delta 0.1s)
+    d = adjudicate_regressions(
+        {
+            "envelope": 1.25,
+            "regressed": {
+                "tiny": {"prev_sec": 0.2, "expected_sec": 0.2,
+                         "cur_sec": 0.9, "norm_slowdown": 4.5}
+            },
+        },
+        "/root/repo",
+        retime_fn=lambda names: {"tiny": 0.3},
+    )
+    assert d["regressed"]["tiny"]["verdict"] == "crowding"
+
+
 def test_replica_cert_flag_annotations_cover_known_quadratic_rows():
     """Every row the r9/r10 artifacts showed super-linear by design must
     carry a QUADRATIC_BY_DESIGN annotation, so the cert tool's
