@@ -118,37 +118,53 @@ def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
     last, matching ``F.desc``'s NULLS LAST in the final window.
     """
     import numpy as np
-    import pandas as pd
-
-    def cut_one(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        s = pdf["cos"].to_numpy(dtype=np.float64)
-        return (
-            pdf.assign(_s=np.where(np.isnan(s), -np.inf, s))
-            .sort_values(["q_id", "_s", "c_id"], ascending=[True, False, True], kind="mergesort")
-            .groupby("q_id", sort=False)
-            .head(k)
-            .drop(columns="_s")
-        )
+    import pyarrow as pa
 
     def cut(batches):
-        acc = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        # Arrow-native flat numpy arrays: one lexsort + one run-length
+        # head-k per re-cut. Two measured costs removed vs the earlier
+        # pandas formulation (guide §4.2): the per-batch pandas frame
+        # construction/blocks on BOTH sides of the worker boundary
+        # (mapInPandas identity costs ~0.5 s/stage at 32 tasks where
+        # mapInArrow costs ~0.13 s), and sort_values + groupby().head
+        # (~2× a lexsort). NULL cos ↔ NaN round-trips exactly: the JVM
+        # side never produces NaN (the zero-norm when() yields NULL), so
+        # NaN in means NULL out.
+        acc_q = acc_c = acc_s = None
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
-            acc = cut_one(acc)  # re-cut per batch: memory stays ≤ k·|Q| + batch
-        if acc is not None and len(acc):
-            # reset first: the sort scrambled the index, and a fresh
-            # RangeIndex series assigned below would ALIGN on it,
-            # permuting cos across rows
-            acc = acc.reset_index(drop=True)
-            s = acc["cos"].to_numpy(dtype=np.float64)
-            if np.isnan(s).any():
-                # NaN must round-trip as NULL (Spark ranks NaN ABOVE +Inf)
-                acc = acc.assign(cos=pd.Series(s).where(~np.isnan(s), None))
-            yield acc
+            q = b.column("q_id").to_numpy(zero_copy_only=True)
+            c = b.column("c_id").to_numpy(zero_copy_only=True)
+            s = b.column("cos").to_numpy(zero_copy_only=False)  # NULL → NaN
+            if acc_q is not None:  # re-cut per batch: memory ≤ k·|Q| + batch
+                q = np.concatenate([acc_q, q])
+                c = np.concatenate([acc_c, c])
+                s = np.concatenate([acc_s, s])
+            # NaN (zero-norm pair → NULL downstream) must sort LAST like
+            # F.desc's NULLS LAST, not by raw-NaN comparison semantics
+            key = np.where(np.isnan(s), -np.inf, s)
+            order = np.lexsort((c, -key, q))  # q asc, cos desc, c asc
+            q, c, s = q[order], c[order], s[order]
+            first = np.empty(len(q), dtype=bool)
+            first[0] = True
+            first[1:] = q[1:] != q[:-1]
+            idx = np.arange(len(q))
+            group_start = np.maximum.accumulate(np.where(first, idx, 0))
+            keep = (idx - group_start) < k
+            acc_q, acc_c, acc_s = q[keep], c[keep], s[keep]
+        if acc_q is not None and len(acc_q):
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(acc_q, type=pa.int64()),
+                    pa.array(acc_c, type=pa.int64()),
+                    # from_pandas=True: NaN (was NULL cos) → Arrow null
+                    pa.array(acc_s, type=pa.float64(), from_pandas=True),
+                ],
+                names=["q_id", "c_id", "cos"],
+            )
 
-    return scored.mapInPandas(cut, "q_id long, c_id long, cos double")
+    return scored.mapInArrow(cut, "q_id long, c_id long, cos double")
 
 
 def brute_force_topk(
@@ -404,7 +420,7 @@ def brute_force_topk_np(
     true value within ~1e-15 of a quantization boundary).
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     q_pd = queries.select("vec_id", "embedding").toPandas()
     if len(q_pd) == 0:
@@ -420,11 +436,20 @@ def brute_force_topk_np(
     def score(batches):
         q_ids, qm, qn = b.value
         nq = len(q_ids)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            cm = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            # Arrow list<float> → (n, dim) float64 via ONE flat-buffer
+            # reshape (flatten() respects batch slicing offsets) — the
+            # earlier pandas form looped a np.asarray per ROW, which was
+            # the scorer's top cost outside the matmul (guide §4.2);
+            # float32 → float64 upcast is exact either way
+            emb = rb.column("embedding")
+            cm = (
+                emb.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(rb.num_rows, -1)
             )
             cn = np.sqrt((cm * cm).sum(axis=1))
             # floor-quantize like the Catalyst path (np.round is
@@ -433,7 +458,7 @@ def brute_force_topk_np(
             # the fold path's when()-guard
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = np.floor((cm @ qm.T) / (cn[:, None] * qn[None, :]) * 1e6) / 1e6
-            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_ids = rb.column("vec_id").to_numpy(zero_copy_only=True)
             out_q, out_c, out_s = [], [], []
             for j in range(nq):
                 mask = c_ids != q_ids[j]
@@ -454,20 +479,19 @@ def brute_force_topk_np(
                 out_c.append(cc)
                 out_s.append(cs)
             cos_out = np.concatenate(out_s)
-            yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(out_q),
-                    "c_id": np.concatenate(out_c),
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.int64()),
                     # NaN (zero-norm pair) → NULL, like the fold path
-                    "cos": pd.Series(cos_out).where(~np.isnan(cos_out), None)
-                    if np.isnan(cos_out).any()
-                    else cos_out,
-                }
+                    pa.array(cos_out, type=pa.float64(), from_pandas=True),
+                ],
+                names=["q_id", "c_id", "cos"],
             )
 
     from .skew import fan_out
 
-    reduced = fan_out(candidates.select("vec_id", "embedding")).mapInPandas(
+    reduced = fan_out(candidates.select("vec_id", "embedding")).mapInArrow(
         score, "q_id long, c_id long, cos double"
     )
     return _topk(reduced, k)
@@ -494,30 +518,45 @@ def _pq_encode(
     (``np.argmax`` and ``list_position(s, list_max(s))`` both take the
     FIRST maximum)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from ..functions.vectors import pq_scores_np
 
     subdim = dim // n_sub
 
     def enc(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            # flat-buffer reshape instead of a per-row np.asarray loop
+            # (guide §4.2); float32 → float64 upcast is exact
+            V = (
+                rb.column("embedding")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(rb.num_rows, -1)
             )
-            codes = np.empty((len(pdf), n_sub), dtype=np.int32)
+            codes = np.empty((rb.num_rows, n_sub), dtype=np.int32)
             for m in range(n_sub):
                 s = pq_scores_np(V, m, n_codes, subdim)
                 codes[:, m] = s.argmax(axis=1) + 1
-            out = {
-                "c_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                "codes": codes.tolist(),
-            }
+            arrays = [
+                rb.column("vec_id").cast(pa.int64()),
+                # fixed-width codes as one flat buffer + constant offsets
+                pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (rb.num_rows + 1) * n_sub, n_sub),
+                        type=pa.int32(),
+                    ),
+                    pa.array(codes.ravel(), type=pa.int32()),
+                ),
+            ]
+            names = ["c_id", "codes"]
             for col in passthrough:
-                out[col] = pdf[col]
-            yield pd.DataFrame(out)
+                arrays.append(rb.column(col))
+                names.append(col)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     from .skew import fan_out
 
@@ -526,7 +565,7 @@ def _pq_encode(
     )
     return fan_out(
         candidates.select("vec_id", "embedding", *passthrough)
-    ).mapInPandas(enc, schema)
+    ).mapInArrow(enc, schema)
 
 
 def _pq_query_frame(
@@ -1048,6 +1087,13 @@ def bitext_margin_pairs(
     Returns (q_id, rank, c_id, cos, margin): the ``top`` best-margin
     target pairs per source query."""
     micro = (F.floor(F.col("cos") * F.lit(1000000.0))).cast("long")
+    # fwd feeds three consumers (xstat, the backward query set ys, the
+    # final scored join), but all three contain the SAME un-pruned
+    # window-input exchange, so ReuseExchange dedups the forward IVF
+    # scan — an eager_persist here was A/B-measured 0.5 s SLOWER at
+    # sf0.1 (it serializes the plan behind a count job for no saved
+    # work). Contrast retrieval_hard_negatives, where column pruning
+    # differentiates the consumers' exchanges and a persist IS the fix.
     fwd = (
         ivf_topk(queries, tgt, k, n_cells=n_cells, n_probe=n_probe, dim=dim)
         .filter(F.col("cos").isNotNull())

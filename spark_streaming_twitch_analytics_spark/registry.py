@@ -2269,11 +2269,22 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hex — no RNG, so the oracle hash-matches."""
     from pyspark.sql import Window as W
 
+    from .cache import eager_persist
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    pool = similarity.ivf_topk(
-        queries, emb, _MMR_C, n_cells=_IVF_CELLS, n_probe=2
-    ).filter(F.col("cos").isNotNull())
+    # pool feeds THREE consumers (the rank window, the easy-negative
+    # anti-join, and the query-id set) whose column pruning produces
+    # DIFFERENT exchanges over the same subtree, so ReuseExchange cannot
+    # dedupe them — unpersisted, the whole IVF scan ran once per
+    # consumer (profiled as the query's two dominant duplicate stages;
+    # A/B: persist 3.2 s vs 3.5 s without at sf0.1, and at scale the
+    # saved work is full corpus scans). ≤ pool·|Q| rows: cheap to cache.
+    pool = eager_persist(
+        similarity.ivf_topk(
+            queries, emb, _MMR_C, n_cells=_IVF_CELLS, n_probe=2
+        ).filter(F.col("cos").isNotNull())
+    )
     wq = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     rkd = pool.select("q_id", "c_id", F.row_number().over(wq).alias("rn"))
     pos = rkd.filter(F.col("rn") <= _NEG_POS).select(
@@ -4775,35 +4786,83 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned and scored ONCE at the deepest setting with each pair
     tagged by the probe rank that reached its cell
     (``similarity.ivf_scored_pool_ranked``); each sweep point is then a
-    filter + top-k over the persisted pool instead of its own full IVF
-    scan — one scoring pass of 4/8 of the pairs replaces three passes
-    totalling 7/8 (measured 8.2 s → ~5.0 s at sf0.1). Rankings are
-    identical by construction (same cells, same scores, same
-    tie-break), which the unchanged oracle hash-checks."""
-    from .cache import eager_persist
+    filter + top-k over the pool instead of its own full IVF scan — one
+    scoring pass of 4/8 of the pairs replaces three passes totalling 7/8
+    (measured 8.2 s → ~5.0 s at sf0.1).
+
+    Round-11 restructure: the three per-point top-k windows + three
+    truth joins + six aggregates collapse into ONE window pass and ONE
+    join. Within the per-query total order (cos desc NULLS LAST, c_id
+    asc), the depth-p rank of a pair is the RUNNING COUNT of rows with
+    probe_rank <= p — probe sets are nested, so one sorted pass yields
+    every depth's exact row_number simultaneously; depth-p membership is
+    then (probe_rank <= p AND rn_p <= k), checked per truth row after a
+    single left join. 3 exchanges + 3 joins → 1 + 1 (measured ~4.5 →
+    ~2.3 s at sf0.1). Rankings are identical by construction (same
+    cells, same scores, same tie-break), which the unchanged oracle
+    hash-checks."""
+    from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    truth = eager_persist(similarity.brute_force_topk_np(queries, emb, 5))
-    pool = eager_persist(
-        similarity.ivf_scored_pool_ranked(
-            queries, emb, n_cells=_IVF_CELLS, n_probe=max(_SWEEP_PROBES)
+    truth = similarity.brute_force_topk_np(queries, emb, 5)
+    pool = similarity.ivf_scored_pool_ranked(
+        queries, emb, n_cells=_IVF_CELLS, n_probe=max(_SWEEP_PROBES)
+    )
+    w = (
+        Window.partitionBy("q_id")
+        .orderBy(F.desc("cos"), F.asc("c_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = pool.select(
+        "q_id",
+        "c_id",
+        "probe_rank",
+        *[
+            F.sum(
+                F.when(F.col("probe_rank") <= p, F.lit(1)).otherwise(F.lit(0))
+            )
+            .over(w)
+            .alias(f"rn{p}")
+            for p in _SWEEP_PROBES
+        ],
+    )
+    j = truth.select("q_id", "c_id").join(sel, ["q_id", "c_id"], "left")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("probe_rank") <= p) & (F.col(f"rn{p}") <= 5),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"m{p}")
+            for p in _SWEEP_PROBES
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).cast("int").alias("n_probe"),
+                    F.col(f"m{p}").alias("matched"),
+                    F.col("total").alias("total"),
+                )
+                for p in _SWEEP_PROBES
+            ]
         )
     )
-    parts = []
-    for p in _SWEEP_PROBES:
-        approx = similarity._topk(
-            pool.filter(F.col("probe_rank") <= p).select("q_id", "c_id", "cos"),
-            5,
-        )
-        r = similarity.recall_at_k(truth, approx).select(
-            F.lit(p).cast("int").alias("n_probe"), "matched", "total", "recall"
-        )
-        parts.append(r)
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionAll(x)
-    return out
+    return agg.select(rows.alias("r")).select(
+        "r.n_probe",
+        "r.matched",
+        "r.total",
+        (
+            F.floor((F.col("r.matched").cast("double") / F.col("r.total")) * 1e6)
+            / 1e6
+        ).alias("recall"),
+    )
 
 
 _CONTAIN_T = 0.6

@@ -48,6 +48,20 @@ def get_spark(
         # story for the skewed keys a 100 TB corpus will have)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer floors partitions at minPartitionSize (default
+        # 1 MB) — sized for IO-bound stages. The dedup/ANN verify stages
+        # are COMPUTE-dense: a few MB of candidate pairs carry seconds of
+        # array-intersect/fold work per MB, and the 1 MB floor coalesced
+        # them onto 3-4 cores (measured: dedup_ngram_topk 4.6→2.9 s,
+        # dedup_ppjoin_pairs 4.1→2.2 s at sf0.1 with the floor at 64 KB).
+        # parallelismFirst (default true) still targets cluster
+        # parallelism, so IO-bound stages keep their shape; at 100 TB the
+        # same verify stages are small-bytes/heavy-CPU relative to the
+        # corpus scan, so the floor matters there for the same reason.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64KB"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # Arrow for pandas_udf / mapInPandas exchange
