@@ -1133,6 +1133,152 @@ def bitext_margin_pairs(
     )
 
 
+def ivf_recall_fused(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """Recall@k of the IVF path vs brute-force truth from ONE candidate
+    scan and ONE score matrix (guide §2.4: the composed
+    ``recall_at_k(brute_force_topk_np, ivf_topk)`` form scanned the
+    embeddings twice — matmul truth AND assign+join+fold ranking — then
+    joined two k·|Q| frames; 7 exchanges, 1 BHJ, 1 SMJ, 2 windows, 2
+    Python stages in the r11 plan).
+
+    Here the brute scorer's per-batch matmul is computed once and BOTH
+    rankings are cut from it: the truth side over every (c, q) pair, the
+    IVF side over the pairs whose candidate cell is probed by the query
+    — the IVF pair set by construction (candidate cell = argmax fold
+    score, probes = repeated value-masked argmax, both via the
+    bit-exact numpy twins ``cell_scores_np`` that ``ivfpq_topk``'s
+    query path already relies on). Scores are the SAME floor-quantized
+    matrix entries on both sides, so agreement with the engine-fold
+    formulation is the same accepted matmul-vs-fold-at-6dp class as
+    :func:`brute_force_topk_np` (oracle-hash-verified per round).
+
+    One fan_out exchange + one window exchange + one aggregate replace
+    the two-sided plan; at 100 TB the candidate table is read ONCE
+    instead of twice, and the recall join disappears (the matched/total
+    counts come from the window output)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.vectors import cell_scores_np
+
+    q_pd = queries.select("vec_id", "embedding").toPandas()
+    spark = queries.sparkSession
+    if len(q_pd) == 0:
+        # no queries → no truth rows: matched=0, total=0, recall NULL —
+        # exactly recall_at_k's aggregate over an empty join
+        return spark.createDataFrame(
+            [(0, 0, None)], "matched long, total long, recall double"
+        )
+    q_ids = q_pd["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.array([np.asarray(v, dtype=np.float64) for v in q_pd["embedding"]])
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    nq = len(q_ids)
+    # per-query probed cells: repeated argmax with value masking (ties
+    # mask together) + keep-first dedup — the _probe_cell_cols semantics,
+    # same numpy twin as _pq_query_frame_probed
+    cs_q = cell_scores_np(qm, n_cells, dim)
+    elig = np.zeros((n_cells + 1, nq), dtype=bool)  # [cell(1-based), q]
+    for r in range(nq):
+        s = cs_q[r].copy()
+        for _ in range(n_probe):
+            elig[int(s.argmax()) + 1, r] = True
+            s = np.where(s == s.max(), -1e18, s)
+    b = spark.sparkContext.broadcast((q_ids, qm, qn, elig))
+
+    def score(batches):
+        q_ids, qm, qn, elig = b.value
+        nq = len(q_ids)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            emb = rb.column("embedding")
+            cm = (
+                emb.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(rb.num_rows, -1)
+            )
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.floor((cm @ qm.T) / (cn[:, None] * qn[None, :]) * 1e6) / 1e6
+            c_ids = rb.column("vec_id").to_numpy(zero_copy_only=True)
+            # candidate cell assignment (argmax fold score, first max —
+            # bit-exact twin of the Catalyst cell_scores + array_position)
+            cc = cell_scores_np(cm, n_cells, dim).argmax(axis=1) + 1
+            elig_rows = elig[cc]  # (n, nq) bool: cell probed by query?
+            out_side, out_q, out_c, out_s = [], [], [], []
+            for j in range(nq):
+                self_mask = c_ids != q_ids[j]
+                col = s[:, j]
+                for side, mask in (
+                    (0, self_mask),
+                    (1, self_mask & elig_rows[:, j]),
+                ):
+                    cc_, cs = c_ids[mask], col[mask]
+                    if len(cc_) == 0:
+                        continue
+                    cs_sel = np.where(np.isnan(cs), -np.inf, cs)
+                    if len(cc_) > k:
+                        thr = np.partition(cs_sel, len(cs_sel) - k)[
+                            len(cs_sel) - k
+                        ]
+                        keep = cs_sel >= thr
+                        cc_, cs, cs_sel = cc_[keep], cs[keep], cs_sel[keep]
+                    order = np.lexsort((cc_, -cs_sel))[:k]
+                    cc_, cs = cc_[order], cs[order]
+                    out_side.append(np.full(len(cc_), side, dtype=np.int32))
+                    out_q.append(np.full(len(cc_), q_ids[j]))
+                    out_c.append(cc_)
+                    out_s.append(cs)
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_side), type=pa.int32()),
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.int64()),
+                    pa.array(
+                        np.concatenate(out_s), type=pa.float64(), from_pandas=True
+                    ),
+                ],
+                names=["side", "q_id", "c_id", "cos"],
+            )
+
+    from .skew import fan_out
+
+    reduced = fan_out(candidates.select("vec_id", "embedding")).mapInArrow(
+        score, "side int, q_id long, c_id long, cos double"
+    )
+    w = Window.partitionBy("side", "q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    top = (
+        reduced.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    pair_flags = top.groupBy("q_id", "c_id").agg(
+        F.max((F.col("side") == 0).cast("int")).alias("in_b"),
+        F.max((F.col("side") == 1).cast("int")).alias("in_i"),
+    )
+    return pair_flags.agg(
+        F.coalesce(F.sum(F.col("in_b") * F.col("in_i")), F.lit(0))
+        .cast("long")
+        .alias("matched"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("total"),
+    ).select(
+        "matched",
+        "total",
+        quantize(F.col("matched").cast("double") / F.col("total"), 6).alias(
+            "recall"
+        ),
+    )
+
+
 def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:
     """Recall of an approximate ranking against the exact one: both are
     (q_id, c_id, ...) top-k frames; recall = |approx ∩ exact| / |exact|

@@ -1759,14 +1759,13 @@ FROM m, t"""
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF index (argmax-cell, 2 probes) vs exact
     top-k — data-adaptive cells recover notably more than fixed
-    hyperplane signs on the same embeddings."""
+    hyperplane signs on the same embeddings. One fused candidate scan
+    serves both sides (r12: the composed two-scan form ran the slowest
+    plan in the bench — see similarity.ivf_recall_fused)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    # np truth side: hash-identical to the fold path, cheaper (see
-    # ann_lsh_recall)
-    return similarity.recall_at_k(
-        similarity.brute_force_topk_np(queries, emb, 5),
-        similarity.ivf_topk(queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2),
+    return similarity.ivf_recall_fused(
+        queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2
     )
 
 

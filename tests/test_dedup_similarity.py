@@ -701,3 +701,69 @@ def test_ivf_scored_pool_ranked_reproduces_every_probe_depth(spark):
             ), f"probe depth {p} diverged"
     finally:
         pool.unpersist()
+
+
+def test_ivf_recall_fused_matches_composed_form(spark):
+    """r12 restructure guard: the one-scan fused recall meter must equal
+    the composed recall_at_k(brute_force_topk_np, ivf_topk) row-for-row
+    on real data — same matched/total integers, same quantized recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    fused = similarity.ivf_recall_fused(
+        queries, emb, 5, n_cells=8, n_probe=2
+    ).collect()
+    composed = similarity.recall_at_k(
+        similarity.brute_force_topk_np(queries, emb, 5),
+        similarity.ivf_topk(queries, emb, 5, n_cells=8, n_probe=2),
+    ).collect()
+    assert [tuple(r) for r in fused] == [tuple(r) for r in composed]
+
+
+def test_ivf_recall_fused_zero_norm_and_ties(spark):
+    """Edge semantics: a zero-norm candidate (NULL cosine, ranked last),
+    exact score ties (c_id tie-break), and a query whose probed cells
+    exclude some candidates — fused must still equal the composed form."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero-norm -> NULL cos
+        (3, [0.9, 0.1, 0.0, 0.0]),  # exact tie with vec 1
+        (4, [-1.0, 0.2, 0.0, 0.0]),
+        (5, [0.3, 0.9, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 0)
+    fused = similarity.ivf_recall_fused(
+        queries, emb, 3, n_cells=4, n_probe=1, dim=4
+    ).collect()
+    composed = similarity.recall_at_k(
+        similarity.brute_force_topk_np(queries, emb, 3, dim=4),
+        similarity.ivf_topk(queries, emb, 3, n_cells=4, n_probe=1, dim=4),
+    ).collect()
+    assert [tuple(r) for r in fused] == [tuple(r) for r in composed]
+
+
+def test_probe_sweep_registry_matches_per_depth_recall(spark):
+    """VERDICT r11 task 2: the running-count window formulation of
+    ann_ivf_probe_sweep must reproduce, row-for-row, the per-depth
+    recall_at_k(brute truth, ivf_topk at n_probe=p) — the semantics the
+    r11 restructure claimed but never test-pinned."""
+    from spark_streaming_twitch_analytics_spark import registry
+
+    sf_dir = "/root/testdata/sf0.001"
+    sweep = {
+        int(r["n_probe"]): (r["matched"], r["total"], r["recall"])
+        for r in registry.get("ann_ivf_probe_sweep").fn(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    truth = similarity.brute_force_topk_np(queries, emb, 5)
+    for p in sorted(sweep):
+        direct = similarity.recall_at_k(
+            truth, similarity.ivf_topk(queries, emb, 5, n_cells=8, n_probe=p)
+        ).collect()[0]
+        assert sweep[p] == (
+            direct["matched"],
+            direct["total"],
+            direct["recall"],
+        ), f"probe depth {p} diverged from per-depth recall"
