@@ -681,6 +681,60 @@ def char_entropy_parts(text_col: Column) -> tuple[Column, Column]:
     return F.size(chars), micro
 
 
+def char_counts_udf():
+    """Arrow-batched per-document character-count multiset: one C-speed
+    ``collections.Counter`` per doc, counts returned ascending-sorted as
+    ``array<long>``.
+
+    The fast half of :func:`char_entropy_parts_fast` (guide §4.2): the
+    per-row ``array_sort(split(text,'')) + aggregate`` fold evaluates
+    ~2·len interpreted HOF steps per document (struct allocation per
+    character), which dominated text_char_entropy and
+    corpus_quality_composite at every SF; counting is pure data work
+    with no float arithmetic, so it moves to Python C code while the
+    log2 micro-terms stay JVM-side (bit-identity preserved).
+
+    Split-semantics parity with ``F.split(text, '')``: Java yields one
+    empty-string element for an empty text (size 1, run 1, micro term
+    0), reproduced by the ``[1]`` special case; NULL text → NULL array
+    (downstream folds then yield NULL, like size/aggregate over a NULL
+    split). Counting is per code point — identical to Java's UTF-16
+    units for BMP-only corpora (the testdata: verified ≤ U+00FF);
+    DuckDB's string_split is also per code point."""
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def cc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: None
+            if t is None
+            else (sorted(Counter(t).values()) if t else [1])
+        )
+
+    return cc
+
+
+def char_entropy_parts_fast(counts: Column) -> tuple[Column, Column]:
+    """(n_chars, micro_sum) from a :func:`char_counts_udf` multiset —
+    drop-in value-equal replacement for :func:`char_entropy_parts`
+    (pinned by tests/test_text_functions.py): n is the exact integer
+    sum of counts, micro folds :func:`_entropy_micro_term` over the
+    ~alphabet-size multiset with the SAME JVM log2/floor arithmetic as
+    the per-character fold (integer micro-terms sum exactly in any
+    order, so run order vs count order cannot differ)."""
+    n = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    micro = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + _entropy_micro_term(c),
+    )
+    return n, micro
+
+
 def nfc_normalize_udf():
     """Arrow-batched NFC normalizer (Python ``unicodedata`` implements
     the Unicode normalization algorithm; no JVM built-in exists). The

@@ -524,8 +524,14 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the char array, fold run lengths, accumulate integer micro-terms
     floor(c·log2(c)·10⁶); H = log2(n) − (micro/10⁶)/n."""
     d = _docs(spark, sf_dir)
-    n, micro = X.char_entropy_parts(F.col("text"))
-    return d.select(
+    # r12 (guide §4.2): character counting runs as one Arrow-batched
+    # Counter per doc; the log2 micro-term fold stays JVM-side over the
+    # ~alphabet-size multiset — value-equal to the per-character fold
+    # (pinned in tests/test_text_functions.py), ~5x fewer interpreted
+    # HOF steps per document
+    counted = d.select("doc_id", X.char_counts_udf()(F.col("text")).alias("cc"))
+    n, micro = X.char_entropy_parts_fast(F.col("cc"))
+    return counted.select(
         "doc_id",
         n.cast("int").alias("n_chars"),
         V.quantize(
@@ -3909,7 +3915,12 @@ def corpus_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     toks = X.tokenize(F.col("text"))
-    n_ent, micro = X.char_entropy_parts(F.col("text"))
+    # r12: entropy signal via the Arrow-batched count multiset + JVM
+    # micro-term fold (same rewrite as text_char_entropy — guide §4.2)
+    d = d.select(
+        "doc_id", "text", X.char_counts_udf()(F.col("text")).alias("cc")
+    )
+    n_ent, micro = X.char_entropy_parts_fast(F.col("cc"))
     ent = V.quantize(
         F.log2(n_ent.cast("double")) - (micro / F.lit(1000000.0)) / n_ent, 6
     )

@@ -307,3 +307,34 @@ def test_char_entropy_fold_matches_counter_reference(spark, docs):
             for c in Counter(chars).values()
         )
         assert (r["n"], r["micro"]) == (len(chars), micro_ref)
+
+
+def test_char_entropy_fast_matches_fold_form(spark, docs):
+    """r12 rewrite guard: the Arrow-batched Counter + JVM micro-term
+    fold (char_counts_udf + char_entropy_parts_fast) must produce the
+    SAME (n, micro) integers as the per-character HOF fold — on real
+    docs and on the edge strings (empty text, single char, all-same)."""
+    sample = [r["text"] for r in docs.limit(40).collect()] + [
+        "", "a", "aaaa", "ab", "abcd", "aabéé",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(sample)], "doc_id long, text string"
+    )
+    n_old, micro_old = X.char_entropy_parts(F.col("text"))
+    old = {
+        r["doc_id"]: (r["n"], r["m"])
+        for r in df.select(
+            "doc_id", n_old.alias("n"), micro_old.alias("m")
+        ).collect()
+    }
+    counted = df.select(
+        "doc_id", X.char_counts_udf()(F.col("text")).alias("cc")
+    )
+    n_new, micro_new = X.char_entropy_parts_fast(F.col("cc"))
+    new = {
+        r["doc_id"]: (r["n"], r["m"])
+        for r in counted.select(
+            "doc_id", n_new.alias("n"), micro_new.alias("m")
+        ).collect()
+    }
+    assert new == old
