@@ -207,6 +207,42 @@ def cell_scores_np(V, n_cells: int, dim: int):
     return acc
 
 
+def lsh_buckets_np(V, n_bits: int, dim: int):
+    """Numpy twin of :func:`lsh_bucket` for a float64 matrix ``V`` of
+    shape (n, dim): per-hyperplane dots use the same LEFT-FOLD
+    accumulation as the Column form (vectorized across rows, sequential
+    over dims) — bit-identical doubles, so the ``dot > 0`` sign
+    decisions and therefore the bucket ids agree EXACTLY with the
+    engine expression (no matmul reassociation anywhere near a sign
+    threshold)."""
+    import numpy as np
+
+    b = np.zeros(V.shape[0], dtype=np.int64)
+    for h in range(n_bits):
+        w = [float(x) for x in hyperplane_weights(h, dim)]
+        acc = np.zeros(V.shape[0])
+        for i in range(dim):
+            acc = acc + V[:, i] * w[i]
+        b += (acc > 0).astype(np.int64) << h
+    return b
+
+
+def sq8_requant_np(V, mns, mxs):
+    """Numpy twin of :func:`sq8_requant` for a float64 matrix ``V`` of
+    shape (n, dim): per-dimension encode/decode round trip with the
+    SAME fixed-order elementwise IEEE arithmetic (((x−mn)/rng)·255+0.5
+    → floor; mn + (code·rng)/255) — bit-identical values, including the
+    rng == 0 → code floor(0.5) = 0 branch."""
+    import numpy as np
+
+    rng = mxs - mns
+    with np.errstate(divide="ignore", invalid="ignore"):
+        code = np.floor(
+            np.where(rng == 0, 0.5, (V - mns) / rng * 255.0 + 0.5)
+        )
+    return mns + code * rng / 255.0
+
+
 def pq_adc_score(dtabs: Column, codes: Column, n_sub: int = 8) -> Column:
     """ADC sum: ((0 + dtabs[1][codes[1]]) + dtabs[2][codes[2]]) + … —
     the PQ approximation of cosine·|q| (a per-query positive scale, so

@@ -1133,40 +1133,62 @@ def bitext_margin_pairs(
     )
 
 
-def ivf_recall_fused(
+def _ivf_probe_elig_np(qm, n_cells: int, n_probe: int, dim: int):
+    """(n_cells+1, nq) bool lookup: is 1-based cell c probed by query j?
+    Repeated argmax with value masking (ties mask together) + keep-first
+    dedup — the _probe_cell_cols semantics, same numpy twin as
+    _pq_query_frame_probed."""
+    import numpy as np
+
+    from ..functions.vectors import cell_scores_np
+
+    cs_q = cell_scores_np(qm, n_cells, dim)
+    nq = qm.shape[0]
+    elig = np.zeros((n_cells + 1, nq), dtype=bool)
+    for r in range(nq):
+        s = cs_q[r].copy()
+        for _ in range(n_probe):
+            elig[int(s.argmax()) + 1, r] = True
+            s = np.where(s == s.max(), -1e18, s)
+    return elig
+
+
+def _fused_recall_meter(
     queries: DataFrame,
     candidates: DataFrame,
     k: int,
-    n_cells: int = 8,
-    n_probe: int = 2,
+    approx_prep,
+    approx_batch,
     dim: int = DIM,
 ) -> DataFrame:
-    """Recall@k of the IVF path vs brute-force truth from ONE candidate
-    scan and ONE score matrix (guide §2.4: the composed
-    ``recall_at_k(brute_force_topk_np, ivf_topk)`` form scanned the
-    embeddings twice — matmul truth AND assign+join+fold ranking — then
-    joined two k·|Q| frames; 7 exchanges, 1 BHJ, 1 SMJ, 2 windows, 2
-    Python stages in the r11 plan).
+    """Recall@k of an approximate ANN ranking vs brute-force truth from
+    ONE candidate scan and ONE score matrix (guide §2.4): the composed
+    ``recall_at_k(brute_force_topk_np, <approx>_topk)`` meters each
+    scanned the embeddings twice (matmul truth AND the approx pipeline —
+    assignment/bucketing/encoding + join + fold scoring + its own
+    window) and joined two k·|Q| frames: 6-9 exchanges, 1-2 joins, 2-3
+    Python stages per meter in the r11 plans. Fused: one fan_out
+    exchange + one (side, q_id) window + one aggregate.
 
-    Here the brute scorer's per-batch matmul is computed once and BOTH
-    rankings are cut from it: the truth side over every (c, q) pair, the
-    IVF side over the pairs whose candidate cell is probed by the query
-    — the IVF pair set by construction (candidate cell = argmax fold
-    score, probes = repeated value-masked argmax, both via the
-    bit-exact numpy twins ``cell_scores_np`` that ``ivfpq_topk``'s
-    query path already relies on). Scores are the SAME floor-quantized
-    matrix entries on both sides, so agreement with the engine-fold
-    formulation is the same accepted matmul-vs-fold-at-6dp class as
-    :func:`brute_force_topk_np` (oracle-hash-verified per round).
+    ``approx_prep(spark, q_ids, qm, qn) -> payload`` runs driver-side
+    (may launch tiny jobs, e.g. the SQ8 stats aggregate) and its result
+    is broadcast. ``approx_batch(cm, cn, s, q_ids, qm, qn, payload) ->
+    (elig, score)`` runs per Arrow batch: ``elig`` is an (n, nq) bool
+    eligibility mask (None = all pairs eligible) and ``score`` an
+    (n, nq) approx score matrix (None = rank by the brute cosine matrix
+    ``s`` — correct for the family whose approx ranking uses the true
+    cosine within a pruned pair set: IVF / LSH). Both sides' top-k cuts
+    use (score desc, NaN→NULL last, c_id asc) — identical tie-break to
+    the engine windows.
 
-    One fan_out exchange + one window exchange + one aggregate replace
-    the two-sided plan; at 100 TB the candidate table is read ONCE
-    instead of twice, and the recall join disappears (the matched/total
-    counts come from the window output)."""
+    Determinism contract: eligibility/codes come from the bit-exact
+    numpy fold twins (cell_scores_np / lsh_buckets_np / pq_scores_np /
+    sq8_requant_np); cosine matrices are the accepted
+    matmul-vs-fold-at-6dp class of :func:`brute_force_topk_np`
+    (oracle-hash-verified per round); PQ/ADC approx scores are fully
+    bit-exact (fixed-order 8-term fold + floor quantize)."""
     import numpy as np
     import pyarrow as pa
-
-    from ..functions.vectors import cell_scores_np
 
     q_pd = queries.select("vec_id", "embedding").toPandas()
     spark = queries.sparkSession
@@ -1179,21 +1201,11 @@ def ivf_recall_fused(
     q_ids = q_pd["vec_id"].to_numpy(dtype=np.int64)
     qm = np.array([np.asarray(v, dtype=np.float64) for v in q_pd["embedding"]])
     qn = np.sqrt((qm * qm).sum(axis=1))
-    nq = len(q_ids)
-    # per-query probed cells: repeated argmax with value masking (ties
-    # mask together) + keep-first dedup — the _probe_cell_cols semantics,
-    # same numpy twin as _pq_query_frame_probed
-    cs_q = cell_scores_np(qm, n_cells, dim)
-    elig = np.zeros((n_cells + 1, nq), dtype=bool)  # [cell(1-based), q]
-    for r in range(nq):
-        s = cs_q[r].copy()
-        for _ in range(n_probe):
-            elig[int(s.argmax()) + 1, r] = True
-            s = np.where(s == s.max(), -1e18, s)
-    b = spark.sparkContext.broadcast((q_ids, qm, qn, elig))
+    payload = approx_prep(spark, q_ids, qm, qn)
+    b = spark.sparkContext.broadcast((q_ids, qm, qn, payload))
 
-    def score(batches):
-        q_ids, qm, qn, elig = b.value
+    def score_fn(batches):
+        q_ids, qm, qn, payload = b.value
         nq = len(q_ids)
         for rb in batches:
             if rb.num_rows == 0:
@@ -1209,17 +1221,17 @@ def ivf_recall_fused(
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = np.floor((cm @ qm.T) / (cn[:, None] * qn[None, :]) * 1e6) / 1e6
             c_ids = rb.column("vec_id").to_numpy(zero_copy_only=True)
-            # candidate cell assignment (argmax fold score, first max —
-            # bit-exact twin of the Catalyst cell_scores + array_position)
-            cc = cell_scores_np(cm, n_cells, dim).argmax(axis=1) + 1
-            elig_rows = elig[cc]  # (n, nq) bool: cell probed by query?
+            elig, approx_s = approx_batch(cm, cn, s, q_ids, qm, qn, payload)
             out_side, out_q, out_c, out_s = [], [], [], []
             for j in range(nq):
                 self_mask = c_ids != q_ids[j]
-                col = s[:, j]
-                for side, mask in (
-                    (0, self_mask),
-                    (1, self_mask & elig_rows[:, j]),
+                for side, mask, col in (
+                    (0, self_mask, s[:, j]),
+                    (
+                        1,
+                        self_mask if elig is None else self_mask & elig[:, j],
+                        s[:, j] if approx_s is None else approx_s[:, j],
+                    ),
                 ):
                     cc_, cs = c_ids[mask], col[mask]
                     if len(cc_) == 0:
@@ -1254,7 +1266,7 @@ def ivf_recall_fused(
     from .skew import fan_out
 
     reduced = fan_out(candidates.select("vec_id", "embedding")).mapInArrow(
-        score, "side int, q_id long, c_id long, cos double"
+        score_fn, "side int, q_id long, c_id long, cos double"
     )
     w = Window.partitionBy("side", "q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     top = (
@@ -1277,6 +1289,218 @@ def ivf_recall_fused(
             "recall"
         ),
     )
+
+
+def ivf_recall_fused(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """Fused recall@k of the IVF path (see :func:`_fused_recall_meter`):
+    the IVF pair set is exactly the pairs whose candidate cell (argmax
+    fold score, first max) is probed by the query; the approx ranking
+    uses the same cosine matrix as the truth side. 7 exchanges / 2
+    joins / 2 Python stages → the fused 3-exchange shape (3.99 s →
+    1.22 s at sf0.1)."""
+    from ..functions.vectors import cell_scores_np
+
+    def prep(spark, q_ids, qm, qn):
+        return _ivf_probe_elig_np(qm, n_cells, n_probe, dim)
+
+    def batch(cm, cn, s, q_ids, qm, qn, elig):
+        cc = cell_scores_np(cm, n_cells, dim).argmax(axis=1) + 1
+        return elig[cc], None
+
+    return _fused_recall_meter(queries, candidates, k, prep, batch, dim)
+
+
+def lsh_recall_fused(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_bits: int = 4,
+    dim: int = DIM,
+) -> DataFrame:
+    """Fused recall@k of sign-LSH: eligible pairs share the hyperplane-
+    sign bucket (``lsh_buckets_np`` — the bit-exact fold twin, so sign
+    decisions match the engine exactly); ranking uses the true cosine
+    within the bucket, like :func:`lsh_topk`."""
+    from ..functions.vectors import lsh_buckets_np
+
+    def prep(spark, q_ids, qm, qn):
+        return lsh_buckets_np(qm, n_bits, dim)
+
+    def batch(cm, cn, s, q_ids, qm, qn, qb):
+        cb = lsh_buckets_np(cm, n_bits, dim)
+        return cb[:, None] == qb[None, :], None
+
+    return _fused_recall_meter(queries, candidates, k, prep, batch, dim)
+
+
+def lsh_multiprobe_recall_fused(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_bits: int = 4,
+    dim: int = DIM,
+) -> DataFrame:
+    """Fused recall@k of multi-probe LSH: a candidate is eligible when
+    its bucket is the query's bucket OR any 1-bit flip of it — the
+    :func:`lsh_multiprobe_topk` probe set."""
+    import numpy as np
+
+    from ..functions.vectors import lsh_buckets_np
+
+    def prep(spark, q_ids, qm, qn):
+        qb = lsh_buckets_np(qm, n_bits, dim)
+        allowed = np.zeros((1 << n_bits, len(qb)), dtype=bool)
+        for j, b0 in enumerate(qb):
+            allowed[b0, j] = True
+            for i in range(n_bits):
+                allowed[b0 ^ (1 << i), j] = True
+        return allowed
+
+    def batch(cm, cn, s, q_ids, qm, qn, allowed):
+        cb = lsh_buckets_np(cm, n_bits, dim)
+        return allowed[cb], None
+
+    return _fused_recall_meter(queries, candidates, k, prep, batch, dim)
+
+
+def _pq_adc_matrix_np(cm, qm, n_sub: int, n_codes: int, dim: int):
+    """(n, nq) quantized PQ/ADC scores — fully bit-exact vs the engine:
+    codes are the first-argmax of the fold-order subspace scores
+    (pq_scores_np), the ADC sum accumulates the ``n_sub`` lookups in
+    fixed order from 0.0 exactly like the unrolled Column chain, and
+    the 6dp floor-quantize is a single elementwise op."""
+    import numpy as np
+
+    from ..functions.vectors import pq_scores_np
+
+    subdim = dim // n_sub
+    acc = np.zeros((cm.shape[0], qm.shape[0]))
+    for m in range(n_sub):
+        codes_m = pq_scores_np(cm, m, n_codes, subdim).argmax(axis=1)
+        tabs_m = pq_scores_np(qm, m, n_codes, subdim)  # (nq, n_codes)
+        acc = acc + tabs_m[:, codes_m].T
+    return np.floor(acc * 1e6) / 1e6
+
+
+def pq_recall_fused(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = DIM,
+) -> DataFrame:
+    """Fused recall@k of PQ/ADC: every pair eligible (flat compressed
+    scan), approx ranking by the bit-exact ADC score matrix."""
+
+    def prep(spark, q_ids, qm, qn):
+        return None
+
+    def batch(cm, cn, s, q_ids, qm, qn, payload):
+        return None, _pq_adc_matrix_np(cm, qm, n_sub, n_codes, dim)
+
+    return _fused_recall_meter(queries, candidates, k, prep, batch, dim)
+
+
+def ivfpq_recall_fused(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = DIM,
+) -> DataFrame:
+    """Fused recall@k of the IVF+PQ composition: IVF probe eligibility ×
+    ADC approx scores — both from their bit-exact numpy twins."""
+    from ..functions.vectors import cell_scores_np
+
+    def prep(spark, q_ids, qm, qn):
+        return _ivf_probe_elig_np(qm, n_cells, n_probe, dim)
+
+    def batch(cm, cn, s, q_ids, qm, qn, elig):
+        cc = cell_scores_np(cm, n_cells, dim).argmax(axis=1) + 1
+        return elig[cc], _pq_adc_matrix_np(cm, qm, n_sub, n_codes, dim)
+
+    return _fused_recall_meter(queries, candidates, k, prep, batch, dim)
+
+
+def _sq8_score_matrix_np(cm, qm, qn, mns, mxs):
+    """(n, nq) quantized asymmetric-SQ8 cosines: candidates requantized
+    per dimension (sq8_requant_np — elementwise fixed-order IEEE, bit-
+    identical to the Column/SQL forms), then the same floor-quantized
+    cosine matrix as the truth side (matmul-vs-fold-at-6dp class)."""
+    import numpy as np
+
+    from ..functions.vectors import sq8_requant_np
+
+    cv = sq8_requant_np(cm, mns, mxs)
+    cn2 = np.sqrt((cv * cv).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.floor((cv @ qm.T) / (cn2[:, None] * qn[None, :]) * 1e6) / 1e6
+
+
+def sq8_recall_fused(
+    queries: DataFrame, candidates: DataFrame, k: int, dim: int = DIM
+) -> DataFrame:
+    """Fused recall@k of the SQ8 quantized scan: every pair eligible,
+    approx ranking by the asymmetric cosine against requantized
+    candidates. The per-dimension [min, max] stats still come from the
+    engine aggregate (one tiny driver-collected job — order-invariant,
+    so the doubles are engine-exact)."""
+    import numpy as np
+
+    def prep(spark, q_ids, qm, qn):
+        row = sq8_stats(candidates, dim).collect()[0]
+        return (
+            np.array(row["mns"], dtype=np.float64),
+            np.array(row["mxs"], dtype=np.float64),
+        )
+
+    def batch(cm, cn, s, q_ids, qm, qn, stats):
+        mns, mxs = stats
+        return None, _sq8_score_matrix_np(cm, qm, qn, mns, mxs)
+
+    return _fused_recall_meter(queries, candidates, k, prep, batch, dim)
+
+
+def ivf_sq8_recall_fused(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """Fused recall@k of the IVF+SQ8 composition: IVF probe eligibility
+    (cells assigned on FULL-precision vectors, as in ivf_sq8_topk) ×
+    asymmetric-SQ8 approx scores."""
+    import numpy as np
+
+    from ..functions.vectors import cell_scores_np
+
+    def prep(spark, q_ids, qm, qn):
+        row = sq8_stats(candidates, dim).collect()[0]
+        return (
+            _ivf_probe_elig_np(qm, n_cells, n_probe, dim),
+            np.array(row["mns"], dtype=np.float64),
+            np.array(row["mxs"], dtype=np.float64),
+        )
+
+    def batch(cm, cn, s, q_ids, qm, qn, payload):
+        elig, mns, mxs = payload
+        cc = cell_scores_np(cm, n_cells, dim).argmax(axis=1) + 1
+        return elig[cc], _sq8_score_matrix_np(cm, qm, qn, mns, mxs)
+
+    return _fused_recall_meter(queries, candidates, k, prep, batch, dim)
 
 
 def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:

@@ -1721,13 +1721,10 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving it. Real embedding corpora (clustered) sit far higher."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    # truth side: the np matmul brute path — hash-identical to the fold
-    # path (asserted in tests/test_dedup_similarity.py) and cheaper, so
-    # the recall meter doesn't pay the exact path's per-pair HOF folds
-    return similarity.recall_at_k(
-        similarity.brute_force_topk_np(queries, emb, 5),
-        similarity.lsh_topk(queries, emb, 5),
-    )
+    # r12: one fused candidate scan serves both sides (bucket decisions
+    # via the bit-exact fold twin lsh_buckets_np) — see
+    # similarity._fused_recall_meter
+    return similarity.lsh_recall_fused(queries, emb, 5)
 
 
 _IVF_RECALL_SQL = f"""WITH e AS ({_EMB_CTE}),
@@ -1828,9 +1825,10 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     32× index compression costs in neighbour fidelity on THIS corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return similarity.recall_at_k(
-        similarity.brute_force_topk_np(queries, emb, 5),
-        similarity.pq_topk(queries, emb, 5, n_sub=_PQ_SUB, n_codes=_PQ_CODES),
+    # r12: fused one-scan meter; ADC approx scores are fully bit-exact
+    # (fixed-order fold + floor quantize) — similarity.pq_recall_fused
+    return similarity.pq_recall_fused(
+        queries, emb, 5, n_sub=_PQ_SUB, n_codes=_PQ_CODES
     )
 
 
@@ -1897,12 +1895,11 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     other recall meters)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return similarity.recall_at_k(
-        similarity.brute_force_topk_np(queries, emb, 5),
-        similarity.ivfpq_topk(
-            queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2,
-            n_sub=_PQ_SUB, n_codes=_PQ_CODES,
-        ),
+    # r12: fused one-scan meter (IVF probe eligibility x bit-exact ADC
+    # scores) — similarity.ivfpq_recall_fused
+    return similarity.ivfpq_recall_fused(
+        queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2,
+        n_sub=_PQ_SUB, n_codes=_PQ_CODES,
     )
 
 
@@ -4951,10 +4948,9 @@ def ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of multi-probe LSH vs exact cosine top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return similarity.recall_at_k(
-        similarity.brute_force_topk_np(queries, emb, 5),
-        similarity.lsh_multiprobe_topk(queries, emb, 5),
-    )
+    # r12: fused one-scan meter (bucket + 1-bit-flip eligibility) —
+    # similarity.lsh_multiprobe_recall_fused
+    return similarity.lsh_multiprobe_recall_fused(queries, emb, 5)
 
 
 @register(

@@ -102,10 +102,9 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of SQ8 vs exact — one engine-exact integer ratio."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return similarity.recall_at_k(
-        similarity.brute_force_topk_np(queries, emb, 5),
-        similarity.sq8_topk(queries, emb, 5),
-    )
+    # r12: fused one-scan meter (bit-exact per-dim requant twin, stats
+    # from the engine aggregate) — similarity.sq8_recall_fused
+    return similarity.sq8_recall_fused(queries, emb, 5)
 
 
 @register(
@@ -223,9 +222,10 @@ def ann_ivf_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     production)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return similarity.recall_at_k(
-        similarity.brute_force_topk_np(queries, emb, 5),
-        similarity.ivf_sq8_topk(queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2),
+    # r12: fused one-scan meter (IVF probe eligibility x SQ8 approx
+    # scores) — similarity.ivf_sq8_recall_fused
+    return similarity.ivf_sq8_recall_fused(
+        queries, emb, 5, n_cells=_IVF_CELLS, n_probe=2
     )
 
 

@@ -767,3 +767,62 @@ def test_probe_sweep_registry_matches_per_depth_recall(spark):
             direct["total"],
             direct["recall"],
         ), f"probe depth {p} diverged from per-depth recall"
+
+
+@pytest.mark.parametrize(
+    "fused_fn, composed_fn",
+    [
+        (
+            lambda q, e: similarity.lsh_recall_fused(q, e, 5),
+            lambda q, e: similarity.recall_at_k(
+                similarity.brute_force_topk_np(q, e, 5),
+                similarity.lsh_topk(q, e, 5),
+            ),
+        ),
+        (
+            lambda q, e: similarity.lsh_multiprobe_recall_fused(q, e, 5),
+            lambda q, e: similarity.recall_at_k(
+                similarity.brute_force_topk_np(q, e, 5),
+                similarity.lsh_multiprobe_topk(q, e, 5),
+            ),
+        ),
+        (
+            lambda q, e: similarity.pq_recall_fused(q, e, 5),
+            lambda q, e: similarity.recall_at_k(
+                similarity.brute_force_topk_np(q, e, 5),
+                similarity.pq_topk(q, e, 5),
+            ),
+        ),
+        (
+            lambda q, e: similarity.ivfpq_recall_fused(q, e, 5),
+            lambda q, e: similarity.recall_at_k(
+                similarity.brute_force_topk_np(q, e, 5),
+                similarity.ivfpq_topk(q, e, 5),
+            ),
+        ),
+        (
+            lambda q, e: similarity.sq8_recall_fused(q, e, 5),
+            lambda q, e: similarity.recall_at_k(
+                similarity.brute_force_topk_np(q, e, 5),
+                similarity.sq8_topk(q, e, 5),
+            ),
+        ),
+        (
+            lambda q, e: similarity.ivf_sq8_recall_fused(q, e, 5),
+            lambda q, e: similarity.recall_at_k(
+                similarity.brute_force_topk_np(q, e, 5),
+                similarity.ivf_sq8_topk(q, e, 5),
+            ),
+        ),
+    ],
+    ids=["lsh", "lsh_multiprobe", "pq", "ivfpq", "sq8", "ivf_sq8"],
+)
+def test_fused_recall_meters_match_composed_forms(spark, fused_fn, composed_fn):
+    """r12 restructure guard for the whole fused-meter family: each
+    one-scan meter must equal its composed recall_at_k(brute, approx)
+    form row-for-row on real data."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    fused = fused_fn(queries, emb).collect()
+    composed = composed_fn(queries, emb).collect()
+    assert [tuple(r) for r in fused] == [tuple(r) for r in composed]
