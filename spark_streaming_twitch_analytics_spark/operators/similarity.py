@@ -270,14 +270,16 @@ def ivf_topk(
         "embedding",
         F.explode(F.array_distinct(F.array(*probe_cols))).alias("cell"),
     )
-    # partial cut before the rank window: with n_probe cells of 1/n_cells
-    # of the corpus each, per-partition pair volume is large enough that
-    # trimming to k·|Q| rows before the JVM sort wins (measured 1.87s →
-    # 1.62s at sf0.1). Note Spark's own WindowGroupLimit(Partial) already
-    # bounds the EXCHANGE either way — the cut saves the map-side sort of
-    # the full pair set, which is why lsh_topk (small per-bucket pair
-    # volume) deliberately does NOT take it (measured 1.17s → 1.59s).
-    return _topk(_partial_topk(_scored(_pairs(q, c, ["cell"])), k), k)
+    # NO partial cut before the rank window (r12 re-measurement): Spark
+    # 4's WindowGroupLimit(Partial) already bounds the exchange at k·|Q|
+    # rows per partition, so the Arrow cut only saved the map-side sort
+    # — and with the AQE 64KB floor spreading the cell-join stage across
+    # full cluster width, the cut's Python-boundary latency now COSTS
+    # more than that sort (A/B at sf0.1: 2.25 s with cut vs 1.86-1.93 s
+    # without, two interleaved runs, results identical). The cut still
+    # pays off where per-partition pair volume is the full |C|·|Q|
+    # cross product (brute force, PQ/SQ8 flat scans) — those keep it.
+    return _topk(_scored(_pairs(q, c, ["cell"])), k)
 
 
 def build_lsh_index(
@@ -909,7 +911,9 @@ def ivf_sq8_topk(
     pairs = c.join(F.broadcast(q), ["cell"]).filter(
         F.col("q_id") != F.col("c_id")
     )
-    return _topk(_partial_topk(_scored(pairs), k), k)
+    # no partial cut: cell-pruned pair volume (see ivf_topk — A/B at
+    # sf0.1: 2.67 s with cut vs 2.19 s without, results identical)
+    return _topk(_scored(pairs), k)
 
 
 def build_ivf_sq8_index(
@@ -1807,7 +1811,9 @@ def mmr_rerank(
     # ANN form (e.g. ivf_topk) is the serving shape — the MMR stages
     # downstream are bounded per query either way.
     if pool is None:
-        pool = brute_force_topk(queries, candidates, n_candidates)
+        # np exact meter — hash-identical to the fold path (pinned by
+        # test_numpy_matmul_path_matches_fold_path)
+        pool = brute_force_topk_np(queries, candidates, n_candidates)
     cand = (
         pool.filter(F.col("cos").isNotNull())
         .select("q_id", "c_id", F.col("cos").alias("rel"))

@@ -2185,11 +2185,14 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim=32, so both widths share fold order and quantization."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    full = similarity.brute_force_topk(queries, emb, _TRUNC_K)
+    # r12: np meters at both widths — hash-identical to the fold path
+    # (test_numpy_matmul_path_matches_fold_path; prefix slice just
+    # changes dim)
+    full = similarity.brute_force_topk_np(queries, emb, _TRUNC_K)
     emb32 = emb.select(
         "vec_id", F.slice("embedding", 1, _TRUNC_DIM).alias("embedding")
     )
-    trunc = similarity.brute_force_topk(
+    trunc = similarity.brute_force_topk_np(
         emb32.filter(F.col("vec_id") % 20 == 0), emb32, _TRUNC_K, dim=_TRUNC_DIM
     )
     joined = full.select("q_id", "c_id").join(
@@ -2438,7 +2441,10 @@ def retrieval_ndcg_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _NDCG_K)
     )
-    ideal = similarity.brute_force_topk(queries, emb, _NDCG_K).select(
+    # r12: np truth side — hash-identical to the fold path (pinned by
+    # test_numpy_matmul_path_matches_fold_path), same switch the recall
+    # meters made in r9
+    ideal = similarity.brute_force_topk_np(queries, emb, _NDCG_K).select(
         "q_id", "c_id", F.col("rn").alias("irn")
     )
     gains = reranked.join(ideal, ["q_id", "c_id"], "left").select(

@@ -3434,7 +3434,14 @@ def corpus_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg's second pass); the top-K is TakeOrderedAndProject, no global
     sort. One shuffle on the shingle key (md5-uniform in practice —
     shingle text itself hashes fine)."""
-    d = _docs(spark, sf_dir)
+    from .operators.skew import fan_out
+
+    # r12 (guide §2.6/§2.5): the tokenize+shingle explode ran as ONE
+    # task locally (sub-128MB parquet = one split — profiled 2.2 s
+    # serial of the query's 3.3 s); fan_out spreads the per-row shingle
+    # work across the cluster width, no-op at 100 TB where the scan has
+    # thousands of splits
+    d = fan_out(_docs(spark, sf_dir))
     sh = d.select(
         "doc_id",
         F.explode(
@@ -3724,7 +3731,16 @@ def corpus_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, n_shared = Σ counts where the gram's doc-frequency ≥ 2."""
     from pyspark.sql import Window as W
 
-    d = _docs(spark, sf_dir)
+    from .operators.skew import fan_out
+
+    # r12: the 8-gram tokenize+shingle explode otherwise runs on the
+    # single local parquet split (A/B 3.06 -> 2.32 s at sf0.1; same fix
+    # as corpus_hot_ngrams, no-op at scale). The other explode-from-docs
+    # queries were A/B'd too and kept UN-fanned: their per-row work is
+    # light enough that the round-robin exchange costs more than the
+    # serial stage it spreads (e.g. corpus_collocations +0.45 s,
+    # corpus_heavy_hitters +0.99 s — see OPTIMIZATION_r12.md).
+    d = fan_out(_docs(spark, sf_dir))
     sh = d.select(
         "doc_id",
         F.explode(

@@ -47,6 +47,7 @@ def _batch_schemas(spark) -> dict[str, T.StructType]:
     return _SCHEMAS
 
 
+@pytest.mark.slow  # builder-side per-round ritual (see pytest.ini)
 def test_registered_output_schemas_are_canonicalizer_safe(spark):
     bad = {
         name: offenders

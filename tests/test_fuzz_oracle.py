@@ -258,6 +258,7 @@ def _run_gate(spark, sf_dir: str, queries=None) -> None:
     assert not failures, failures
 
 
+@pytest.mark.slow  # builder-side per-round ritual (see pytest.ini)
 def test_registry_queries_match_oracle_on_random_tables(spark, fuzz_dir):
     _run_gate(spark, fuzz_dir)
 
@@ -300,6 +301,7 @@ def pathological_dir(spark, tmp_path_factory):
     return root
 
 
+@pytest.mark.slow  # builder-side per-round ritual (see pytest.ini)
 def test_registry_queries_match_oracle_on_pathological_tables(spark, pathological_dir):
     _run_gate(spark, pathological_dir)
 

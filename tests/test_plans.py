@@ -217,6 +217,12 @@ def test_no_rowwise_python_udf_in_oracle_query_plans(spark):
         # Unicode NFC: the normalization tables live in Python's
         # unicodedata (no JVM built-in) — deliberately Arrow-batched
         "text_nfc_normalize",
+        # r12: character counting via one C-speed Counter per doc (the
+        # per-character HOF fold was these queries' dominant cost —
+        # measured 3.75→1.06 s / 3.78→3.06 s at sf0.1); the log2
+        # micro-term arithmetic stays JVM-side over the count multiset
+        "text_char_entropy",
+        "corpus_quality_composite",
     }
     assert set(arrow_nodes) <= allowed, (
         f"unexpected Arrow UDF in oracle plans: {sorted(set(arrow_nodes) - allowed)}"

@@ -5,6 +5,8 @@ over the same rows."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from spark_streaming_twitch_analytics_spark.streaming.ops import (
@@ -111,6 +113,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow  # builder-side per-round ritual (see pytest.ini)
 def test_registered_interval_join_is_split_invariant(spark):
     """The registry harness result must not depend on how the feeder
     split the files into micro-batches: the interval-condition inner
