@@ -557,7 +557,11 @@ def embedding_dup_pairs(
     e = emb.select(
         "vec_id", block_col.alias("blk"), as_double(F.col("embedding")).alias("v")
     ).withColumn("n", norm(F.col("v"), dim))
-    a = e.select(
+    # r12: the b side broadcasts (small table), so the per-pair fold
+    # stage inherits a's partitioning — ONE task on the single local
+    # parquet split (profiled 0.89 s serial of the query's 1.3 s wall);
+    # fan_out spreads it, no-op at scale
+    a = fan_out(e).select(
         F.col("vec_id").alias("a"), "blk",
         F.col("v").alias("va"), F.col("n").alias("na"),
     )

@@ -1507,6 +1507,177 @@ def ivf_sq8_recall_fused(
     return _fused_recall_meter(queries, candidates, k, prep, batch, dim)
 
 
+def ivf_probe_sweep_fused(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_cells: int,
+    probes: tuple[int, ...],
+    dim: int = DIM,
+) -> DataFrame:
+    """(n_probe, matched, total, recall) for every depth in ``probes``
+    from ONE candidate scan (guide §2.4) — the r12 continuation of the
+    r11 running-count restructure: the brute truth pass and the ranked
+    IVF pool previously scanned the embeddings separately and met in a
+    left join; here one mapInArrow emits EVERY ranking from the same
+    per-batch score matrix: depth 0 = truth partial top-k, depth p =
+    partial top-k over the pairs whose candidate cell is within the
+    query's first p probes — probe sets are NESTED, so all depths mask
+    the SAME matrix (re-probed cells keep their FIRST rank, the
+    ivf_scored_pool_ranked semantics). Every emitted depth is k-bounded
+    per (query, partition) — an earlier fused formulation shipped the
+    FULL pool through the Python boundary into a running-count window
+    and lost at ×10 (18.9 vs 12.6 s) — then one (depth, q_id)
+    row_number window finalizes each depth's exact top-k and a
+    (q_id, c_id) group + final aggregate replace the truth join.
+
+    Determinism: identical to :func:`ivf_recall_fused` — cells/probes
+    via the bit-exact ``cell_scores_np`` twins, scores the accepted
+    matmul-vs-fold-at-6dp class, tie-break (cos desc NULLS LAST, c_id
+    asc) unchanged; equivalence with per-depth
+    recall_at_k(truth, ivf_topk) is pinned by
+    tests/test_dedup_similarity.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.vectors import cell_scores_np
+
+    max_p = max(probes)
+    q_pd = queries.select("vec_id", "embedding").toPandas()
+    spark = queries.sparkSession
+    if len(q_pd) == 0:
+        return spark.createDataFrame(
+            [(int(p), 0, 0, None) for p in probes],
+            "n_probe int, matched long, total long, recall double",
+        )
+    q_ids = q_pd["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.array([np.asarray(v, dtype=np.float64) for v in q_pd["embedding"]])
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    nq = len(q_ids)
+    # rank_lookup[cell(1-based), j] = probe rank (1..max_p) at which
+    # query j reaches the cell, 0 = not probed; min rank on ties
+    cs_q = cell_scores_np(qm, n_cells, dim)
+    rank_lookup = np.zeros((n_cells + 1, nq), dtype=np.int32)
+    for r in range(nq):
+        s = cs_q[r].copy()
+        for pos in range(1, max_p + 1):
+            c = int(s.argmax()) + 1
+            if rank_lookup[c, r] == 0:
+                rank_lookup[c, r] = pos
+            s = np.where(s == s.max(), -1e18, s)
+    b = spark.sparkContext.broadcast((q_ids, qm, qn, rank_lookup, tuple(probes)))
+
+    def score_fn(batches):
+        q_ids, qm, qn, rank_lookup, probes_ = b.value
+        nq = len(q_ids)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            emb = rb.column("embedding")
+            cm = (
+                emb.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(rb.num_rows, -1)
+            )
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.floor((cm @ qm.T) / (cn[:, None] * qn[None, :]) * 1e6) / 1e6
+            c_ids = rb.column("vec_id").to_numpy(zero_copy_only=True)
+            cc = cell_scores_np(cm, n_cells, dim).argmax(axis=1) + 1
+            ranks = rank_lookup[cc]  # (n, nq) int32, 0 = not probed
+            out_d, out_q, out_c, out_s = [], [], [], []
+            for j in range(nq):
+                self_mask = c_ids != q_ids[j]
+                col = s[:, j]
+                rj = ranks[:, j]
+                for depth in (0,) + probes_:
+                    mask = (
+                        self_mask
+                        if depth == 0
+                        else self_mask & (rj >= 1) & (rj <= depth)
+                    )
+                    cc_, cs = c_ids[mask], col[mask]
+                    if len(cc_) == 0:
+                        continue
+                    cs_sel = np.where(np.isnan(cs), -np.inf, cs)
+                    if len(cc_) > k:
+                        thr = np.partition(cs_sel, len(cs_sel) - k)[
+                            len(cs_sel) - k
+                        ]
+                        keep = cs_sel >= thr
+                        cc_, cs, cs_sel = cc_[keep], cs[keep], cs_sel[keep]
+                    order = np.lexsort((cc_, -cs_sel))[:k]
+                    cc_, cs = cc_[order], cs[order]
+                    out_d.append(np.full(len(cc_), depth, dtype=np.int32))
+                    out_q.append(np.full(len(cc_), q_ids[j]))
+                    out_c.append(cc_)
+                    out_s.append(cs)
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_d), type=pa.int32()),
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.int64()),
+                    pa.array(
+                        np.concatenate(out_s), type=pa.float64(), from_pandas=True
+                    ),
+                ],
+                names=["depth", "q_id", "c_id", "cos"],
+            )
+
+    from .skew import fan_out
+
+    reduced = fan_out(candidates.select("vec_id", "embedding")).mapInArrow(
+        score_fn, "depth int, q_id long, c_id long, cos double"
+    )
+    wo = Window.partitionBy("depth", "q_id").orderBy(
+        F.desc("cos"), F.asc("c_id")
+    )
+    top = (
+        reduced.withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") <= k)
+    )
+    pair = top.groupBy("q_id", "c_id").agg(
+        F.max((F.col("depth") == 0).cast("int")).alias("in_t"),
+        *[
+            F.max((F.col("depth") == p).cast("int")).alias(f"d{p}")
+            for p in probes
+        ],
+    )
+    agg = pair.agg(
+        F.coalesce(F.sum("in_t"), F.lit(0)).cast("long").alias("total"),
+        *[
+            F.coalesce(F.sum(F.col("in_t") * F.col(f"d{p}")), F.lit(0))
+            .cast("long")
+            .alias(f"m{p}")
+            for p in probes
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(p)).cast("int").alias("n_probe"),
+                    F.col(f"m{p}").alias("matched"),
+                    F.col("total").alias("total"),
+                )
+                for p in probes
+            ]
+        )
+    )
+    return agg.select(rows.alias("r")).select(
+        "r.n_probe",
+        "r.matched",
+        "r.total",
+        (
+            F.floor((F.col("r.matched").cast("double") / F.col("r.total")) * 1e6)
+            / 1e6
+        ).alias("recall"),
+    )
+
+
 def recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:
     """Recall of an approximate ranking against the exact one: both are
     (q_id, c_id, ...) top-k frames; recall = |approx ∩ exact| / |exact|

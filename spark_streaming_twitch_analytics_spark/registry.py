@@ -4800,70 +4800,19 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     every depth's exact row_number simultaneously; depth-p membership is
     then (probe_rank <= p AND rn_p <= k), checked per truth row after a
     single left join. 3 exchanges + 3 joins → 1 + 1 (measured ~4.5 →
-    ~2.3 s at sf0.1). Rankings are identical by construction (same
-    cells, same scores, same tie-break), which the unchanged oracle
-    hash-checks."""
-    from pyspark.sql import Window
+    ~2.3 s at sf0.1).
 
+    Round-12 restructure: the truth scan and the ranked pool fuse into
+    ONE candidate scan (similarity.ivf_probe_sweep_fused — same
+    side-tagged one-scan shape as the fused recall meters), and the
+    truth join becomes a (q_id, c_id) group over the side-union. 2
+    scans + 1 join → 1 scan + 0 joins; equivalence with per-depth
+    recall_at_k(truth, ivf_topk) is test-pinned and the unchanged
+    oracle hash-checks it."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    truth = similarity.brute_force_topk_np(queries, emb, 5)
-    pool = similarity.ivf_scored_pool_ranked(
-        queries, emb, n_cells=_IVF_CELLS, n_probe=max(_SWEEP_PROBES)
-    )
-    w = (
-        Window.partitionBy("q_id")
-        .orderBy(F.desc("cos"), F.asc("c_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sel = pool.select(
-        "q_id",
-        "c_id",
-        "probe_rank",
-        *[
-            F.sum(
-                F.when(F.col("probe_rank") <= p, F.lit(1)).otherwise(F.lit(0))
-            )
-            .over(w)
-            .alias(f"rn{p}")
-            for p in _SWEEP_PROBES
-        ],
-    )
-    j = truth.select("q_id", "c_id").join(sel, ["q_id", "c_id"], "left")
-    agg = j.agg(
-        F.count(F.lit(1)).cast("long").alias("total"),
-        *[
-            F.sum(
-                F.when(
-                    (F.col("probe_rank") <= p) & (F.col(f"rn{p}") <= 5),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias(f"m{p}")
-            for p in _SWEEP_PROBES
-        ],
-    )
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(p).cast("int").alias("n_probe"),
-                    F.col(f"m{p}").alias("matched"),
-                    F.col("total").alias("total"),
-                )
-                for p in _SWEEP_PROBES
-            ]
-        )
-    )
-    return agg.select(rows.alias("r")).select(
-        "r.n_probe",
-        "r.matched",
-        "r.total",
-        (
-            F.floor((F.col("r.matched").cast("double") / F.col("r.total")) * 1e6)
-            / 1e6
-        ).alias("recall"),
+    return similarity.ivf_probe_sweep_fused(
+        queries, emb, 5, n_cells=_IVF_CELLS, probes=_SWEEP_PROBES
     )
 
 
